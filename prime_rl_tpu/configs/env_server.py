@@ -1,0 +1,17 @@
+"""Env server config (reference: configs/env_server.py)."""
+
+from __future__ import annotations
+
+from pydantic import Field
+
+from prime_rl_tpu.configs.shared import BaseConfig, LogConfig
+
+
+class EnvServerConfig(BaseConfig):
+    output_dir: str = "outputs"
+    name: str = "env"
+    module: str = "prime_rl_tpu.envs.builtin.reverse_text"
+    address: str = "tcp://127.0.0.1:5600"
+    num_workers: int = 4
+    log: LogConfig = LogConfig()
+    args: dict = Field(default_factory=dict)

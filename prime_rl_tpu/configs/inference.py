@@ -1,0 +1,57 @@
+"""Inference (sampling engine) config.
+
+The reference wraps vLLM (reference: configs/inference.py); here this
+configures the first-party JAX sampling engine: jitted prefill/decode,
+KV cache layout, continuous batching, HTTP serving.
+"""
+
+from __future__ import annotations
+
+from typing import Literal
+
+from pydantic import Field
+
+from prime_rl_tpu.configs.shared import BaseConfig, LogConfig, MeshConfig, ModelConfig, MonitorConfig, TokenizerConfig
+
+
+class KVCacheConfig(BaseConfig):
+    """KV cache layout for the sampler.
+
+    ``paged``: page-table cache with a Pallas paged-attention decode kernel.
+    ``slots``: per-sequence contiguous cache of ``max_model_len`` (simple,
+    great for small models / short contexts).
+    """
+
+    layout: Literal["paged", "slots"] = "slots"
+    page_size: int = 128
+    num_pages: int | None = None  # None = size from HBM budget
+    hbm_utilization: float = 0.85
+
+
+class SchedulerConfig(BaseConfig):
+    """Continuous-batching scheduler knobs."""
+
+    max_batch_size: int = 64  # concurrent decode slots
+    max_prefill_tokens: int = 8192  # per prefill step
+    prefill_chunk: int = 512
+
+
+class ServerConfig(BaseConfig):
+    host: str = "0.0.0.0"
+    port: int = 8000
+    api_key: str | None = None
+
+
+class InferenceConfig(BaseConfig):
+    output_dir: str = "outputs"
+    model: ModelConfig = ModelConfig()
+    tokenizer: TokenizerConfig = TokenizerConfig()
+    mesh: MeshConfig = Field(default_factory=lambda: MeshConfig(fsdp=1, tensor=-1))
+    kv: KVCacheConfig = KVCacheConfig()
+    scheduler: SchedulerConfig = SchedulerConfig()
+    server: ServerConfig = ServerConfig()
+    monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
+    log: LogConfig = LogConfig()
+    max_model_len: int = 4096
+    enforce_eager: bool = False
+    seed: int = 0

@@ -1,0 +1,115 @@
+"""Orchestrator config (reference: configs/orchestrator.py)."""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal
+
+from pydantic import Field, model_validator
+
+from prime_rl_tpu.configs.algorithm import AlgoConfig, SamplingConfig
+from prime_rl_tpu.configs.shared import BaseConfig, LogConfig, MonitorConfig, TokenizerConfig
+from prime_rl_tpu.configs.trainer import TransportConfig
+
+
+class GibberishFilterConfig(BaseConfig):
+    """Drop rollouts whose mean sampled logprob is below a threshold
+    (reference: orchestrator/filters.py:35)."""
+
+    type: Literal["gibberish"] = "gibberish"
+    min_mean_logprob: float = -4.0
+    mode: Literal["monitor", "enforce"] = "monitor"
+
+
+class RepetitionFilterConfig(BaseConfig):
+    """Drop rollouts with heavy n-gram repetition (reference: filters.py:65)."""
+
+    type: Literal["repetition"] = "repetition"
+    ngram: int = 8
+    max_repetition_frac: float = 0.3
+    mode: Literal["monitor", "enforce"] = "monitor"
+
+
+class ZeroAdvantageFilterConfig(BaseConfig):
+    """Drop rollouts with all-zero advantages (reference: filters.py:100)."""
+
+    type: Literal["zero_advantage"] = "zero_advantage"
+    mode: Literal["monitor", "enforce"] = "enforce"
+
+
+FilterConfig = Annotated[
+    GibberishFilterConfig | RepetitionFilterConfig | ZeroAdvantageFilterConfig,
+    Field(discriminator="type"),
+]
+
+
+class EnvSourceConfig(BaseConfig):
+    """One env source in the train/eval mix (array-of-tables in TOML)."""
+
+    name: str
+    address: str | None = None  # env server ZMQ address; None = in-process
+    module: str | None = None  # import path for in-process builtin envs
+    ratio: float = 1.0
+    group_size: int = 8
+    sampling: SamplingConfig = SamplingConfig()
+    algo: AlgoConfig = Field(default_factory=lambda: {"type": "grpo"})
+    args: dict = Field(default_factory=dict)
+
+
+class EvalSourceConfig(BaseConfig):
+    name: str
+    address: str | None = None
+    module: str | None = None
+    group_size: int = 1
+    num_examples: int | None = None
+    interval: int = 50
+    sampling: SamplingConfig = SamplingConfig()
+    args: dict = Field(default_factory=dict)
+
+
+class ClientConfig(BaseConfig):
+    """Inference pool endpoints."""
+
+    base_urls: list[str] = Field(default_factory=lambda: ["http://127.0.0.1:8000"])
+    api_key: str | None = None
+    timeout: float = 1200.0
+
+
+class OrchestratorCheckpointConfig(BaseConfig):
+    interval: int = 50
+    resume_step: int | None = None
+
+
+class OrchestratorConfig(BaseConfig):
+    output_dir: str = "outputs"
+    model_name: str = "Qwen/Qwen3-0.6B"
+    tokenizer: TokenizerConfig = TokenizerConfig()
+    client: ClientConfig = ClientConfig()
+    transport: TransportConfig = Field(default_factory=lambda: {"type": "zmq"})
+    monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
+    log: LogConfig = LogConfig()
+    ckpt: OrchestratorCheckpointConfig = OrchestratorCheckpointConfig()
+
+    train_envs: list[EnvSourceConfig] = Field(default_factory=list)
+    eval_envs: list[EvalSourceConfig] = Field(default_factory=list)
+    filters: list[FilterConfig] = Field(default_factory=lambda: [{"type": "zero_advantage"}])
+
+    # Batch assembly: by rollout count or token budget (reference: train_sink.py:253-291)
+    batch_size: int = 128  # rollouts per training batch
+    max_batch_tokens: int | None = None
+    seq_len: int = 4096
+
+    # Async pipeline control (reference: orchestrator.py:103-107,912-942)
+    target_lag: int = 1
+    max_off_policy_steps: int = 8
+    max_inflight_episodes: int = 64
+    max_steps: int | None = None
+    max_empty_batches: int = 10
+
+    seed: int = 0
+
+    @model_validator(mode="after")
+    def _check_envs(self):
+        names = [e.name for e in self.train_envs]
+        if len(names) != len(set(names)):
+            raise ValueError(f"duplicate train env names: {names}")
+        return self

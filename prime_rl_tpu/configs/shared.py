@@ -1,0 +1,233 @@
+"""Shared config models: base class, model/tokenizer, mesh, monitor, logging.
+
+API surface mirrors the reference config package
+(reference: packages/prime-rl-configs/src/prime_rl/configs/shared.py,
+trainer.py:150-320) but the parallelism block is a TPU mesh spec
+(named axes over `jax.sharding.Mesh`) instead of torch ParallelDims.
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal
+
+from pydantic import BaseModel, ConfigDict, Field, model_validator
+
+
+class BaseConfig(BaseModel):
+    model_config = ConfigDict(extra="forbid", validate_assignment=True)
+
+
+class MeshConfig(BaseConfig):
+    """Logical device mesh for the learner (and colocated sampler).
+
+    Axes (in mesh order, outermost first):
+      - ``replica``: pure data-parallel replication (HSDP outer dim).
+      - ``fsdp``: parameter/optimizer sharding axis (ZeRO-3 analogue); batch is
+        sharded over ``replica × fsdp`` jointly.
+      - ``expert``: MoE expert parallelism (shard_map all_to_all dispatch).
+      - ``context``: sequence/context parallelism (Ulysses all-to-all or ring).
+      - ``tensor``: tensor parallelism (heads/ffn sharding; also sampler TP).
+
+    -1 on exactly one axis means "absorb all remaining devices".
+    """
+
+    replica: int = 1
+    fsdp: int = -1
+    expert: int = 1
+    context: int = 1
+    tensor: int = 1
+
+    def resolve(self, n_devices: int) -> dict[str, int]:
+        sizes = {
+            "replica": self.replica,
+            "fsdp": self.fsdp,
+            "expert": self.expert,
+            "context": self.context,
+            "tensor": self.tensor,
+        }
+        wild = [k for k, v in sizes.items() if v == -1]
+        if len(wild) > 1:
+            raise ValueError(f"at most one mesh axis may be -1, got {wild}")
+        fixed = 1
+        for k, v in sizes.items():
+            if v != -1:
+                fixed *= v
+        if wild:
+            if n_devices % fixed != 0:
+                raise ValueError(f"{n_devices} devices not divisible by fixed axes product {fixed}")
+            sizes[wild[0]] = n_devices // fixed
+        total = 1
+        for v in sizes.values():
+            total *= v
+        if total != n_devices:
+            raise ValueError(f"mesh {sizes} covers {total} devices, have {n_devices}")
+        return sizes
+
+
+class AttentionConfig(BaseConfig):
+    """Attention kernel selection.
+
+    ``pallas`` is the TPU flash-attention kernel (ops/attention.py);
+    ``xla`` is the reference einsum path (works on CPU, used in tests).
+    ``auto`` picks pallas on TPU, xla elsewhere.
+    """
+
+    impl: Literal["auto", "pallas", "xla"] = "auto"
+    block_q: int = 512
+    block_kv: int = 512
+
+
+class ActivationCheckpointConfig(BaseConfig):
+    """Rematerialization policy (reference: trainer.py apply_ac / full|selective)."""
+
+    mode: Literal["none", "full", "selective"] = "full"
+    # For selective: remat everything except these checkpointed op classes.
+    save_dots: bool = True
+
+
+class LoRAConfig(BaseConfig):
+    rank: int = 16
+    alpha: float = 32.0
+    dropout: float = 0.0
+    target_modules: list[str] = Field(
+        default_factory=lambda: ["q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"]
+    )
+
+
+class DebugModelConfig(BaseConfig):
+    """Tiny-model debug knobs (reference: model.py:656-663 layer truncation)."""
+
+    num_layers: int | None = None
+    random_init: bool = False
+
+
+class ModelConfig(BaseConfig):
+    """Which model to train/serve and how to map it onto the mesh."""
+
+    name: str = "Qwen/Qwen3-0.6B"
+    attn: AttentionConfig = AttentionConfig()
+    ac: ActivationCheckpointConfig = ActivationCheckpointConfig()
+    lora: LoRAConfig | None = None
+    debug: DebugModelConfig = DebugModelConfig()
+    # Parameter/compute dtypes. Params live in float32 master copies inside the
+    # optimizer; forward/backward run in bfloat16 on the MXU.
+    compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    param_dtype: Literal["bfloat16", "float32"] = "float32"
+    # Context parallel style (reference: docs/scaling.md:106-118)
+    cp_style: Literal["ulysses", "ring"] = "ulysses"
+    # Chunk size for the vocab-chunked fused logprob/entropy LM head
+    # (reference: models/layers/lm_head.py). 0 disables chunking.
+    lm_head_chunk_size: int = 1024
+    seq_len: int = 4096
+
+
+class TokenizerConfig(BaseConfig):
+    name: str | None = None  # defaults to model name
+    trust_remote_code: bool = False
+
+
+class FileMonitorConfig(BaseConfig):
+    type: Literal["file"] = "file"
+    path: str | None = None  # default: <output_dir>/metrics.jsonl
+
+
+class WandbMonitorConfig(BaseConfig):
+    type: Literal["wandb"] = "wandb"
+    project: str = "prime-rl-tpu"
+    name: str | None = None
+    group: str | None = None
+    offline: bool = False
+
+
+MonitorConfig = Annotated[FileMonitorConfig | WandbMonitorConfig, Field(discriminator="type")]
+
+
+class LogConfig(BaseConfig):
+    level: Literal["debug", "info", "warning", "error"] = "info"
+    json_logs: bool = False
+
+
+class MetricsServerConfig(BaseConfig):
+    enable: bool = False
+    host: str = "0.0.0.0"
+    port: int = 9100
+
+
+class CheckpointConfig(BaseConfig):
+    """Sharded train-state checkpoints (orbax) + retention
+    (reference: trainer/ckpt.py:160-320)."""
+
+    interval: int = 50
+    keep_last: int | None = 2
+    keep_interval: int | None = None
+    resume_step: int | None = None  # -1 = latest
+
+
+class WeightCheckpointConfig(BaseConfig):
+    """HF-compatible safetensors snapshots for serving
+    (reference: trainer/ckpt.py:322-517)."""
+
+    interval: int = 100
+    keep_last: int | None = 1
+    save_format: Literal["safetensors"] = "safetensors"
+
+
+class ConstantSchedulerConfig(BaseConfig):
+    type: Literal["constant"] = "constant"
+    warmup_steps: int = 0
+
+
+class LinearSchedulerConfig(BaseConfig):
+    type: Literal["linear"] = "linear"
+    warmup_steps: int = 0
+    decay_steps: int = 1000
+    min_lr_ratio: float = 0.0
+
+
+class CosineSchedulerConfig(BaseConfig):
+    type: Literal["cosine"] = "cosine"
+    warmup_steps: int = 0
+    decay_steps: int = 1000
+    min_lr_ratio: float = 0.1
+
+
+SchedulerConfig = Annotated[
+    ConstantSchedulerConfig | LinearSchedulerConfig | CosineSchedulerConfig,
+    Field(discriminator="type"),
+]
+
+
+class AdamWConfig(BaseConfig):
+    type: Literal["adamw"] = "adamw"
+    lr: float = 1e-6
+    weight_decay: float = 0.01
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+
+
+class SGDConfig(BaseConfig):
+    type: Literal["sgd"] = "sgd"
+    lr: float = 1e-6
+    momentum: float = 0.0
+    nesterov: bool = False
+    weight_decay: float = 0.0
+
+
+class MuonConfig(BaseConfig):
+    type: Literal["muon"] = "muon"
+    lr: float = 2e-2
+    weight_decay: float = 0.01
+    momentum: float = 0.95
+    adamw_lr: float = 1e-6  # for non-matrix params
+
+
+class SignSGDConfig(BaseConfig):
+    type: Literal["sign_sgd"] = "sign_sgd"
+    lr: float = 1e-6
+    weight_decay: float = 0.0
+
+
+OptimizerConfig = Annotated[
+    AdamWConfig | SGDConfig | MuonConfig | SignSGDConfig,
+    Field(discriminator="type"),
+]

@@ -1,0 +1,207 @@
+"""Trainer (learner) configs: RL trainer and SFT trainer.
+
+Mirrors the surface of the reference's TrainerConfig/SFTConfig
+(reference: packages/prime-rl-configs/src/prime_rl/configs/trainer.py,
+sft.py) re-designed for the TPU learner: mesh axes, remat, pallas attn.
+"""
+
+from __future__ import annotations
+
+from typing import Annotated, Literal
+
+from pydantic import Field
+
+from prime_rl_tpu.configs.shared import (
+    BaseConfig,
+    CheckpointConfig,
+    LogConfig,
+    MeshConfig,
+    MetricsServerConfig,
+    ModelConfig,
+    MonitorConfig,
+    OptimizerConfig,
+    SchedulerConfig,
+    TokenizerConfig,
+    WeightCheckpointConfig,
+)
+
+
+class DefaultLossConfig(BaseConfig):
+    """DPPO-binary-TV + squared-log-ratio KL with advantage-sign-conditioned
+    trust region (reference: trainer/rl/loss.py:109-161)."""
+
+    type: Literal["default"] = "default"
+    dppo_mask_high: float = 0.25
+    dppo_mask_low: float = 0.25
+    adv_tau: float = 1.0
+    kl_tau: float = 1.0
+
+
+class IPOLossConfig(BaseConfig):
+    """Symmetric trust region variant (reference: trainer/rl/loss.py:164-196)."""
+
+    type: Literal["ipo"] = "ipo"
+    ipo_threshold: float = 0.25
+    adv_tau: float = 1.0
+    kl_tau: float = 1.0
+
+
+class RatioLossConfig(BaseConfig):
+    """Plain PPO-clip style token-level importance-ratio loss (GRPO default in
+    most public implementations); kept as a third variant for ablations."""
+
+    type: Literal["ratio"] = "ratio"
+    clip_eps_low: float = 0.2
+    clip_eps_high: float = 0.2
+    adv_tau: float = 1.0
+
+
+class CustomLossConfig(BaseConfig):
+    type: Literal["custom"] = "custom"
+    import_path: str
+    kwargs: dict = Field(default_factory=dict)
+
+
+LossConfig = Annotated[
+    DefaultLossConfig | IPOLossConfig | RatioLossConfig | CustomLossConfig,
+    Field(discriminator="type"),
+]
+
+
+class FakeDataLoaderConfig(BaseConfig):
+    """Synthetic batches for --bench / debug, no orchestrator needed
+    (reference: trainer/rl/data.py:62-176)."""
+
+    type: Literal["fake"] = "fake"
+    micro_batch_size: int = 1
+    seq_len: int = 4096
+    num_micro_batches: int = 4
+    seed: int = 0
+
+
+class TransportDataLoaderConfig(BaseConfig):
+    type: Literal["transport"] = "transport"
+
+
+DataLoaderConfig = Annotated[
+    FakeDataLoaderConfig | TransportDataLoaderConfig,
+    Field(discriminator="type"),
+]
+
+
+class FileSystemWeightBroadcastConfig(BaseConfig):
+    """Write HF-format weights per step + STABLE marker
+    (reference: trainer/rl/broadcast/filesystem.py)."""
+
+    type: Literal["filesystem"] = "filesystem"
+    save_format: Literal["safetensors"] = "safetensors"
+
+
+class DeviceWeightBroadcastConfig(BaseConfig):
+    """Direct device-to-device resharding between learner and sampler meshes —
+    the TPU-native replacement for the reference's NCCL/NIXL broadcast
+    (SURVEY.md §2.6). ``colocated`` swaps buffers in-process; ``transfer``
+    uses the JAX cross-host transfer server (multi-process)."""
+
+    type: Literal["device"] = "device"
+    mode: Literal["colocated", "transfer"] = "colocated"
+
+
+WeightBroadcastConfig = Annotated[
+    FileSystemWeightBroadcastConfig | DeviceWeightBroadcastConfig,
+    Field(discriminator="type"),
+]
+
+
+class ZMQTransportConfig(BaseConfig):
+    type: Literal["zmq"] = "zmq"
+    host: str = "127.0.0.1"
+    batch_port: int = 5555
+    micro_batch_port: int = 5556
+
+
+class FileSystemTransportConfig(BaseConfig):
+    type: Literal["filesystem"] = "filesystem"
+
+
+TransportConfig = Annotated[
+    ZMQTransportConfig | FileSystemTransportConfig,
+    Field(discriminator="type"),
+]
+
+
+class BenchConfig(BaseConfig):
+    warmup_steps: int = 3
+    steps: int = 10
+
+
+class BatchConfig(BaseConfig):
+    """Sequence-packing knobs (reference: trainer/batch.py)."""
+
+    micro_batch_size: int = 1  # sequences are packed; this is packed rows per micro-batch
+    seq_len: int = 4096
+    # bin-balancing: quadratic attn-aware cost (reference: trainer/utils.py:146)
+    balance: Literal["tokens", "quadratic"] = "quadratic"
+
+
+class TrainerConfig(BaseConfig):
+    """RL trainer process config."""
+
+    output_dir: str = "outputs"
+    model: ModelConfig = ModelConfig()
+    tokenizer: TokenizerConfig = TokenizerConfig()
+    mesh: MeshConfig = MeshConfig()
+    optimizer: OptimizerConfig = Field(default_factory=lambda: {"type": "adamw"})
+    scheduler: SchedulerConfig = Field(default_factory=lambda: {"type": "constant"})
+    loss: LossConfig = Field(default_factory=lambda: {"type": "default"})
+    ckpt: CheckpointConfig = CheckpointConfig()
+    weight_ckpt: WeightCheckpointConfig = WeightCheckpointConfig()
+    data: DataLoaderConfig = Field(default_factory=lambda: {"type": "transport"})
+    transport: TransportConfig = Field(default_factory=lambda: {"type": "zmq"})
+    broadcast: WeightBroadcastConfig = Field(default_factory=lambda: {"type": "filesystem"})
+    batch: BatchConfig = BatchConfig()
+    monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
+    log: LogConfig = LogConfig()
+    metrics_server: MetricsServerConfig = MetricsServerConfig()
+    max_steps: int | None = None
+    grad_clip: float | None = 1.0
+    seed: int = 0
+    bench: BenchConfig | None = None
+    trace_path: str | None = None  # jax.profiler trace output dir
+
+
+class SFTDataConfig(BaseConfig):
+    """SFT dataset config (reference: trainer/sft/data.py)."""
+
+    type: Literal["hf", "fake"] = "fake"
+    name: str | None = None  # HF dataset name
+    split: str = "train"
+    # prompt/completion column format or messages format
+    format: Literal["prompt_completion", "messages"] = "messages"
+    seq_len: int = 4096
+    batch_size: int = 8  # sequences per optimizer step (pre-packing)
+    micro_batch_size: int = 1
+    num_examples: int | None = None
+    fake_vocab: int = 2048  # for fake datasets
+    seed: int = 0
+    loss_mask: Literal["all", "assistant"] = "assistant"
+
+
+class SFTConfig(BaseConfig):
+    """SFT trainer process config."""
+
+    output_dir: str = "outputs"
+    model: ModelConfig = ModelConfig()
+    tokenizer: TokenizerConfig = TokenizerConfig()
+    mesh: MeshConfig = MeshConfig()
+    optimizer: OptimizerConfig = Field(default_factory=lambda: {"type": "adamw", "lr": 2e-5})
+    scheduler: SchedulerConfig = Field(default_factory=lambda: {"type": "cosine"})
+    ckpt: CheckpointConfig = CheckpointConfig()
+    weight_ckpt: WeightCheckpointConfig = WeightCheckpointConfig()
+    data: SFTDataConfig = SFTDataConfig()
+    monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
+    log: LogConfig = LogConfig()
+    max_steps: int | None = 100
+    grad_clip: float | None = 1.0
+    seed: int = 0
+    bench: BenchConfig | None = None
