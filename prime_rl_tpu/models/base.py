@@ -1,0 +1,282 @@
+"""Model substrate: architecture specs, param pytrees, sharding rules.
+
+Design (TPU-first, not a port of the reference's HF-module stack,
+reference: trainer/model.py:665-903, models/<family>/):
+
+- A model is a **plain pytree of arrays** plus a frozen ``ModelSpec``. No
+  module objects: functional ``forward(params, spec, ...)`` so jit/shard_map/
+  remat compose freely and weight transfer is a pytree map.
+- Per-layer weights are **stacked along a leading layer axis** and the
+  forward scans over them (``lax.scan``): O(1) compile time in depth and a
+  natural remat boundary per layer, instead of unrolled per-layer modules.
+- Sharding is a **pure function from param path to PartitionSpec** over the
+  named mesh axes (parallel/mesh.py) — the analogue of the reference's
+  FSDP2 wrapping + ParallelDims (reference: trainer/model.py:765-903).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from prime_rl_tpu.parallel.mesh import MeshInfo
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class ModelSpec:
+    family: str
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    intermediate_size: int
+    rope_theta: float = 1_000_000.0
+    rms_eps: float = 1e-6
+    tie_embeddings: bool = True
+    qk_norm: bool = True  # Qwen3 per-head q/k RMSNorm; off for llama
+    max_position_embeddings: int = 40960
+    bos_token_id: int | None = None
+    eos_token_id: int = 151645
+    pad_token_id: int = 151643
+    # MoE (qwen3_moe family)
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    norm_topk_prob: bool = True
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+    @property
+    def q_dim(self) -> int:
+        return self.num_heads * self.head_dim
+
+    @property
+    def kv_dim(self) -> int:
+        return self.num_kv_heads * self.head_dim
+
+    def flops_per_token(self, seq_len: int) -> float:
+        """Training FLOPs/token (fwd+bwd ≈ 6×params-matmuls + attention term),
+        the MFU denominator (reference: trainer/perf.py)."""
+        d, l = self.hidden_size, self.num_layers
+        per_layer = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)  # qkvo (o: q_dim x d)
+        if self.is_moe:
+            per_layer += 2 * 3 * d * self.moe_intermediate_size * self.num_experts_per_tok
+            per_layer += 2 * d * self.num_experts  # router
+        else:
+            per_layer += 2 * 3 * d * self.intermediate_size
+        dense = l * per_layer + 2 * d * self.vocab_size
+        attn = l * 2 * 2 * seq_len * self.q_dim  # scores + values (causal: /2, but count full for parity)
+        return 3 * (dense + attn)  # fwd(1) + bwd(2)
+
+    def num_params(self) -> int:
+        d, l = self.hidden_size, self.num_layers
+        per_layer = d * (self.q_dim + 2 * self.kv_dim) + self.q_dim * d + 2 * d
+        if self.qk_norm:
+            per_layer += 2 * self.head_dim
+        if self.is_moe:
+            per_layer += 3 * d * self.moe_intermediate_size * self.num_experts + d * self.num_experts
+        else:
+            per_layer += 3 * d * self.intermediate_size
+        total = l * per_layer + self.vocab_size * d + d
+        if not self.tie_embeddings:
+            total += d * self.vocab_size
+        return total
+
+
+# ---------------------------------------------------------------------------
+# Built-in architecture registry (offline image: no HF hub). Sizes match the
+# public configs of each checkpoint so random-init benches are architecture-
+# faithful (reference models list: SURVEY.md §2.2 custom model families).
+# ---------------------------------------------------------------------------
+
+_QWEN3 = dict(family="qwen3", rope_theta=1e6, rms_eps=1e-6, qk_norm=True, vocab_size=151936)
+
+BUILTIN_SPECS: dict[str, ModelSpec] = {
+    "Qwen/Qwen3-0.6B": ModelSpec(
+        hidden_size=1024, num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+        intermediate_size=3072, tie_embeddings=True, **_QWEN3,
+    ),
+    "Qwen/Qwen3-1.7B": ModelSpec(
+        hidden_size=2048, num_layers=28, num_heads=16, num_kv_heads=8, head_dim=128,
+        intermediate_size=6144, tie_embeddings=True, **_QWEN3,
+    ),
+    "Qwen/Qwen3-4B": ModelSpec(
+        hidden_size=2560, num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=9728, tie_embeddings=True, **_QWEN3,
+    ),
+    "Qwen/Qwen3-8B": ModelSpec(
+        hidden_size=4096, num_layers=36, num_heads=32, num_kv_heads=8, head_dim=128,
+        intermediate_size=12288, tie_embeddings=False, **_QWEN3,
+    ),
+    "Qwen/Qwen3-14B": ModelSpec(
+        hidden_size=5120, num_layers=40, num_heads=40, num_kv_heads=8, head_dim=128,
+        intermediate_size=17408, tie_embeddings=False, **_QWEN3,
+    ),
+    "Qwen/Qwen3-30B-A3B": ModelSpec(
+        hidden_size=2048, num_layers=48, num_heads=32, num_kv_heads=4, head_dim=128,
+        intermediate_size=6144, tie_embeddings=False, num_experts=128,
+        num_experts_per_tok=8, moe_intermediate_size=768, norm_topk_prob=True,
+        **{**_QWEN3, "family": "qwen3_moe"},
+    ),
+}
+
+
+def debug_spec(
+    vocab_size: int = 512,
+    hidden_size: int = 64,
+    num_layers: int = 2,
+    num_heads: int = 4,
+    num_kv_heads: int = 2,
+    head_dim: int = 16,
+    intermediate_size: int = 128,
+    family: str = "qwen3",
+    **kw,
+) -> ModelSpec:
+    return ModelSpec(
+        family=family, vocab_size=vocab_size, hidden_size=hidden_size, num_layers=num_layers,
+        num_heads=num_heads, num_kv_heads=num_kv_heads, head_dim=head_dim,
+        intermediate_size=intermediate_size, eos_token_id=vocab_size - 1, pad_token_id=0, **kw,
+    )
+
+
+def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
+    """Resolve a model name to a spec: built-in registry, or a local HF
+    checkpoint dir with config.json. ``num_layers`` truncates for debug
+    (reference: trainer/model.py:656-663)."""
+    import json
+    from pathlib import Path
+
+    if name in BUILTIN_SPECS:
+        spec = BUILTIN_SPECS[name]
+    elif (Path(name) / "config.json").exists():
+        cfg = json.loads((Path(name) / "config.json").read_text())
+        spec = spec_from_hf_config(cfg)
+    else:
+        raise ValueError(f"unknown model {name!r}: not in BUILTIN_SPECS and no local config.json")
+    if num_layers is not None:
+        spec = replace(spec, num_layers=num_layers)
+    return spec
+
+
+def spec_from_hf_config(cfg: dict) -> ModelSpec:
+    arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
+    if "qwen3moe" in arch.replace("_", ""):
+        family = "qwen3_moe"
+    elif "qwen3" in arch:
+        family = "qwen3"
+    elif "llama" in arch:
+        family = "llama"
+    else:
+        raise ValueError(f"unsupported architecture {arch}")
+    head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
+    return ModelSpec(
+        family=family,
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        num_layers=cfg["num_hidden_layers"],
+        num_heads=cfg["num_attention_heads"],
+        num_kv_heads=cfg.get("num_key_value_heads", cfg["num_attention_heads"]),
+        head_dim=head_dim,
+        intermediate_size=cfg["intermediate_size"],
+        rope_theta=cfg.get("rope_theta", 1e6),
+        rms_eps=cfg.get("rms_norm_eps", 1e-6),
+        tie_embeddings=cfg.get("tie_word_embeddings", False),
+        qk_norm=family.startswith("qwen3"),
+        max_position_embeddings=cfg.get("max_position_embeddings", 40960),
+        eos_token_id=cfg.get("eos_token_id", 151645) if not isinstance(cfg.get("eos_token_id"), list) else cfg["eos_token_id"][0],
+        pad_token_id=cfg.get("pad_token_id") or 0,
+        num_experts=cfg.get("num_experts", 0) or 0,
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 0) or 0,
+        moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
+        norm_topk_prob=cfg.get("norm_topk_prob", True),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharding rules: param path -> PartitionSpec over (replica, fsdp, expert,
+# context, tensor). The fsdp axis plays ZeRO-3; tensor is megatron-style TP.
+# ---------------------------------------------------------------------------
+
+PARAM_SPECS: dict[str, P] = {
+    "embed": P("tensor", "fsdp"),  # [V, D] vocab over tensor
+    "lm_head": P("fsdp", "tensor"),  # [D, V]
+    "final_norm": P(),
+    "layers.attn_norm": P(None),
+    "layers.mlp_norm": P(None),
+    "layers.q_norm": P(None),
+    "layers.k_norm": P(None),
+    "layers.q": P(None, "fsdp", "tensor"),
+    "layers.k": P(None, "fsdp", "tensor"),
+    "layers.v": P(None, "fsdp", "tensor"),
+    "layers.o": P(None, "tensor", "fsdp"),
+    "layers.gate": P(None, "fsdp", "tensor"),
+    "layers.up": P(None, "fsdp", "tensor"),
+    "layers.down": P(None, "tensor", "fsdp"),
+    # MoE: experts sharded over the expert axis, then fsdp/tensor inside
+    "layers.router": P(None, "fsdp", None),
+    "layers.expert_gate": P(None, "expert", "fsdp", "tensor"),
+    "layers.expert_up": P(None, "expert", "fsdp", "tensor"),
+    "layers.expert_down": P(None, "expert", "tensor", "fsdp"),
+}
+
+
+def param_pspec(path: str) -> P:
+    if path in PARAM_SPECS:
+        return PARAM_SPECS[path]
+    raise KeyError(f"no sharding rule for param {path!r}")
+
+
+def _iter_paths(params: Params, prefix: str = "") -> list[tuple[str, jax.Array]]:
+    out = []
+    for k, v in params.items():
+        path = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.extend(_iter_paths(v, path))
+        else:
+            out.append((path, v))
+    return out
+
+
+def param_shardings(params: Params, mesh_info: MeshInfo) -> Params:
+    """Pytree of NamedShardings matching ``params``, divisibility-checked:
+    an axis that doesn't divide the dim falls back to replicated on that axis."""
+
+    def fit(spec: P, shape: tuple[int, ...]) -> P:
+        dims = []
+        for i, axis in enumerate(spec):
+            if axis is None:
+                dims.append(None)
+                continue
+            names = axis if isinstance(axis, tuple) else (axis,)
+            size = 1
+            for nm in names:
+                size *= mesh_info.sizes[nm]
+            dims.append(axis if i < len(shape) and shape[i] % size == 0 else None)
+        return P(*dims)
+
+    def walk(node: Params, prefix: str = ""):
+        out = {}
+        for k, v in node.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                out[k] = walk(v, path)
+            else:
+                out[k] = NamedSharding(mesh_info.mesh, fit(param_pspec(path), v.shape))
+        return out
+
+    return walk(params)
+
+
+def count_params(params: Params) -> int:
+    return sum(int(np.prod(v.shape)) for _, v in _iter_paths(params))

@@ -1,0 +1,197 @@
+"""Qwen3 dense family: init, training forward, HF state-dict conversion.
+
+Functional pytree model (see models/base.py). Covers the reference's
+qwen3 family (reference: trainer/models/qwen3/modeling_qwen3.py — behavior
+parity only; architecture per the public Qwen3 papers/configs):
+RMSNorm → GQA attention with per-head q/k RMSNorm + RoPE → RMSNorm → SwiGLU.
+
+Layers are stacked on a leading axis and scanned; remat policy wraps the
+block. llama is the same block without qk_norm (models/llama.py reuses this
+forward via the spec flag).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prime_rl_tpu.models.base import ModelSpec, Params
+from prime_rl_tpu.ops.attention import attention
+from prime_rl_tpu.ops.layers import apply_rope, rms_norm, rope_frequencies, swiglu
+
+
+def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
+    """Random init (trunc-normal 0.02, HF-style) on host or under jit."""
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    d, nl = spec.hidden_size, spec.num_layers
+    init = functools.partial(jax.random.truncated_normal, lower=-2.0, upper=2.0)
+
+    def w(key, *shape):
+        return (init(key, shape=shape) * 0.02).astype(dtype)
+
+    lk = jax.random.split(k_layers, 7)
+    layers = {
+        "attn_norm": jnp.ones((nl, d), dtype),
+        "q": w(lk[0], nl, d, spec.q_dim),
+        "k": w(lk[1], nl, d, spec.kv_dim),
+        "v": w(lk[2], nl, d, spec.kv_dim),
+        "o": w(lk[3], nl, spec.q_dim, d),
+        "mlp_norm": jnp.ones((nl, d), dtype),
+        "gate": w(lk[4], nl, d, spec.intermediate_size),
+        "up": w(lk[5], nl, d, spec.intermediate_size),
+        "down": w(lk[6], nl, spec.intermediate_size, d),
+    }
+    if spec.qk_norm:
+        layers["q_norm"] = jnp.ones((nl, spec.head_dim), dtype)
+        layers["k_norm"] = jnp.ones((nl, spec.head_dim), dtype)
+    params: Params = {
+        "embed": w(k_embed, spec.vocab_size, d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = w(k_head, d, spec.vocab_size)
+    return params
+
+
+def get_lm_head(params: Params, spec: ModelSpec) -> jax.Array:
+    """[D, V]: the tied transpose of embed, or the separate head."""
+    if spec.tie_embeddings:
+        return params["embed"].T
+    return params["lm_head"]
+
+
+def _attn_block(
+    h: jax.Array,
+    lp: dict[str, jax.Array],
+    spec: ModelSpec,
+    segment_ids: jax.Array,
+    position_ids: jax.Array,
+    inv_freq: jax.Array,
+    attn_impl: str,
+    block_q: int,
+    block_kv: int,
+) -> jax.Array:
+    b, l, d = h.shape
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    q = jnp.dot(x, lp["q"]).reshape(b, l, spec.num_heads, spec.head_dim)
+    k = jnp.dot(x, lp["k"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    v = jnp.dot(x, lp["v"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+    q = apply_rope(q, position_ids, inv_freq)
+    k = apply_rope(k, position_ids, inv_freq)
+    o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl, block_q=block_q, block_kv=block_kv)
+    return h + jnp.dot(o.reshape(b, l, spec.q_dim), lp["o"])
+
+
+def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec) -> jax.Array:
+    x = rms_norm(h, lp["mlp_norm"], spec.rms_eps)
+    return h + jnp.dot(swiglu(jnp.dot(x, lp["gate"]), jnp.dot(x, lp["up"])), lp["down"])
+
+
+def forward(
+    params: Params,
+    spec: ModelSpec,
+    input_ids: jax.Array,  # [B, L] int32
+    segment_ids: jax.Array,  # [B, L] int32 (0 = pad)
+    position_ids: jax.Array,  # [B, L] int32
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    block_q: int = 512,
+    block_kv: int = 512,
+    remat: str = "full",
+) -> jax.Array:
+    """Token ids -> final hidden states [B, L, D] (pre-LM-head, normed)."""
+    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    embed = params["embed"].astype(compute_dtype)
+    h = jnp.take(embed, input_ids, axis=0)
+
+    def block(h: jax.Array, lp: dict[str, jax.Array]) -> jax.Array:
+        lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
+        h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq, attn_impl, block_q, block_kv)
+        h = _mlp_block(h, lp, spec)
+        return h
+
+    if remat == "full":
+        block = jax.checkpoint(block, prevent_cse=False)
+    elif remat == "selective":
+        block = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+            prevent_cse=False,
+        )
+
+    def scan_body(h, lp):
+        return block(h, lp), None
+
+    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+    return rms_norm(h, params["final_norm"], spec.rms_eps)
+
+
+# ---------------------------------------------------------------------------
+# HF interchange (reference: trainer/models/qwen3/converting_qwen3.py role —
+# our key mapping is original; torch stores Linear as [out, in], we use
+# [in, out], so projections transpose).
+# ---------------------------------------------------------------------------
+
+def hf_key_map(spec: ModelSpec) -> dict[str, tuple[str, bool]]:
+    """our layer-field -> (HF per-layer key suffix, transpose?)"""
+    m = {
+        "attn_norm": ("input_layernorm.weight", False),
+        "q": ("self_attn.q_proj.weight", True),
+        "k": ("self_attn.k_proj.weight", True),
+        "v": ("self_attn.v_proj.weight", True),
+        "o": ("self_attn.o_proj.weight", True),
+        "mlp_norm": ("post_attention_layernorm.weight", False),
+        "gate": ("mlp.gate_proj.weight", True),
+        "up": ("mlp.up_proj.weight", True),
+        "down": ("mlp.down_proj.weight", True),
+    }
+    if spec.qk_norm:
+        m["q_norm"] = ("self_attn.q_norm.weight", False)
+        m["k_norm"] = ("self_attn.k_norm.weight", False)
+    return m
+
+
+def params_from_hf_state_dict(state: dict[str, np.ndarray], spec: ModelSpec, dtype=np.float32) -> Params:
+    """Build our stacked pytree from a flat HF state dict (numpy arrays)."""
+
+    def get(key: str, transpose: bool) -> np.ndarray:
+        arr = np.asarray(state[key], dtype=dtype)
+        return arr.T if transpose else arr
+
+    layers: dict[str, np.ndarray] = {}
+    for field, (suffix, tr) in hf_key_map(spec).items():
+        layers[field] = np.stack(
+            [get(f"model.layers.{i}.{suffix}", tr) for i in range(spec.num_layers)]
+        )
+    params: Params = {
+        "embed": get("model.embed_tokens.weight", False),
+        "layers": layers,
+        "final_norm": get("model.norm.weight", False),
+    }
+    if not spec.tie_embeddings:
+        params["lm_head"] = get("lm_head.weight", True)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def params_to_hf_state_dict(params: Params, spec: ModelSpec) -> dict[str, np.ndarray]:
+    """Flat HF state dict (numpy) from our pytree — for serving snapshots and
+    checkpoint interchange."""
+    state: dict[str, np.ndarray] = {}
+    state["model.embed_tokens.weight"] = np.asarray(params["embed"])
+    state["model.norm.weight"] = np.asarray(params["final_norm"])
+    for field, (suffix, tr) in hf_key_map(spec).items():
+        stacked = np.asarray(params["layers"][field])
+        for i in range(spec.num_layers):
+            arr = stacked[i]
+            state[f"model.layers.{i}.{suffix}"] = arr.T if tr else arr
+    if not spec.tie_embeddings:
+        state["lm_head.weight"] = np.asarray(params["lm_head"]).T
+    return state

@@ -3,13 +3,19 @@ sharding paths compile and execute without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-# Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax backends initialize. Force CPU even when the
+# environment preselects a TPU platform (e.g. JAX_PLATFORMS=axon, which this
+# image also pins via jax config at import): unit tests are hermetic and the
+# virtual 8-device mesh needs the host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
+import jax
 import pytest
+
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(autouse=True)
