@@ -1,0 +1,356 @@
+"""Pallas TPU flash attention for packed sequences (training path).
+
+TPU-native replacement for the reference's external flash-attn 2/3/4 CUDA
+kernels (reference: models/layers/attn.py dispatch; SURVEY.md §2.4): online-
+softmax tiling with fp32 accumulators, causal block skipping, segment-id
+masking for packed sequences, GQA via head-index mapping (no KV replication
+in HBM), and a custom VJP whose backward recomputes attention blockwise —
+two Pallas kernels (dq; dk/dv) so nothing materializes [L, L].
+
+Layout: kernels work on [B, H, L, D] with D as the lane dimension (128-
+aligned for the MXU). Grid iterates (batch, head, q-block, kv-block) with
+the kv-block innermost so VMEM scratch accumulators persist across the
+sequential TPU grid.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(
+    seg_q_ref,  # [1, 1, bq]
+    seg_kv_ref,  # [1, 1, bkv]
+    q_ref,  # [1, 1, bq, D]
+    k_ref,  # [1, 1, bkv, D]
+    v_ref,  # [1, 1, bkv, D]
+    out_ref,  # [1, 1, bq, D]
+    lse_ref,  # [1, 1, 1, bq]
+    acc_ref,  # scratch [bq, D] f32
+    m_ref,  # scratch [bq, 1] f32
+    l_ref,  # scratch [bq, 1] f32
+    *,
+    scale: float,
+    causal: bool,
+    block_q: int,
+    block_kv: int,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nkv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    # causal: skip blocks strictly above the diagonal band
+    run = (not causal) or (j * block_kv <= i * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [bkv, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bkv]
+
+        seg_q = seg_q_ref[0, 0]  # [bq]
+        seg_kv = seg_kv_ref[0, 0]  # [bkv]
+        mask = (seg_q[:, None] == seg_kv[None, :]) & (seg_q[:, None] != 0)
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = mask & (rows >= cols)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0]  # [bq]
+        m_cur = jnp.max(s, axis=1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        # guard fully-masked rows: keep m at NEG_INF contributing nothing
+        p = jnp.exp(s - m_new[:, None])
+        p = jnp.where(mask, p, 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
+        acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
+            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:, 0] = m_new
+        l_ref[:, 0] = l_new
+
+    @pl.when(j == nkv - 1)
+    def _finalize():
+        l = l_ref[:, 0]
+        l_safe = jnp.where(l > 0, l, 1.0)
+        out_ref[0, 0] = (acc_ref[:] / l_safe[:, None]).astype(out_ref.dtype)
+        # lse for the backward: m + log l (NEG_INF rows stay very negative)
+        lse_ref[0, 0, 0] = jnp.where(l > 0, m_ref[:, 0] + jnp.log(l_safe), NEG_INF)
+
+
+def _fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv):
+    b, nh, l, d = q.shape
+    nkv_heads = k.shape[1]
+    group = nh // nkv_heads
+    nq = pl.cdiv(l, block_q)
+    nkv = pl.cdiv(l, block_kv)
+    seg3 = segment_ids[:, None, :]  # [B, 1, L] so (sublane, lane) tiling rules hold
+
+    grid = (b, nh, nq, nkv)
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, causal=causal, block_q=block_q, block_kv=block_kv
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_kv), lambda bi, h, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, i, j: (bi, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, i, j: (bi, h // group, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, i, j: (bi, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nh, l, d), q.dtype),
+            jax.ShapeDtypeStruct((b, nh, 1, l), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(seg3, seg3, q, k, v)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# Backward: dq kernel (grid kv-innermost) and dkv kernel (grid q-innermost)
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(
+    seg_q_ref, seg_kv_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc_ref,
+    *, scale, causal, block_q, block_kv,
+):
+    i = pl.program_id(2)
+    j = pl.program_id(3)
+    nkv = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    run = (not causal) or (j * block_kv <= i * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0]  # [bq]
+        delta = delta_ref[0, 0, 0]  # [bq]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        seg_q = seg_q_ref[0, 0]
+        seg_kv = seg_kv_ref[0, 0]
+        mask = (seg_q[:, None] == seg_kv[None, :]) & (seg_q[:, None] != 0)
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = mask & (rows >= cols)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])
+        dq_acc_ref[:] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+
+    @pl.when(j == nkv - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc_ref[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    seg_q_ref, seg_kv_ref,
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc_ref, dv_acc_ref,
+    *, scale, causal, block_q, block_kv,
+):
+    j = pl.program_id(2)  # kv block
+    i = pl.program_id(3)  # q block (innermost)
+    nq = pl.num_programs(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc_ref[:] = jnp.zeros_like(dk_acc_ref)
+        dv_acc_ref[:] = jnp.zeros_like(dv_acc_ref)
+
+    run = (not causal) or (j * block_kv <= i * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * scale
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0, 0]
+        delta = delta_ref[0, 0, 0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        seg_q = seg_q_ref[0, 0]
+        seg_kv = seg_kv_ref[0, 0]
+        mask = (seg_q[:, None] == seg_kv[None, :]) & (seg_q[:, None] != 0)
+        if causal:
+            rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
+            cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
+            mask = mask & (rows >= cols)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # [bq, bkv]
+        dv_acc_ref[:] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None])  # [bq, bkv]
+        dk_acc_ref[:] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # note: q already has scale folded in
+
+    @pl.when(i == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc_ref[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc_ref[:].astype(dv_ref.dtype)
+
+
+def _bwd(causal, scale, block_q, block_kv, res, g):
+    q, k, v, segment_ids, out, lse = res
+    do, _ = g  # grad wrt (out, lse); lse grad unused
+    b, nh, l, d = q.shape
+    nkv_heads = k.shape[1]
+    group = nh // nkv_heads
+    nq = pl.cdiv(l, block_q)
+    nkv = pl.cdiv(l, block_kv)
+
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, :, None, :]  # [B, H, 1, L]
+    seg3 = segment_ids[:, None, :]
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _bwd_dq_kernel, scale=scale, causal=causal, block_q=block_q, block_kv=block_kv
+        ),
+        grid=(b, nh, nq, nkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_kv), lambda bi, h, i, j: (bi, 0, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, i, j: (bi, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, i, j: (bi, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, i, j: (bi, h, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, i, j: (bi, h, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, nh, l, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_interpret(),
+    )(seg3, seg3, q, k, v, do, lse, delta)
+
+    # dk/dv computed per q-head, then reduced over the GQA group
+    dk_h, dv_h = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q, block_kv=block_kv
+        ),
+        grid=(b, nh, nkv, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, h, j, i: (bi, 0, i)),
+            pl.BlockSpec((1, 1, block_kv), lambda bi, h, j, i: (bi, 0, j)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h // group, j, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, nh, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nh, l, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_kv, d), jnp.float32),
+            pltpu.VMEM((block_kv, d), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(seg3, seg3, q, k, v, do, lse, delta)
+
+    dk = dk_h.reshape(b, nkv_heads, group, l, d).sum(axis=2).astype(k.dtype)
+    dv = dv_h.reshape(b, nkv_heads, group, l, d).sum(axis=2).astype(v.dtype)
+    return dq, dk, dv, None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, segment_ids, causal, scale, block_q, block_kv):
+    out, _ = _fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv)
+    return out
+
+
+def _flash_fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv):
+    out, lse = _fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv)
+    return out, (q, k, v, segment_ids, out, lse)
+
+
+def _flash_bwd(causal, scale, block_q, block_kv, res, g):
+    return _bwd(causal, scale, block_q, block_kv, res, (g, None))
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jax.Array,  # [B, L, NH, HD]
+    k: jax.Array,  # [B, L, NKV, HD]
+    v: jax.Array,  # [B, L, NKV, HD]
+    segment_ids: jax.Array,  # [B, L] int32, 0 = pad
+    causal: bool = True,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> jax.Array:
+    """Public entry, [B, L, N, D] layout in/out (matches ops.attention)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    l = q.shape[1]
+    block_q = min(block_q, l)
+    block_kv = min(block_kv, l)
+    if l % block_q or l % block_kv:
+        raise ValueError(f"seq len {l} must be divisible by block sizes ({block_q}, {block_kv})")
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    out = _flash(qt, kt, vt, segment_ids, causal, float(scale), block_q, block_kv)
+    return jnp.swapaxes(out, 1, 2)

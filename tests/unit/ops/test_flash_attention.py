@@ -1,0 +1,70 @@
+"""Pallas flash attention vs XLA reference (interpret mode on CPU):
+forward + gradients, causal, segments, GQA."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prime_rl_tpu.ops.attention import make_segment_ids, xla_attention
+from prime_rl_tpu.ops.flash_attention import flash_attention
+
+
+def rand_qkv(rng, b, l, nh, nkv, d):
+    q = rng.normal(size=(b, l, nh, d)).astype(np.float32)
+    k = rng.normal(size=(b, l, nkv, d)).astype(np.float32)
+    v = rng.normal(size=(b, l, nkv, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+@pytest.mark.parametrize("nkv", [4, 2])
+@pytest.mark.parametrize("seq_lens", [[64], [24, 40], [16, 16, 8]])
+def test_forward_matches_xla(nkv, seq_lens):
+    rng = np.random.default_rng(0)
+    b, l, nh, d = 1, 64, 4, 32
+    q, k, v = rand_qkv(rng, b, l, nh, nkv, d)
+    seg = jnp.asarray(make_segment_ids(seq_lens, l))[None]
+    out_f = flash_attention(q, k, v, seg, block_q=16, block_kv=16)
+    out_x = xla_attention(q, k, v, seg, seg)
+    valid = np.asarray(seg)[0] != 0
+    np.testing.assert_allclose(
+        np.asarray(out_f)[0, valid], np.asarray(out_x)[0, valid], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_gradients_match_xla():
+    rng = np.random.default_rng(1)
+    b, l, nh, nkv, d = 1, 32, 2, 1, 16
+    q, k, v = rand_qkv(rng, b, l, nh, nkv, d)
+    seg = jnp.asarray(make_segment_ids([20, 12], l))[None]
+    dout = jnp.asarray(rng.normal(size=(b, l, nh, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, seg, block_q=8, block_kv=8) * dout)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, seg) * dout)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4)
+
+
+def test_padding_rows_zero_output():
+    rng = np.random.default_rng(2)
+    b, l, nh, nkv, d = 1, 32, 2, 2, 16
+    q, k, v = rand_qkv(rng, b, l, nh, nkv, d)
+    seg = jnp.asarray(make_segment_ids([16], l))[None]  # tail is padding
+    out = np.asarray(flash_attention(q, k, v, seg, block_q=8, block_kv=8))
+    np.testing.assert_allclose(out[0, 16:], 0.0, atol=1e-6)
+
+
+def test_block_size_mismatch_raises():
+    rng = np.random.default_rng(3)
+    q, k, v = rand_qkv(rng, 1, 20, 2, 2, 16)
+    seg = jnp.ones((1, 20), jnp.int32)
+    with pytest.raises(ValueError):
+        flash_attention(q, k, v, seg, block_q=16, block_kv=16)
