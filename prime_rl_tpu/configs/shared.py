@@ -10,11 +10,24 @@ from __future__ import annotations
 
 from typing import Annotated, Literal
 
-from pydantic import BaseModel, ConfigDict, Field, model_validator
+from pydantic import BaseModel, BeforeValidator, ConfigDict, Field, model_validator
 
 
 class BaseConfig(BaseModel):
     model_config = ConfigDict(extra="forbid", validate_assignment=True)
+
+
+def default_tag(tag: str) -> BeforeValidator:
+    """Inject ``type = tag`` into a partial dict so CLI overrides like
+    ``--optimizer.lr=1e-5`` validate against a discriminated union without
+    requiring the user to restate the default variant."""
+
+    def inject(v: object) -> object:
+        if isinstance(v, dict) and "type" not in v:
+            return {**v, "type": tag}
+        return v
+
+    return BeforeValidator(inject)
 
 
 class MeshConfig(BaseConfig):
@@ -139,7 +152,11 @@ class WandbMonitorConfig(BaseConfig):
     offline: bool = False
 
 
-MonitorConfig = Annotated[FileMonitorConfig | WandbMonitorConfig, Field(discriminator="type")]
+MonitorConfig = Annotated[
+    FileMonitorConfig | WandbMonitorConfig,
+    Field(discriminator="type"),
+    default_tag("file"),
+]
 
 
 class LogConfig(BaseConfig):
@@ -194,6 +211,7 @@ class CosineSchedulerConfig(BaseConfig):
 SchedulerConfig = Annotated[
     ConstantSchedulerConfig | LinearSchedulerConfig | CosineSchedulerConfig,
     Field(discriminator="type"),
+    default_tag("constant"),
 ]
 
 
@@ -230,4 +248,5 @@ class SignSGDConfig(BaseConfig):
 OptimizerConfig = Annotated[
     AdamWConfig | SGDConfig | MuonConfig | SignSGDConfig,
     Field(discriminator="type"),
+    default_tag("adamw"),
 ]

@@ -13,6 +13,7 @@ from pydantic import Field
 
 from prime_rl_tpu.configs.shared import (
     BaseConfig,
+    default_tag,
     CheckpointConfig,
     LogConfig,
     MeshConfig,
@@ -65,6 +66,7 @@ class CustomLossConfig(BaseConfig):
 LossConfig = Annotated[
     DefaultLossConfig | IPOLossConfig | RatioLossConfig | CustomLossConfig,
     Field(discriminator="type"),
+    default_tag("default"),
 ]
 
 
@@ -86,6 +88,7 @@ class TransportDataLoaderConfig(BaseConfig):
 DataLoaderConfig = Annotated[
     FakeDataLoaderConfig | TransportDataLoaderConfig,
     Field(discriminator="type"),
+    default_tag("transport"),
 ]
 
 
@@ -110,6 +113,7 @@ class DeviceWeightBroadcastConfig(BaseConfig):
 WeightBroadcastConfig = Annotated[
     FileSystemWeightBroadcastConfig | DeviceWeightBroadcastConfig,
     Field(discriminator="type"),
+    default_tag("filesystem"),
 ]
 
 
@@ -127,6 +131,7 @@ class FileSystemTransportConfig(BaseConfig):
 TransportConfig = Annotated[
     ZMQTransportConfig | FileSystemTransportConfig,
     Field(discriminator="type"),
+    default_tag("zmq"),
 ]
 
 
