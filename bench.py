@@ -1,0 +1,108 @@
+"""Benchmark harness: RL train step throughput on the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: reference Qwen3-0.6B RL full 16k seq on 1xH100 = 11.90k tok/s
+(BASELINE.md, reference benchmarks/results/BENCHMARKS.md:29).
+
+Usage: python bench.py [--seq-len 16384] [--steps 10] [--warmup 3]
+       [--model Qwen/Qwen3-0.6B] [--micro-batches 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+BASELINE_TOKENS_PER_SEC = 11_900.0  # Qwen3-0.6B RL, 16k seq, 1xH100 (BASELINE.md)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="Qwen/Qwen3-0.6B")
+    p.add_argument("--seq-len", type=int, default=16384)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--micro-batches", type=int, default=4)
+    p.add_argument("--micro-batch-rows", type=int, default=1)
+    p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    args = p.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.configs import MeshConfig, TrainerConfig
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.parallel.mesh import build_mesh
+    from prime_rl_tpu.trainer import step as step_lib
+    from prime_rl_tpu.trainer.optim import make_optimizer
+    from prime_rl_tpu.trainer.perf import PerfCounter, device_peak_flops
+    from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+    from prime_rl_tpu.trainer.step import Scales, init_train_state, make_train_step
+
+    n_dev = len(jax.devices())
+    mesh_info = build_mesh(MeshConfig(fsdp=-1))
+    cfg = TrainerConfig()
+    cfg.model.name = args.model
+    cfg.model.seq_len = args.seq_len
+    spec = get_spec(args.model)
+
+    optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
+    state = init_train_state(spec, mesh_info, optimizer, seed=0)
+    train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info)
+
+    loader = FakeDataLoader(
+        spec.vocab_size, args.seq_len,
+        micro_batch_rows=args.micro_batch_rows,
+        num_micro_batches=args.micro_batches,
+        variable_lengths=False,
+    )
+    tokens_per_batch = args.seq_len * args.micro_batch_rows * args.micro_batches
+
+    perf = PerfCounter(
+        flops_per_token=spec.flops_per_token(args.seq_len), n_devices=n_dev
+    )
+    for i in range(args.warmup + args.steps):
+        batch, counts = loader.next_batch()
+        batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+        scales = Scales(
+            rl=jnp.float32(max(counts["rl"], 1)),
+            ce=jnp.float32(max(counts["ce"], 1)),
+            ref_kl=jnp.float32(max(counts["ref_kl"], 1)),
+        )
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch, scales)
+        # force a host transfer: on some platforms block_until_ready returns
+        # before the enqueued execution actually finishes
+        float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        if i >= args.warmup:
+            perf.record(dt, tokens_per_batch)
+        print(
+            f"step {i}: {dt * 1e3:.1f} ms, {tokens_per_batch / dt:,.0f} tok/s"
+            + (" (warmup)" if i < args.warmup else ""),
+            file=sys.stderr,
+        )
+
+    tps = perf.tokens_per_sec
+    mfu = perf.mfu()
+    print(
+        f"model={args.model} seq={args.seq_len} devices={n_dev} "
+        f"peak={device_peak_flops() / 1e12:.0f}TF MFU={mfu * 100:.1f}%",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "rl_train_tokens_per_sec",
+        "value": round(tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

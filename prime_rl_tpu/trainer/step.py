@@ -1,0 +1,260 @@
+"""The jitted learner step: forward → fused logprob head → 3-component loss →
+grad → optax update, with in-program gradient accumulation.
+
+TPU-first design (replaces the reference's Python micro-batch loop +
+FSDP backward hooks, reference: trainer/rl/train.py:343-586):
+
+- Micro-batches are **stacked on a leading axis** and accumulated with
+  ``lax.scan`` inside ONE jitted program: one compile, no host round-trips
+  between micro-batches, and XLA overlaps the FSDP all-gathers with compute.
+- Params live in float32 masters sharded over (fsdp, tensor); the forward
+  casts to bfloat16 per-layer (MXU). Gradients come out in float32.
+- Normalization: grads are divided by **global** per-component token counts
+  (`scales`, all-reduced by the caller across processes), so DP-degree
+  changes never change the effective loss — the analogue of the reference's
+  `fsdp_gradient_divide_factor` fixup (reference: rl/train.py:564-577).
+- Donation: the caller jits with ``donate_argnums=(0,)`` so the previous
+  step's params/optimizer buffers are reused in place.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from prime_rl_tpu.models import base as model_base
+from prime_rl_tpu.models import qwen3
+from prime_rl_tpu.models.base import ModelSpec, Params
+from prime_rl_tpu.ops.lm_head import chunked_logprob_entropy
+from prime_rl_tpu.parallel.mesh import DATA_AXES, MeshInfo
+from prime_rl_tpu.trainer.rl import loss as loss_lib
+from prime_rl_tpu.trainer.rl.loss import MaskedStat
+
+Array = jax.Array
+
+
+class TrainState(NamedTuple):
+    params: Params
+    opt_state: Any
+    step: Array  # int32 scalar
+
+
+class MicroBatchArrays(NamedTuple):
+    """Device-side packed micro-batch streams, all [N, B, L] (N = stacked
+    micro-batches; absent optional streams are None — static per config)."""
+
+    input_ids: Array  # int32
+    loss_mask: Array  # bool
+    advantages: Array  # float32
+    inference_logprobs: Array  # float32
+    position_ids: Array  # int32
+    segment_ids: Array  # int32, 0 = padding
+    temperatures: Array  # float32
+    ref_logprobs: Array | None = None
+    rl_weights: Array | None = None
+    ce_weights: Array | None = None
+    ref_kl_weights: Array | None = None
+
+
+class Scales(NamedTuple):
+    """Global (cross-rank, whole-step) per-component token counts."""
+
+    rl: Array
+    ce: Array
+    ref_kl: Array
+
+
+_FORWARDS = {"qwen3": qwen3.forward, "llama": qwen3.forward}
+
+
+def register_forward(family: str, fn) -> None:
+    _FORWARDS[family] = fn
+
+
+def _shift_left(x: Array, fill) -> Array:
+    return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
+
+
+def _shift_right(x: Array, fill) -> Array:
+    return jnp.concatenate([jnp.full_like(x[:, :1], fill), x[:, :-1]], axis=1)
+
+
+def model_logprobs(
+    params: Params,
+    spec: ModelSpec,
+    mb,  # one micro-batch: fields [B, L]
+    model_cfg,
+) -> tuple[Array, Array]:
+    """(logprobs [B, L], entropy [B, L]) in current-token convention:
+    out[i] = logp(token_i | tokens_<i). Position 0 of each packed row gets the
+    uniform-distribution pad (log 1/V, log V) — those positions are always
+    loss-masked (reference convention: loss.py:66-91)."""
+    fwd = _FORWARDS[spec.family]
+    hidden = fwd(
+        params, spec, mb.input_ids, mb.segment_ids, mb.position_ids,
+        compute_dtype=jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32,
+        attn_impl=model_cfg.attn.impl,
+        block_q=model_cfg.attn.block_q,
+        block_kv=model_cfg.attn.block_kv,
+        remat=model_cfg.ac.mode,
+    )
+    labels = _shift_left(mb.input_ids, 0)
+    # logits at t are scaled by the temperature the *label* token was sampled at
+    label_temps = _shift_left(mb.temperatures, 1.0)
+    lm_head = qwen3.get_lm_head(params, spec).astype(
+        jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
+    )
+    lp_next, ent_next = chunked_logprob_entropy(
+        hidden, lm_head, labels, label_temps, chunk_size=model_cfg.lm_head_chunk_size
+    )
+    logprobs = _shift_right(lp_next, jnp.float32(-jnp.log(spec.vocab_size)))
+    entropy = _shift_right(ent_next, jnp.float32(jnp.log(spec.vocab_size)))
+    return logprobs, entropy
+
+
+def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg):
+    """Per-micro-batch loss closure: (params, mb, scales) -> (loss, metrics)."""
+
+    def loss_fn(params: Params, mb, scales: Scales):
+        logprobs, entropy = model_logprobs(params, spec, mb, model_cfg)
+        total, metrics = loss_lib.compute_loss(
+            trainer_logprobs=logprobs,
+            inference_logprobs=mb.inference_logprobs,
+            advantages=mb.advantages,
+            loss_mask=mb.loss_mask,
+            ref_logprobs=mb.ref_logprobs,
+            rl_weights=mb.rl_weights,
+            ce_weights=mb.ce_weights,
+            ref_kl_weights=mb.ref_kl_weights,
+            loss_cfg=loss_cfg,
+            rl_scale=scales.rl,
+            ce_scale=scales.ce,
+            ref_kl_scale=scales.ref_kl,
+        )
+        metrics = dict(metrics)
+        metrics["entropy"] = loss_lib.masked_stat(entropy, mb.loss_mask)
+        metrics["trainer_logprob"] = loss_lib.masked_stat(logprobs, mb.loss_mask)
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    spec: ModelSpec,
+    model_cfg,
+    loss_cfg,
+    optimizer: optax.GradientTransformation,
+    mesh_info: MeshInfo,
+):
+    """Build the jitted RL train step.
+
+    fn(state, batch: MicroBatchArrays [N,B,L], scales) -> (state', metrics)
+    """
+    loss_fn = make_loss_fn(spec, model_cfg, loss_cfg)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
+        def accum(carry, mb):
+            grads_acc, loss_acc, metrics_acc = carry
+            (loss, metrics), grads = grad_fn(state.params, mb, scales)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+            return (grads_acc, loss_acc + loss, metrics_acc), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        # trace once to get the metrics pytree structure
+        metrics_shape = jax.eval_shape(
+            lambda: loss_fn(state.params, jax.tree.map(lambda x: x[0], batch), scales)[1]
+        )
+        zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
+
+        (grads, loss, metrics), _ = jax.lax.scan(
+            accum, (zero_grads, jnp.zeros(()), zero_metrics), batch
+        )
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = grad_norm
+        return new_state, metrics
+
+    # The caller device_puts the batch with batch_sharding(); jit respects
+    # those committed shardings and the donated state keeps its layout.
+    return jax.jit(step_fn, donate_argnums=(0,))
+
+
+def batch_sharding(mesh_info: MeshInfo) -> NamedSharding:
+    """[N, B, L]: micro-batch axis unsharded (scan dim), batch over dp axes,
+    sequence over context."""
+    return NamedSharding(mesh_info.mesh, P(None, DATA_AXES, "context"))
+
+
+def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
+    s = batch_sharding(mesh_info)
+    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def init_train_state(
+    spec: ModelSpec,
+    mesh_info: MeshInfo,
+    optimizer: optax.GradientTransformation,
+    seed: int = 0,
+    params: Params | None = None,
+) -> TrainState:
+    """Sharded-init the train state. With ``params=None``, random-init directly
+    into the sharded layout (single jit, no host materialization)."""
+    shardings = None
+    if params is None:
+        def init_fn():
+            p = qwen3.init_params(spec, jax.random.key(seed))
+            return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
+
+        shapes = jax.eval_shape(init_fn)
+        shardings = state_shardings(shapes, mesh_info)
+        return jax.jit(init_fn, out_shardings=shardings)()
+    shardings = model_base.param_shardings(params, mesh_info)
+    params = jax.device_put(params, shardings)
+    opt_state = jax.jit(
+        optimizer.init,
+        out_shardings=state_shardings_for_opt(optimizer, params, mesh_info),
+    )(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo):
+    """Shardings for a full TrainState shape pytree: params by rule, optimizer
+    leaves by shape-matching against the param tree, scalars replicated."""
+    param_shardings = model_base.param_shardings(state_shapes.params, mesh_info)
+    by_shape: dict[tuple, NamedSharding] = {}
+    for (path, leaf), (_, sh) in zip(
+        model_base._iter_paths(state_shapes.params), model_base._iter_paths(param_shardings)
+    ):
+        by_shape.setdefault(tuple(leaf.shape), sh)
+    replicated = mesh_info.replicated()
+
+    def opt_leaf(leaf):
+        return by_shape.get(tuple(leaf.shape), replicated)
+
+    return TrainState(
+        params=param_shardings,
+        opt_state=jax.tree.map(opt_leaf, state_shapes.opt_state),
+        step=replicated,
+    )
+
+
+def state_shardings_for_opt(optimizer, params: Params, mesh_info: MeshInfo):
+    shapes = jax.eval_shape(optimizer.init, params)
+    param_shardings = model_base.param_shardings(params, mesh_info)
+    by_shape: dict[tuple, NamedSharding] = {}
+    for (path, leaf), (_, sh) in zip(
+        model_base._iter_paths({"p": params}), model_base._iter_paths({"p": param_shardings})
+    ):
+        by_shape.setdefault(tuple(leaf.shape), sh)
+    replicated = mesh_info.replicated()
+    return jax.tree.map(lambda leaf: by_shape.get(tuple(leaf.shape), replicated), shapes)

@@ -1,0 +1,84 @@
+"""Packer tests (reference: tests/unit/orchestrator/test_batch.py,
+trainer rl/test_packer.py roles)."""
+
+import numpy as np
+
+from prime_rl_tpu.trainer.batch import (
+    balance_rows,
+    pack_rows,
+    prepare_batch,
+    rows_to_arrays,
+    token_counts,
+)
+from prime_rl_tpu.transport.types import TrainingSample
+
+
+def make_sample(n, env="e", adv=1.0, with_weights=False):
+    rng = np.random.default_rng(n)
+    kw = {}
+    if with_weights:
+        kw["ce_weights"] = np.ones(n, np.float32)
+    return TrainingSample(
+        token_ids=rng.integers(0, 100, n).astype(np.int32),
+        mask=np.ones(n, bool),
+        logprobs=np.full(n, -1.0, np.float32),
+        temperatures=np.full(n, 0.7, np.float32),
+        env_name=env,
+        advantages=np.full(n, adv, np.float32),
+        **kw,
+    )
+
+
+def test_pack_rows_first_fit():
+    rows = pack_rows([make_sample(60), make_sample(30), make_sample(40)], seq_len=100)
+    # FFD: 60+40 fit together, 30 joins them (60+40=100 exactly -> 30 new row)
+    assert sum(r.tokens() for r in rows) == 130
+    assert all(r.tokens() <= 100 for r in rows)
+    assert len(rows) == 2
+
+
+def test_truncation():
+    rows = pack_rows([make_sample(150)], seq_len=100)
+    assert rows[0].tokens() == 100
+
+
+def test_balance_quadratic():
+    rows = pack_rows([make_sample(100), make_sample(50), make_sample(50)], seq_len=100)
+    bins = balance_rows(rows, 2)
+    costs = [sum(r.cost() for r in b) for b in bins]
+    assert max(costs) == 100**2  # the big row alone; two small rows together
+
+
+def test_rows_to_arrays_layout():
+    s1, s2 = make_sample(5), make_sample(3)
+    rows = pack_rows([s1, s2], seq_len=10)
+    mb = rows_to_arrays(rows, seq_len=10, batch_rows=1)
+    seg = mb.segment_ids[0]
+    assert list(seg[:5]) == [1] * 5 and list(seg[5:8]) == [2] * 3 and list(seg[8:]) == [0, 0]
+    # positions restart per sequence
+    assert list(mb.position_ids[0][:8]) == [0, 1, 2, 3, 4, 0, 1, 2]
+    # first token of each sequence is never trainable
+    assert not mb.loss_mask[0][0] and not mb.loss_mask[0][5]
+    assert mb.loss_mask[0][1] and mb.loss_mask[0][6]
+    # pad region fully masked
+    assert not mb.loss_mask[0][8:].any()
+    # temperatures default to 1.0 in pad (never 0 -> no div-by-zero)
+    assert (mb.temperatures[0][8:] == 1.0).all()
+
+
+def test_prepare_batch_static_shapes():
+    samples = [make_sample(n) for n in (64, 32, 100, 8, 50)]
+    batch = prepare_batch(samples, seq_len=128, micro_batch_rows=2, num_micro_batches=2)
+    assert batch.input_ids.shape == (2, 2, 128)
+    assert batch.loss_mask.shape == (2, 2, 128)
+    assert batch.ce_weights is None  # absent stream stays absent
+    counts = token_counts(batch)
+    # every sample loses exactly its first token to the alignment mask
+    assert counts["rl"] == sum((64, 32, 100, 8, 50)) - 5
+
+
+def test_optional_stream_materialization():
+    samples = [make_sample(10, with_weights=True), make_sample(10)]
+    batch = prepare_batch(samples, seq_len=32, micro_batch_rows=1, num_micro_batches=2)
+    assert batch.ce_weights is not None
+    assert token_counts(batch)["ce"] == 10

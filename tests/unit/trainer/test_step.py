@@ -1,0 +1,82 @@
+"""Train-step integration: sharded init, one jitted step on an 8-device CPU
+mesh, loss decreases on a fixed batch (reference role: rl trainer unit tests +
+the FakeDataLoader debug path)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prime_rl_tpu.configs import MeshConfig, TrainerConfig
+from prime_rl_tpu.models.base import debug_spec
+from prime_rl_tpu.parallel.mesh import build_mesh
+from prime_rl_tpu.trainer import step as step_lib
+from prime_rl_tpu.trainer.optim import make_optimizer
+from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+from prime_rl_tpu.trainer.step import Scales, TrainState, init_train_state, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = TrainerConfig()
+    cfg.model.attn.impl = "xla"
+    cfg.model.lm_head_chunk_size = 64
+    spec = debug_spec(num_layers=2)
+    mesh_info = build_mesh(MeshConfig(replica=1, fsdp=2, context=2, tensor=2))
+    optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
+    # donation invalidates a state after one step — hand each test a fresh one
+    make_state = lambda: init_train_state(spec, mesh_info, optimizer, seed=0)
+    train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info)
+    return cfg, spec, mesh_info, optimizer, make_state, train_step
+
+
+def _batch(spec, mesh_info, seed=0):
+    loader = FakeDataLoader(spec.vocab_size, seq_len=128, micro_batch_rows=2, num_micro_batches=2, seed=seed)
+    batch, counts = loader.next_batch()
+    batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+    scales = Scales(
+        rl=jnp.float32(counts["rl"]), ce=jnp.float32(max(counts["ce"], 1)),
+        ref_kl=jnp.float32(max(counts["ref_kl"], 1)),
+    )
+    return batch, scales
+
+
+def test_step_runs_and_updates(setup):
+    cfg, spec, mesh_info, optimizer, make_state, train_step = setup
+    state = make_state()
+    batch, scales = _batch(spec, mesh_info)
+    before = jax.tree.leaves(state.params)[0]
+    before = np.asarray(before)
+    state2, metrics = train_step(state, batch, scales)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    after = np.asarray(jax.tree.leaves(state2.params)[0])
+    assert not np.allclose(before, after)
+    # mismatch-KL metric finalizes to a finite nonnegative mean
+    assert float(metrics["mismatch_kl"].mean) >= 0
+
+
+def test_loss_decreases_on_repeated_batch(setup):
+    cfg, spec, mesh_info, optimizer, _, _ = setup
+    # fresh state with a hotter LR so 10 steps visibly reduce loss
+    from prime_rl_tpu.configs.shared import AdamWConfig
+
+    opt, _ = make_optimizer(AdamWConfig(lr=5e-3), cfg.scheduler, 1.0)
+    state = init_train_state(spec, mesh_info, opt, seed=1)
+    train_step = make_train_step(spec, cfg.model, cfg.loss, opt, mesh_info)
+    batch, scales = _batch(spec, mesh_info, seed=3)
+    losses = []
+    for _ in range(8):
+        state, metrics = train_step(state, batch, scales)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_entropy_metric_reasonable(setup):
+    cfg, spec, mesh_info, optimizer, make_state, train_step = setup
+    state = make_state()
+    batch, scales = _batch(spec, mesh_info, seed=5)
+    _, metrics = train_step(state, batch, scales)
+    ent = float(metrics["entropy"].mean)
+    assert 0.0 < ent <= np.log(spec.vocab_size) + 1e-3
