@@ -189,15 +189,23 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def batch_sharding(mesh_info: MeshInfo) -> NamedSharding:
+def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None) -> NamedSharding:
     """[N, B, L]: micro-batch axis unsharded (scan dim), batch over dp axes,
-    sequence over context."""
-    return NamedSharding(mesh_info.mesh, P(None, DATA_AXES, "context"))
+    sequence over context. Axes that don't divide the dim fall back to
+    replicated on that dim (e.g. B=1 micro-batches on a dp>1 mesh)."""
+    spec = [None, DATA_AXES, "context"]
+    if shape is not None:
+        if shape[1] % mesh_info.dp_size != 0:
+            spec[1] = None
+        if shape[2] % mesh_info.cp_size != 0:
+            spec[2] = None
+    return NamedSharding(mesh_info.mesh, P(*spec))
 
 
 def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
-    s = batch_sharding(mesh_info)
-    return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh_info, x.shape)), batch
+    )
 
 
 def init_train_state(
