@@ -1,0 +1,211 @@
+"""Sampler-side model functions: prefill and decode against the paged KV
+cache. Same weight pytree as the learner (models/qwen3.py) — weight sync is
+a pytree transfer, no key conversion.
+
+TPU design notes:
+- Prefill runs the training flash-attention kernel over the (bucketed) prompt
+  and scatters K/V into the slot's pages — one fused jitted program per
+  bucket size.
+- Decode is one jitted program for ALL slots: [S] new tokens, paged
+  Pallas attention on TPU (XLA gather fallback on CPU for tests), KV scatter
+  via one flat index per slot.
+- Layer scan: weights and cache are stacked on the layer axis; the cache is
+  scanned as xs and re-stacked as ys so donation reuses the pool buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from prime_rl_tpu.models.base import ModelSpec, Params
+from prime_rl_tpu.models.qwen3 import get_lm_head
+from prime_rl_tpu.ops.attention import attention
+from prime_rl_tpu.ops.layers import apply_rope, rms_norm, rope_frequencies, swiglu
+
+
+def _qkv(x, lp, spec, positions, inv_freq):
+    """Shared q/k/v projection + qk-norm + rope. x: [B, T, D]."""
+    b, t, _ = x.shape
+    q = jnp.dot(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
+    k = jnp.dot(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = jnp.dot(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    if spec.qk_norm:
+        q = rms_norm(q, lp["q_norm"], spec.rms_eps)
+        k = rms_norm(k, lp["k_norm"], spec.rms_eps)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+    return q, k, v
+
+
+def _mlp(x, lp):
+    return jnp.dot(swiglu(jnp.dot(x, lp["gate"]), jnp.dot(x, lp["up"])), lp["down"])
+
+
+def _cast_layer(lp: dict, dtype) -> dict:
+    return {k: (v.astype(dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
+
+
+# ---------------------------------------------------------------------------
+# Prefill
+# ---------------------------------------------------------------------------
+
+def prefill(
+    params: Params,
+    spec: ModelSpec,
+    k_pool: jax.Array,  # [NL, NKV, NP, PS, HD]
+    v_pool: jax.Array,
+    input_ids: jax.Array,  # [1, Lpad] int32 (bucketed)
+    length: jax.Array,  # int32 scalar: true prompt length
+    pages: jax.Array,  # [Lpad // page_size] int32: this slot's pages
+    *,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    want_prompt_logprobs: bool = False,
+):
+    """Returns (k_pool, v_pool, last_hidden [D], prompt_logprobs [Lpad]|None).
+
+    ``prompt_logprobs[i] = logp(token_i | tokens_<i)`` (position 0 is the
+    uniform pad) — the scoring surface for OPD/prefill-scoring
+    (reference: utils/client.py:599 prefill_logprobs).
+    """
+    _, lpad = input_ids.shape
+    page_size = k_pool.shape[3]
+    n_pages = lpad // page_size
+    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (1, lpad))
+    segment_ids = (positions < length).astype(jnp.int32)
+
+    embed = params["embed"].astype(compute_dtype)
+    h = jnp.take(embed, input_ids, axis=0)
+
+    def body(h, xs):
+        lp, k_l, v_l = xs
+        lp = _cast_layer(lp, compute_dtype)
+        x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
+        h = h + jnp.dot(o.reshape(1, lpad, spec.q_dim), lp["o"])
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp)
+        # scatter K/V into this slot's pages: [1, Lpad, NKV, HD] ->
+        # [NKV, n_pages, PS, HD] placed at `pages`
+        k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        k_l = k_l.at[:, pages].set(k_w.astype(k_l.dtype))
+        v_l = v_l.at[:, pages].set(v_w.astype(v_l.dtype))
+        return h, (k_l, v_l)
+
+    h, (k_pool, v_pool) = jax.lax.scan(body, h, (params["layers"], k_pool, v_pool))
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+
+    last_hidden = h[0, jnp.maximum(length - 1, 0)]
+    prompt_logprobs = None
+    if want_prompt_logprobs:
+        from prime_rl_tpu.ops.lm_head import chunked_logprob_entropy
+
+        lm_head = get_lm_head(params, spec).astype(compute_dtype)
+        labels = jnp.concatenate([input_ids[:, 1:], jnp.zeros((1, 1), jnp.int32)], axis=1)
+        lp_next, _ = chunked_logprob_entropy(h, lm_head, labels, None, chunk_size=1024)
+        prompt_logprobs = jnp.concatenate(
+            [jnp.full((1, 1), -jnp.log(spec.vocab_size), jnp.float32), lp_next[:, :-1]], axis=1
+        )[0]
+    return k_pool, v_pool, last_hidden, prompt_logprobs
+
+
+# ---------------------------------------------------------------------------
+# Decode
+# ---------------------------------------------------------------------------
+
+def _decode_attention_xla(q, k_l, v_l, lengths, page_table):
+    """Reference/fallback decode attention: gather each slot's pages and do
+    masked attention. q: [S, NH, HD]; k_l/v_l: [NKV, NP, PS, HD];
+    page_table: [S, P]. Used on CPU and as the parity oracle for kernels."""
+    s, nh, hd = q.shape
+    nkv, _, ps, _ = k_l.shape
+    p = page_table.shape[1]
+    group = nh // nkv
+    # [S, NKV, P, PS, HD] -> [S, NKV, P*PS, HD]
+    k_g = jnp.take(k_l, page_table, axis=1).transpose(1, 0, 2, 3, 4).reshape(s, nkv, p * ps, hd)
+    v_g = jnp.take(v_l, page_table, axis=1).transpose(1, 0, 2, 3, 4).reshape(s, nkv, p * ps, hd)
+    qf = q.reshape(s, nkv, group, hd).astype(jnp.float32)
+    scores = jnp.einsum("skgd,sktd->skgt", qf, k_g.astype(jnp.float32)) * (hd ** -0.5)
+    mask = jnp.arange(p * ps)[None, :] < lengths[:, None]  # [S, T]
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("skgt,sktd->skgd", probs, v_g.astype(jnp.float32))
+    return out.reshape(s, nh, hd)
+
+
+def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str):
+    if impl == "pallas":
+        from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
+
+        pages_per_block = min(8, page_table.shape[1])
+        return paged_attention(
+            q, k_l, v_l, lengths, page_table,
+            pages_per_compute_block=pages_per_block,
+        )
+    return _decode_attention_xla(q, k_l, v_l, lengths, page_table)
+
+
+def decode(
+    params: Params,
+    spec: ModelSpec,
+    k_pool: jax.Array,
+    v_pool: jax.Array,
+    tokens: jax.Array,  # [S] int32: the newest token of each slot
+    lengths: jax.Array,  # [S] int32: tokens in cache BEFORE this one
+    page_table: jax.Array,  # [S, P] int32
+    *,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+):
+    """One decode step for all S slots: writes the new token's K/V, attends
+    over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V])."""
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    s = tokens.shape[0]
+    page_size = k_pool.shape[3]
+    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
+
+    embed = params["embed"].astype(compute_dtype)
+    h = jnp.take(embed, tokens[:, None], axis=0)  # [S, 1, D]
+
+    page_idx = jnp.take_along_axis(page_table, (lengths // page_size)[:, None], axis=1)[:, 0]
+    flat_idx = page_idx * page_size + lengths % page_size  # [S]
+    attn_lengths = lengths + 1
+
+    def body(h, xs):
+        lp, k_l, v_l = xs
+        lp = _cast_layer(lp, compute_dtype)
+        x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        # write the new token's K/V: [S, 1, NKV, HD] -> flat [NKV, NP*PS, HD]
+        nkv, np_, ps, hd = k_l.shape
+        k_flat = k_l.reshape(nkv, np_ * ps, hd)
+        v_flat = v_l.reshape(nkv, np_ * ps, hd)
+        k_flat = k_flat.at[:, flat_idx].set(k[:, 0].transpose(1, 0, 2).astype(k_l.dtype))
+        v_flat = v_flat.at[:, flat_idx].set(v[:, 0].transpose(1, 0, 2).astype(v_l.dtype))
+        k_l = k_flat.reshape(nkv, np_, ps, hd)
+        v_l = v_flat.reshape(nkv, np_, ps, hd)
+        o = _decode_attention(
+            q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
+        )  # [S, NH, HD]
+        h = h + jnp.dot(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp)
+        return h, (k_l, v_l)
+
+    h, (k_pool, v_pool) = jax.lax.scan(body, h, (params["layers"], k_pool, v_pool))
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    lm_head = get_lm_head(params, spec).astype(compute_dtype)
+    logits = jnp.dot(h[:, 0], lm_head, preferred_element_type=jnp.float32)  # [S, V]
+    return k_pool, v_pool, logits
+
+
+def logits_from_hidden(params: Params, spec: ModelSpec, hidden: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    lm_head = get_lm_head(params, spec).astype(compute_dtype)
+    return jnp.dot(hidden.astype(compute_dtype), lm_head, preferred_element_type=jnp.float32)

@@ -1,0 +1,149 @@
+"""Engine correctness: paged-cache decode must match the full training
+forward token-for-token (greedy), across continuous batching, page
+boundaries, and weight updates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prime_rl_tpu.models import qwen3
+from prime_rl_tpu.models.base import debug_spec
+from prime_rl_tpu.sampler.cache import CacheConfig
+from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+
+@pytest.fixture(scope="module")
+def setup():
+    spec = debug_spec(num_layers=2, vocab_size=128)
+    params = qwen3.init_params(spec, jax.random.key(0))
+    # exaggerate weights so greedy argmax is decisive (random-init logits are
+    # nearly flat and bf16 cache rounding could flip ties)
+    params = jax.tree.map(lambda x: x * 3.0, params)
+    cache_cfg = CacheConfig(num_pages=64, page_size=16, max_slots=4, max_seq_len=256)
+    engine = Engine(params, spec, cache_cfg, compute_dtype=jnp.float32)
+    return spec, params, engine
+
+
+def naive_greedy(params, spec, prompt, n_tokens):
+    """Oracle: full forward over the growing sequence each step."""
+    ids = list(prompt)
+    out = []
+    for _ in range(n_tokens):
+        arr = jnp.asarray([ids], jnp.int32)
+        seg = jnp.ones_like(arr)
+        pos = jnp.asarray([list(range(len(ids)))], jnp.int32)
+        h = qwen3.forward(params, spec, arr, seg, pos, compute_dtype=jnp.float32,
+                          attn_impl="xla", remat="none")
+        logits = h[0, -1] @ qwen3.get_lm_head(params, spec)
+        tok = int(jnp.argmax(logits))
+        out.append(tok)
+        ids.append(tok)
+    return out
+
+
+def test_greedy_parity_single(setup):
+    spec, params, engine = setup
+    prompt = [5, 9, 23, 47, 3, 11, 30]
+    want = naive_greedy(params, spec, prompt, 12)
+    got = engine.generate([prompt], SamplingParams(max_tokens=12, temperature=0.0))[0]
+    assert got.token_ids == want
+
+
+def test_greedy_parity_across_page_boundary(setup):
+    spec, params, engine = setup
+    # prompt 20 tokens + 20 generated crosses the 16-token page boundary twice
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 100, 20)]
+    want = naive_greedy(params, spec, prompt, 20)
+    got = engine.generate([prompt], SamplingParams(max_tokens=20, temperature=0.0))[0]
+    assert got.token_ids == want
+
+
+def test_continuous_batching_matches_single(setup):
+    spec, params, engine = setup
+    rng = np.random.default_rng(3)
+    prompts = [[int(x) for x in rng.integers(1, 100, n)] for n in (5, 17, 33, 9)]
+    sp = SamplingParams(max_tokens=8, temperature=0.0)
+    batch_results = engine.generate(prompts, sp)
+    for p, r in zip(prompts, batch_results):
+        solo = engine.generate([p], sp)[0]
+        assert r.token_ids == solo.token_ids
+
+
+def test_stop_token(setup):
+    spec, params, engine = setup
+    prompt = [5, 9, 23]
+    base = engine.generate([prompt], SamplingParams(max_tokens=10, temperature=0.0))[0]
+    assert len(base.token_ids) >= 3
+    stop_at = base.token_ids[2]
+    first_idx = base.token_ids.index(stop_at)  # may appear before position 2
+    r = engine.generate([prompt], SamplingParams(max_tokens=10, temperature=0.0,
+                                                 stop_token_ids=[stop_at]))[0]
+    assert r.token_ids[-1] == stop_at
+    assert r.finish_reason == "stop"
+    assert r.token_ids == base.token_ids[: first_idx + 1]
+
+
+def test_max_tokens_finish_reason(setup):
+    spec, params, engine = setup
+    r = engine.generate([[4, 8]], SamplingParams(max_tokens=3, temperature=0.0))[0]
+    assert r.finish_reason in ("length", "stop")
+    assert len(r.token_ids) <= 3
+
+
+def test_sampled_logprobs_match_distribution(setup):
+    spec, params, engine = setup
+    prompt = [5, 9, 23, 47]
+    r = engine.generate([prompt], SamplingParams(max_tokens=5, temperature=0.7, seed=42))[0]
+    # recompute: logprob of each sampled token under temperature-scaled dist
+    ids = list(prompt)
+    for tok, lp in zip(r.token_ids, r.logprobs):
+        arr = jnp.asarray([ids], jnp.int32)
+        h = qwen3.forward(params, spec, arr, jnp.ones_like(arr),
+                          jnp.asarray([list(range(len(ids)))], jnp.int32),
+                          compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+        logits = (h[0, -1] @ qwen3.get_lm_head(params, spec)) / 0.7
+        want = float(jax.nn.log_softmax(logits)[tok])
+        assert abs(lp - want) < 2e-2, (tok, lp, want)
+        ids.append(tok)
+
+
+def test_prompt_logprobs(setup):
+    spec, params, engine = setup
+    prompt = [5, 9, 23, 47, 3]
+    r = engine.generate([prompt], SamplingParams(max_tokens=1, temperature=0.0,
+                                                 prompt_logprobs=True))[0]
+    assert r.prompt_logprobs is not None and len(r.prompt_logprobs) == len(prompt)
+    # oracle: next-token logprobs from the full forward
+    arr = jnp.asarray([prompt], jnp.int32)
+    h = qwen3.forward(params, spec, arr, jnp.ones_like(arr),
+                      jnp.asarray([list(range(len(prompt)))], jnp.int32),
+                      compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    logits = h[0] @ qwen3.get_lm_head(params, spec)
+    lps = jax.nn.log_softmax(logits, axis=-1)
+    for i in range(1, len(prompt)):
+        want = float(lps[i - 1, prompt[i]])
+        assert abs(r.prompt_logprobs[i] - want) < 2e-2
+
+
+def test_update_params_changes_output(setup):
+    spec, params, engine = setup
+    prompt = [5, 9, 23, 47, 3, 11]
+    before = engine.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    new_params = jax.tree.map(lambda x: x * 3.0, qwen3.init_params(spec, jax.random.key(9)))
+    engine.update_params(new_params, version=7)
+    after = engine.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    assert after.policy_version == 7
+    assert before.token_ids != after.token_ids
+    # restore for other tests (module-scoped fixture)
+    engine.update_params(params, version=-1)
+
+
+def test_slot_reuse_no_leak(setup):
+    spec, params, engine = setup
+    for _ in range(3):
+        engine.generate([[1, 2, 3]] * 4, SamplingParams(max_tokens=4, temperature=0.0))
+    assert len(engine.active) == 0
+    assert len(engine.slots.free_slots) == engine.config.max_slots
+    assert engine.slots.alloc.num_free == engine.config.num_pages - 1
