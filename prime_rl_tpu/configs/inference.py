@@ -15,15 +15,10 @@ from prime_rl_tpu.configs.shared import BaseConfig, LogConfig, MeshConfig, Model
 
 
 class KVCacheConfig(BaseConfig):
-    """KV cache layout for the sampler.
+    """Paged KV cache layout (sampler/cache.py): a page-table cache with a
+    Pallas paged-attention decode kernel."""
 
-    ``paged``: page-table cache with a Pallas paged-attention decode kernel.
-    ``slots``: per-sequence contiguous cache of ``max_model_len`` (simple,
-    great for small models / short contexts).
-    """
-
-    layout: Literal["paged", "slots"] = "slots"
-    page_size: int = 128
+    page_size: int = 64
     num_pages: int | None = None  # None = size from HBM budget
     hbm_utilization: float = 0.85
 

@@ -1,0 +1,231 @@
+"""HTTP serving for the sampling engine — the reference's inference API
+surface without vLLM (reference: inference/vllm/server.py:70-147,
+serving_tokens.py):
+
+    POST /inference/v1/generate     token-in/out rollouts (+prompt_logprobs)
+    POST /v1/chat/completions       OpenAI-compat (eval / frozen policies)
+    POST /v1/completions            OpenAI-compat text completion
+    GET  /v1/models                 model listing
+    POST /pause /resume             drain-safe weight-update window
+    POST /update_weights            {"weight_dir": ..., "version": N}
+    POST /load_lora_adapter         stub (LoRA serving: round 2)
+    GET  /liveness /health          probes
+
+Built on aiohttp (in-image); the engine runs its own step-loop thread and
+handlers await request futures, so serving stays fully async while the
+device executes one jitted step at a time.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+
+from prime_rl_tpu.sampler.engine import Engine, EngineLoop, GenerationResult, SamplingParams
+from prime_rl_tpu.utils.logger import get_logger
+
+
+def _sampling_from_body(body: dict, default_max_tokens: int = 512) -> SamplingParams:
+    sp = body.get("sampling_params") or {}
+    return SamplingParams(
+        max_tokens=int(sp.get("max_tokens", default_max_tokens)),
+        temperature=float(sp.get("temperature", 1.0)),
+        top_p=float(sp.get("top_p", 1.0)),
+        top_k=int(sp.get("top_k", -1)),
+        stop_token_ids=list(sp.get("stop_token_ids", [])),
+        logprobs=bool(sp.get("logprobs", True)),
+        prompt_logprobs=bool(sp.get("prompt_logprobs", 0)),
+        seed=sp.get("seed"),
+    )
+
+
+class InferenceServer:
+    def __init__(self, engine: Engine, model_name: str, tokenizer=None):
+        self.engine = engine
+        self.model_name = model_name
+        self.tokenizer = tokenizer
+        self.loop_thread = EngineLoop(engine)
+        self.app = web.Application(client_max_size=256 * 1024 * 1024)
+        self.app.add_routes([
+            web.post("/inference/v1/generate", self.generate),
+            web.post("/v1/chat/completions", self.chat_completions),
+            web.post("/v1/completions", self.completions),
+            web.get("/v1/models", self.models),
+            web.post("/pause", self.pause),
+            web.post("/resume", self.resume),
+            web.post("/update_weights", self.update_weights),
+            web.post("/load_lora_adapter", self.load_lora_adapter),
+            web.get("/liveness", self.liveness),
+            web.get("/health", self.liveness),
+        ])
+
+    async def _submit(self, prompt: list[int], sp: SamplingParams) -> GenerationResult:
+        fut = self.engine.submit(prompt, sp)
+        return await asyncio.wrap_future(fut)
+
+    # -- inference routes ---------------------------------------------------
+
+    async def generate(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        token_ids = body.get("token_ids")
+        if token_ids is None:
+            raise web.HTTPBadRequest(text="token_ids required")
+        sp = _sampling_from_body(body)
+        result = await self._submit(token_ids, sp)
+        # prompt_logprobs wire format mirrors the reference: one entry per
+        # prompt token, None for the leading token, {token_id: {logprob}} else
+        plp = None
+        if result.prompt_logprobs is not None:
+            plp = [None] + [
+                {str(tok): {"logprob": lp}}
+                for tok, lp in zip(token_ids[1:], result.prompt_logprobs[1:])
+            ]
+        return web.json_response({
+            "request_id": f"gen-{uuid.uuid4().hex[:16]}",
+            "choices": [{
+                "index": 0,
+                "token_ids": result.token_ids,
+                "logprobs": result.logprobs if sp.logprobs else None,
+                "finish_reason": result.finish_reason,
+            }],
+            "prompt_logprobs": plp,
+            "usage": {
+                "prompt_tokens": result.prompt_len,
+                "completion_tokens": len(result.token_ids),
+                "total_tokens": result.prompt_len + len(result.token_ids),
+            },
+            "policy_version": result.policy_version,
+        })
+
+    async def chat_completions(self, request: web.Request) -> web.Response:
+        if self.tokenizer is None:
+            raise web.HTTPServiceUnavailable(text="no tokenizer loaded")
+        body = await request.json()
+        messages = body["messages"]
+        prompt = self.tokenizer.apply_chat_template(
+            messages, tokenize=True, add_generation_prompt=True
+        )
+        sp = SamplingParams(
+            max_tokens=int(body.get("max_tokens") or body.get("max_completion_tokens") or 512),
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            seed=body.get("seed"),
+        )
+        result = await self._submit(prompt, sp)
+        completion_ids = result.token_ids
+        if completion_ids and completion_ids[-1] == self.engine.spec.eos_token_id:
+            completion_ids = completion_ids[:-1]
+        text = self.tokenizer.decode(completion_ids)
+        logprobs_payload = None
+        if body.get("logprobs"):
+            logprobs_payload = {"content": [
+                {"token": self.tokenizer.decode([t]), "logprob": lp, "top_logprobs": []}
+                for t, lp in zip(result.token_ids, result.logprobs)
+            ]}
+        return web.json_response({
+            "id": f"chatcmpl-{uuid.uuid4().hex[:16]}",
+            "object": "chat.completion",
+            "created": int(time.time()),
+            "model": body.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "message": {"role": "assistant", "content": text},
+                "logprobs": logprobs_payload,
+                "finish_reason": result.finish_reason,
+            }],
+            "usage": {
+                "prompt_tokens": result.prompt_len,
+                "completion_tokens": len(result.token_ids),
+                "total_tokens": result.prompt_len + len(result.token_ids),
+            },
+        })
+
+    async def completions(self, request: web.Request) -> web.Response:
+        if self.tokenizer is None:
+            raise web.HTTPServiceUnavailable(text="no tokenizer loaded")
+        body = await request.json()
+        prompt_ids = self.tokenizer(body["prompt"])["input_ids"]
+        sp = SamplingParams(
+            max_tokens=int(body.get("max_tokens", 16)),
+            temperature=float(body.get("temperature", 1.0)),
+            top_p=float(body.get("top_p", 1.0)),
+            seed=body.get("seed"),
+        )
+        result = await self._submit(prompt_ids, sp)
+        return web.json_response({
+            "id": f"cmpl-{uuid.uuid4().hex[:16]}",
+            "object": "text_completion",
+            "created": int(time.time()),
+            "model": body.get("model", self.model_name),
+            "choices": [{
+                "index": 0,
+                "text": self.tokenizer.decode(result.token_ids),
+                "finish_reason": result.finish_reason,
+            }],
+        })
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.model_name, "object": "model", "owned_by": "prime-rl-tpu"}],
+        })
+
+    # -- admin routes -------------------------------------------------------
+
+    async def pause(self, request: web.Request) -> web.Response:
+        self.engine.pause()
+        return web.json_response({"status": "paused"})
+
+    async def resume(self, request: web.Request) -> web.Response:
+        self.engine.resume()
+        return web.json_response({"status": "running"})
+
+    async def update_weights(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        weight_dir = body.get("weight_dir")
+        version = body.get("version")
+        if weight_dir is None:
+            raise web.HTTPBadRequest(text="weight_dir required")
+        logger = get_logger()
+        t0 = time.perf_counter()
+
+        def load():
+            from prime_rl_tpu.trainer.weights import load_hf_weights
+
+            return load_hf_weights(weight_dir, self.engine.spec)
+
+        params = await asyncio.get_running_loop().run_in_executor(None, load)
+        self.engine.update_params(params, version=version)
+        logger.info(f"updated weights from {weight_dir} (v{version}) in {time.perf_counter()-t0:.1f}s")
+        return web.json_response({"status": "ok", "version": version})
+
+    async def load_lora_adapter(self, request: web.Request) -> web.Response:
+        return web.json_response({"status": "unsupported"}, status=501)
+
+    async def liveness(self, request: web.Request) -> web.Response:
+        return web.json_response({
+            "status": "ok",
+            "active": len(self.engine.active),
+            "pending": len(self.engine.pending),
+            "paused": self.engine.paused,
+            "policy_version": self.engine.policy_version,
+        })
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def run(self, host: str = "0.0.0.0", port: int = 8000) -> None:
+        self.loop_thread.start()
+        web.run_app(self.app, host=host, port=port, print=None)
+
+    async def start_async(self, host: str, port: int) -> web.AppRunner:
+        self.loop_thread.start()
+        runner = web.AppRunner(self.app)
+        await runner.setup()
+        site = web.TCPSite(runner, host, port)
+        await site.start()
+        return runner
