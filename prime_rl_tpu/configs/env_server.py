@@ -9,9 +9,9 @@ from prime_rl_tpu.configs.shared import BaseConfig, LogConfig
 
 class EnvServerConfig(BaseConfig):
     output_dir: str = "outputs"
-    name: str = "env"
-    module: str = "prime_rl_tpu.envs.builtin.reverse_text"
+    # registry name (envs/builtin) or "module:Class" import path
+    env: str = "reverse_text"
     address: str = "tcp://127.0.0.1:5600"
-    num_workers: int = 4
+    max_workers: int = 64
     log: LogConfig = LogConfig()
     args: dict = Field(default_factory=dict)

@@ -1,0 +1,3 @@
+"""Builtin environments — importing this module populates the registry."""
+
+from prime_rl_tpu.envs.builtin import reverse_text  # noqa: F401

@@ -129,6 +129,13 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         num_experts_per_tok=8, moe_intermediate_size=768, norm_topk_prob=True,
         **{**_QWEN3, "family": "qwen3_moe"},
     ),
+    # ByteTokenizer-compatible tiny model for the offline sync-GRPO debug loop
+    # (vocab 512 covers the 260-token byte vocab; eos = <|im_end|> = 258)
+    "debug": ModelSpec(
+        family="qwen3", vocab_size=512, hidden_size=128, num_layers=4, num_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate_size=256, rope_theta=1e6,
+        tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
+    ),
 }
 
 

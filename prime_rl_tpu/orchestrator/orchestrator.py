@@ -1,0 +1,376 @@
+"""The orchestrator: schedules env rollouts against the inference pool,
+assigns credit, assembles TrainingBatches, ships them to the trainer, and
+drives the async-pipeline control protocol.
+
+Behavior parity with the reference orchestrator process
+(reference: orchestrator/orchestrator.py, dispatcher.py, train_sink.py,
+watcher.py — invariants replicated, code original):
+
+- **one-step-off pipeline**: batch ``step`` is held until the trainer has
+  published policy ``v{step-1-target_lag}`` (orchestrator.py:612-630), and
+  group dispatch pauses when the in-flight step leads ``policy.version`` by
+  more than ``target_lag`` (l.912-942).
+- **off-policy aging**: each weight update bumps ``off_policy_steps`` on
+  in-flight groups; groups past ``max_off_policy_steps`` are cancelled with
+  their group accounting still completing (dispatcher.py:272-303).
+- **weight watcher ordering**: version bump → drain stale groups → pause
+  engines → update → resume → reopen gate (watcher.py:54-157).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import itertools
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+
+from prime_rl_tpu.configs.orchestrator import EnvSourceConfig, OrchestratorConfig
+from prime_rl_tpu.envs.client import InferenceClient
+from prime_rl_tpu.envs.envclient import EnvClientBase, make_env_client
+from prime_rl_tpu.envs.types import Episode, SamplingConfig
+from prime_rl_tpu.orchestrator.algo.algorithms import make_algorithm
+from prime_rl_tpu.orchestrator.algo.base import Algorithm, Rollout
+from prime_rl_tpu.orchestrator.filters import FilterSet
+from prime_rl_tpu.orchestrator.source import TrainSource
+from prime_rl_tpu.orchestrator.trajectories import episode_to_samples
+from prime_rl_tpu.transport.types import TrainingBatch
+from prime_rl_tpu.utils import pathing
+from prime_rl_tpu.utils.logger import get_logger
+from prime_rl_tpu.utils.monitor import setup_monitor
+
+
+@dataclass
+class Policy:
+    version: int = -1
+
+
+@dataclass
+class Progress:
+    step: int = 0
+    total_rollouts: int = 0
+    total_tokens: int = 0
+
+
+@dataclass(eq=False)  # identity hash: groups live in the inflight set
+class GroupState:
+    env_name: str
+    task_data: dict
+    group_size: int
+    policy_version_at_start: int
+    off_policy_steps: int = 0
+    rollouts: list[Rollout] = field(default_factory=list)
+    errors: int = 0
+    cancelled: bool = False
+    tasks: list[asyncio.Task] = field(default_factory=list)
+
+    @property
+    def complete(self) -> bool:
+        return self.cancelled or (len(self.rollouts) + self.errors >= self.group_size)
+
+
+@dataclass
+class EnvSource:
+    config: EnvSourceConfig
+    client: EnvClientBase
+    algorithm: Algorithm
+
+
+class Orchestrator:
+    def __init__(self, config: OrchestratorConfig):
+        self.config = config
+        self.logger = get_logger()
+        self.policy = Policy()
+        self.progress = Progress()
+        self.monitor = setup_monitor(config.monitor, config.output_dir, "orchestrator")
+        self.inference = [InferenceClient(u, timeout=config.client.timeout)
+                          for u in config.client.base_urls]
+        self._rr = itertools.cycle(range(len(self.inference)))
+        self.sources: dict[str, EnvSource] = {}
+        self.filters = FilterSet(config.filters)
+        self.inflight: set[GroupState] = set()
+        self.completed_rollouts: list[Rollout] = []
+        self.sender = None
+        self.train_source: TrainSource | None = None
+        self._empty_batches = 0
+        self._stop = False
+        self._permits = asyncio.Semaphore(config.max_inflight_episodes)
+        self._group_done: asyncio.Queue[GroupState] = asyncio.Queue()
+
+    # -- setup --------------------------------------------------------------
+
+    async def setup(self) -> None:
+        cfg = self.config
+        for src in cfg.train_envs:
+            client = make_env_client(src)
+            algo = make_algorithm(src.algo)
+            self.sources[src.name] = EnvSource(src, client, algo)
+        tasksets = {n: await s.client.taskset() for n, s in self.sources.items()}
+        ratios = {n: s.config.ratio for n, s in self.sources.items()}
+        self.train_source = TrainSource(list(self.sources), tasksets, ratios, cfg.seed)
+
+        from prime_rl_tpu.transport import setup_training_batch_sender
+
+        self.sender = setup_training_batch_sender(cfg.transport, cfg.output_dir)
+
+        # resume
+        if cfg.ckpt.resume_step is not None:
+            self._load_ckpt(cfg.ckpt.resume_step)
+
+        # wait for at least one live inference server
+        for client in self.inference:
+            for _ in range(600):
+                try:
+                    live = await client.liveness()
+                    self.policy.version = max(self.policy.version, live.get("policy_version", -1))
+                    break
+                except Exception:
+                    await asyncio.sleep(1.0)
+            else:
+                raise TimeoutError(f"inference at {client.base_url} never became live")
+        # sync samplers to the trainer's startup broadcast before dispatching
+        # (reference: orchestrator.py:354-382 resume re-sync)
+        deadline = time.monotonic() + 300
+        while self.policy.version < 0 and time.monotonic() < deadline:
+            if await self._apply_latest_weights():
+                break
+            await asyncio.sleep(1.0)
+        self.logger.info(
+            f"orchestrator up: envs={list(self.sources)} policy=v{self.policy.version} "
+            f"step={self.progress.step}"
+        )
+
+    # -- dispatcher ---------------------------------------------------------
+
+    def _gate_open(self) -> bool:
+        """Dispatch gate: the step being assembled must not lead the policy by
+        more than target_lag (reference: orchestrator.py:912-942). Version -1
+        (no broadcast yet) admits the first window."""
+        lead = self.progress.step - max(self.policy.version, 0)
+        return lead <= self.config.target_lag
+
+    async def _schedule_group(self) -> GroupState | None:
+        env_name, task = self.train_source.next_example()
+        src = self.sources[env_name]
+        group = GroupState(
+            env_name=env_name,
+            task_data=task,
+            group_size=src.config.group_size,
+            policy_version_at_start=self.policy.version,
+        )
+        base_url = self.inference[next(self._rr)].base_url  # group pinned for prefix cache
+        sampling = SamplingConfig(
+            max_tokens=src.config.sampling.max_tokens or 256,
+            temperature=src.config.sampling.temperature,
+            top_p=src.config.sampling.top_p,
+            top_k=src.config.sampling.top_k,
+        )
+        for i in range(group.group_size):
+            await self._permits.acquire()
+            group.tasks.append(asyncio.create_task(
+                self._run_rollout(group, src, sampling, base_url)
+            ))
+        self.inflight.add(group)
+        return group
+
+    async def _run_rollout(self, group: GroupState, src: EnvSource,
+                           sampling: SamplingConfig, base_url: str) -> None:
+        try:
+            episode = await src.client.run(group.task_data, sampling, base_url)
+            episode.info.setdefault("base_url", base_url)
+            if episode.is_error:
+                group.errors += 1
+            else:
+                rollout = Rollout(
+                    episode=episode,
+                    samples=episode_to_samples(episode, group.env_name),
+                    env_name=group.env_name,
+                    task_data=group.task_data,
+                    policy_version=group.policy_version_at_start,
+                )
+                await src.algorithm.finalize_rollout(rollout)
+                group.rollouts.append(rollout)
+        except asyncio.CancelledError:
+            group.errors += 1  # synthetic marker keeps group accounting whole
+        except Exception as e:
+            self.logger.warning(f"rollout failed ({group.env_name}): {type(e).__name__}: {e}")
+            group.errors += 1
+        finally:
+            self._permits.release()
+            if group.complete and group in self.inflight:
+                self.inflight.discard(group)
+                await self._group_done.put(group)
+
+    def age_inflight(self) -> None:
+        """Weight-update hook: age in-flight groups; cancel those too stale
+        (reference: dispatcher.py:272-303)."""
+        for group in list(self.inflight):
+            group.off_policy_steps += 1
+            if group.off_policy_steps > self.config.max_off_policy_steps:
+                group.cancelled = True
+                for t in group.tasks:
+                    t.cancel()
+
+    # -- sink ---------------------------------------------------------------
+
+    def _process_group(self, group: GroupState) -> list[Rollout]:
+        if group.cancelled or not group.rollouts:
+            return []
+        src = self.sources[group.env_name]
+        src.algorithm.finalize_group(group.rollouts)
+        kept = self.filters.apply(group.rollouts)
+        return kept
+
+    def _batch_ready(self) -> bool:
+        return len(self.completed_rollouts) >= self.config.batch_size
+
+    async def _ship_batch(self) -> None:
+        cfg = self.config
+        batch_rollouts = self.completed_rollouts[: cfg.batch_size]
+        self.completed_rollouts = self.completed_rollouts[cfg.batch_size:]
+
+        # hold shipment until the trainer caught up (one-step-off pipeline)
+        while self.policy.version < self.progress.step - 1 - cfg.target_lag:
+            await asyncio.sleep(0.1)
+
+        samples = []
+        rewards = []
+        for r in batch_rollouts:
+            true_staleness = max(self.progress.step - 1, 0) - r.policy_version if r.policy_version >= 0 else 0
+            for s in r.samples:
+                samples.append(s)
+            rewards.append(r.reward)
+        batch = TrainingBatch(examples=samples, step=self.progress.step)
+        self.sender.send(batch)
+        self.progress.total_rollouts += len(batch_rollouts)
+        self.progress.total_tokens += sum(len(s) for s in samples)
+        metrics = {
+            "reward_mean": float(np.mean(rewards)) if rewards else 0.0,
+            "reward_max": float(np.max(rewards)) if rewards else 0.0,
+            "num_rollouts": len(batch_rollouts),
+            "num_samples": len(samples),
+            "policy_version": self.policy.version,
+            "filters": dict(self.filters.counts),
+            "inflight_groups": len(self.inflight),
+        }
+        self.monitor.log(metrics, self.progress.step)
+        self.logger.info(
+            f"step {self.progress.step}: shipped {len(samples)} samples, "
+            f"reward={metrics['reward_mean']:.3f} (policy v{self.policy.version})"
+        )
+        self.progress.step += 1
+        if self.config.ckpt.interval and self.progress.step % self.config.ckpt.interval == 0:
+            self._save_ckpt()
+
+    # -- weight watcher -----------------------------------------------------
+
+    async def _apply_latest_weights(self) -> bool:
+        """One watcher pass: if a newer STABLE snapshot exists, publish the
+        version, age in-flight groups, then pause→update→resume every engine
+        (ordering per reference: watcher.py:54-157). Returns True if applied."""
+        weights_parent = pathing.Path(self.config.output_dir) / "weights"
+        latest = pathing.latest_step(weights_parent)
+        if latest is None or latest <= self.policy.version:
+            return False
+        self.policy.version = latest  # pre-apply publish
+        self.age_inflight()  # drain/cancel BEFORE pausing engines
+        wdir = str(pathing.weights_dir(self.config.output_dir, latest))
+        for client in self.inference:
+            try:
+                await client.pause()
+                await client.update_weights(wdir, latest)
+                await client.resume()
+            except Exception as e:
+                self.logger.warning(f"weight update v{latest} failed on {client.base_url}: {e}")
+        self.logger.info(f"policy -> v{latest}")
+        return True
+
+    async def _watch_weights(self) -> None:
+        while not self._stop:
+            await self._apply_latest_weights()
+            await asyncio.sleep(0.5)
+
+    # -- ckpt ---------------------------------------------------------------
+
+    def _save_ckpt(self) -> None:
+        import json
+
+        d = pathing.orch_ckpt_dir(self.config.output_dir, self.progress.step)
+        d.mkdir(parents=True, exist_ok=True)
+        (d / "state.json").write_text(json.dumps({
+            "progress": vars(self.progress),
+            "source": self.train_source.state_dict(),
+        }, default=list))
+        pathing.mark_stable(d)
+
+    def _load_ckpt(self, step: int) -> None:
+        import json
+
+        if step == -1:
+            steps = pathing.list_step_dirs(pathing.Path(self.config.output_dir) / "checkpoints")
+            candidates = [s for s in steps if (pathing.orch_ckpt_dir(self.config.output_dir, s) / "state.json").exists()]
+            if not candidates:
+                return
+            step = candidates[-1]
+        d = pathing.orch_ckpt_dir(self.config.output_dir, step)
+        state = json.loads((d / "state.json").read_text())
+        self.progress = Progress(**state["progress"])
+        self.train_source.load_state_dict(state["source"])
+        self.logger.info(f"orchestrator resumed at step {self.progress.step}")
+
+    # -- main loop ----------------------------------------------------------
+
+    async def run(self) -> None:
+        await self.setup()
+        watcher = asyncio.create_task(self._watch_weights())
+        cfg = self.config
+        try:
+            while not self._stop:
+                if cfg.max_steps is not None and self.progress.step >= cfg.max_steps:
+                    break
+                # keep the pipeline full while the gate is open
+                while (
+                    self._gate_open()
+                    and self._permits._value > 0
+                    and len(self.inflight) * 2 < cfg.max_inflight_episodes
+                ):
+                    await self._schedule_group()
+                # drain completed groups
+                try:
+                    group = await asyncio.wait_for(self._group_done.get(), timeout=0.5)
+                except asyncio.TimeoutError:
+                    continue
+                kept = self._process_group(group)
+                if not kept and group.rollouts == [] and not group.cancelled:
+                    self._empty_batches += 1
+                    if self._empty_batches >= cfg.max_empty_batches:
+                        raise RuntimeError(
+                            f"{self._empty_batches} consecutive empty groups — aborting "
+                            f"(reference: orchestrator.py:99-102)"
+                        )
+                else:
+                    self._empty_batches = 0
+                self.completed_rollouts.extend(kept)
+                if self._batch_ready():
+                    await self._ship_batch()
+        finally:
+            self._stop = True
+            watcher.cancel()
+            for g in self.inflight:
+                for t in g.tasks:
+                    t.cancel()
+            if self.sender:
+                self.sender.close()
+            self.monitor.finalize()
+        self.logger.info("orchestrator done")
+
+
+def run_orchestrator(config: OrchestratorConfig) -> None:
+    from prime_rl_tpu.utils.logger import setup_logger
+    from prime_rl_tpu.utils.pathing import logs_dir
+
+    setup_logger(config.log.level, config.log.json_logs,
+                 logs_dir(config.output_dir) / "orchestrator.log")
+    asyncio.run(Orchestrator(config).run())

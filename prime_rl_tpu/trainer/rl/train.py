@@ -1,0 +1,156 @@
+"""RL trainer process (reference: trainer/rl/train.py:74-827): consume
+TrainingBatches from the orchestrator, run the jitted learner step, publish
+weight snapshots (the filesystem weight-broadcast path: HF snapshot +
+STABLE marker that the orchestrator's watcher applies to the sampler pool).
+
+Version protocol: policy v0 = initial weights published at startup; after
+consuming batch ``s`` the trainer publishes v``s+1`` — the orchestrator
+gates dispatch and shipment on these versions (SURVEY.md §1 process
+contract)."""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prime_rl_tpu.configs.trainer import TrainerConfig
+from prime_rl_tpu.models.base import get_spec
+from prime_rl_tpu.parallel.mesh import build_mesh
+from prime_rl_tpu.trainer import step as step_lib
+from prime_rl_tpu.trainer.batch import prepare_batch, token_counts
+from prime_rl_tpu.trainer.ckpt import CheckpointManager, Progress, abstract_train_state
+from prime_rl_tpu.trainer.optim import make_optimizer
+from prime_rl_tpu.trainer.perf import PerfCounter
+from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+from prime_rl_tpu.trainer.step import Scales, init_train_state, make_train_step
+from prime_rl_tpu.trainer.weights import WeightCheckpointManager, load_hf_weights
+from prime_rl_tpu.utils.logger import get_logger, setup_logger
+from prime_rl_tpu.utils.monitor import setup_monitor
+from prime_rl_tpu.utils.pathing import logs_dir
+
+
+def train(config: TrainerConfig) -> None:
+    setup_logger(config.log.level, config.log.json_logs,
+                 logs_dir(config.output_dir) / "trainer.log")
+    logger = get_logger()
+    mesh_info = build_mesh(config.mesh)
+    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
+    logger.info(
+        f"RL trainer: model={config.model.name} mesh={mesh_info.sizes} "
+        f"params≈{spec.num_params()/1e6:.0f}M seq_len={config.batch.seq_len}"
+    )
+
+    optimizer, schedule = make_optimizer(config.optimizer, config.scheduler, config.grad_clip)
+    init_params = None
+    if not config.model.debug.random_init:
+        from pathlib import Path
+
+        if (Path(config.model.name) / "config.json").exists():
+            init_params = load_hf_weights(config.model.name, spec)
+    state = init_train_state(spec, mesh_info, optimizer, seed=config.seed, params=init_params)
+    train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info)
+
+    ckpt_mgr = CheckpointManager(config.output_dir, config.ckpt)
+    weight_mgr = WeightCheckpointManager(config.output_dir, config.weight_ckpt, spec)
+    monitor = setup_monitor(config.monitor, config.output_dir, "trainer")
+    progress = Progress()
+    if config.ckpt.resume_step is not None:
+        state, progress = ckpt_mgr.load(abstract_train_state(state), config.ckpt.resume_step)
+        logger.info(f"resumed from step {progress.step}")
+
+    fake_loader = None
+    receiver = None
+    if config.data.type == "fake":
+        fake_loader = FakeDataLoader(
+            spec.vocab_size, config.data.seq_len, config.data.micro_batch_size,
+            config.data.num_micro_batches, seed=config.data.seed,
+        )
+    else:
+        from prime_rl_tpu.transport import setup_training_batch_receiver
+
+        receiver = setup_training_batch_receiver(config.transport, config.output_dir, progress.step)
+
+    # startup broadcast: publish the current policy so the sampler starts from
+    # trainer weights (reference: rl/train.py:277-288)
+    version = progress.step
+    weight_mgr.save(state.params, version)
+    logger.info(f"published initial weights v{version}")
+
+    perf = PerfCounter(spec.flops_per_token(config.batch.seq_len), mesh_info.mesh.size)
+    bench = config.bench
+    max_steps = config.max_steps or 10**9
+    while progress.step < max_steps:
+        t_wait = time.perf_counter()
+        if fake_loader is not None:
+            batch, counts = fake_loader.next_batch()
+        else:
+            tb = None
+            while tb is None:
+                tb = receiver.receive(timeout=1.0)
+                if tb is None and progress.step >= max_steps:
+                    break
+            if tb is None:
+                break
+            batch = prepare_batch(
+                tb.examples, config.batch.seq_len, config.batch.micro_batch_size
+            )
+            counts = token_counts(batch)
+        wait_s = time.perf_counter() - t_wait
+
+        tokens = int(batch.loss_mask.size)
+        batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+        scales = Scales(
+            rl=jnp.float32(max(counts["rl"], 1)),
+            ce=jnp.float32(max(counts["ce"], 1)),
+            ref_kl=jnp.float32(max(counts["ref_kl"], 1)),
+        )
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, batch, scales)
+        loss = float(metrics["loss"])
+        dt = time.perf_counter() - t0
+        progress.step += 1
+        progress.total_tokens += tokens
+        perf.record(dt, tokens)
+
+        # weight broadcast: v{step} (filesystem path; the orchestrator's
+        # watcher pauses/updates/resumes the sampler pool)
+        version = progress.step
+        if bench is None:
+            t_pub = time.perf_counter()
+            weight_mgr.save(state.params, version)
+            pub_s = time.perf_counter() - t_pub
+        else:
+            pub_s = 0.0
+
+        record = {
+            "loss": loss,
+            "grad_norm": float(metrics["grad_norm"]),
+            "mismatch_kl": float(metrics["mismatch_kl"].mean) if "mismatch_kl" in metrics else None,
+            "entropy": float(metrics["entropy"].mean),
+            "lr": float(schedule(progress.step)),
+            "tokens_per_sec": perf.tokens_per_sec,
+            "mfu": perf.mfu(),
+            "step_time_s": dt,
+            "wait_for_batch_s": wait_s,
+            "publish_s": pub_s,
+            "rl_tokens": counts["rl"],
+        }
+        monitor.log(record, progress.step)
+        logger.info(
+            f"step {progress.step}: loss={loss:.4f} kl={record['mismatch_kl']} "
+            f"ent={record['entropy']:.3f} tps={perf.tokens_per_sec:,.0f} "
+            f"(step {dt*1e3:.0f} ms, wait {wait_s*1e3:.0f} ms)"
+        )
+
+        if bench is None and progress.step % config.ckpt.interval == 0:
+            ckpt_mgr.save(state, progress)
+        if bench is not None and progress.step >= bench.warmup_steps + bench.steps:
+            break
+
+    if bench is None:
+        ckpt_mgr.save(state, progress)
+    monitor.finalize()
+    logger.info("trainer done")
