@@ -1,0 +1,116 @@
+"""Full-stack RL integration: launch the 3-process loop (inference +
+orchestrator + trainer) as a subprocess and assert on parsed metrics —
+the reference's reverse-text integration gate adapted to the offline tiny
+model (reference: tests/integration/test_reverse_text.py:1-104,
+check_no_error / check_reward_goes_up / check_avg_mismatch_kl_in_range).
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[2]
+
+CONFIG = """
+output_dir = "{out}"
+[trainer]
+max_steps = 20
+[trainer.model]
+name = "debug"
+seq_len = 256
+lm_head_chunk_size = 0
+[trainer.model.attn]
+impl = "xla"
+[trainer.model.debug]
+random_init = true
+[trainer.mesh]
+fsdp = 1
+[trainer.optimizer]
+type = "adamw"
+lr = 3e-3
+[trainer.batch]
+seq_len = 256
+micro_batch_size = 4
+[trainer.weight_ckpt]
+interval = 1
+keep_last = 3
+[trainer.transport]
+batch_port = {port_b}
+[orchestrator]
+model_name = "debug"
+batch_size = 32
+seq_len = 256
+max_steps = 20
+[orchestrator.transport]
+batch_port = {port_b}
+[orchestrator.client]
+base_urls = ["http://127.0.0.1:{port_h}"]
+[[orchestrator.train_envs]]
+name = "fixed_completion"
+group_size = 8
+[orchestrator.train_envs.sampling]
+temperature = 1.0
+max_tokens = 12
+[orchestrator.train_envs.algo]
+type = "grpo"
+[inference]
+max_model_len = 512
+[inference.model]
+name = "debug"
+[inference.model.debug]
+random_init = true
+[inference.tokenizer]
+name = "byte"
+[inference.server]
+port = {port_h}
+[inference.kv]
+num_pages = 512
+page_size = 32
+[inference.scheduler]
+max_batch_size = 32
+"""
+
+
+@pytest.mark.slow
+def test_rl_end_to_end(tmp_path, free_port):
+    out = tmp_path / "run"
+    cfg = tmp_path / "rl.toml"
+    cfg.write_text(CONFIG.format(out=out, port_h=free_port(), port_b=free_port()))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # the unit-test conftest forces an 8-device virtual mesh; the subprocess
+    # stack runs single-device
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "prime_rl_tpu.entrypoints.rl", f"@{cfg}"],
+        env=env, cwd=REPO, timeout=540, capture_output=True, text=True,
+    )
+    logs = "\n".join(
+        p.read_text()[-2000:] for p in (out / "logs").glob("*.out") if p.exists()
+    )
+    assert proc.returncode == 0, f"launcher rc={proc.returncode}\n{proc.stdout}\n{logs}"
+
+    # check_no_error: no tracebacks in any process log
+    for p in (out / "logs").glob("*.out"):
+        text = p.read_text()
+        assert "Traceback" not in text, f"error in {p.name}:\n{text[-2000:]}"
+
+    # check_reward_goes_up
+    rows = [json.loads(l) for l in open(out / "orchestrator.jsonl")]
+    rewards = [r["reward_mean"] for r in rows if "reward_mean" in r]
+    assert len(rewards) >= 15, rewards
+    first, last = np.mean(rewards[:5]), np.mean(rewards[-5:])
+    assert last > first + 0.02 and last > first * 1.3, f"no learning: {rewards}"
+
+    # check_avg_mismatch_kl_in_range: healthy one-step-off pipeline
+    trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
+    kls = [r["mismatch_kl"] for r in trows if r.get("mismatch_kl") is not None]
+    assert kls and float(np.mean(kls)) < 0.5, kls
+
+    # checkpoints + weight snapshots were produced and retained
+    assert (out / "weights").exists()
+    assert any((out / "checkpoints").glob("step_*")), "no trainer checkpoint"
