@@ -140,12 +140,17 @@ def _decode_attention_xla(q, k_l, v_l, lengths, page_table):
 
 
 def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str):
+    # the Pallas kernel tiles head_dim on the 128-lane axis
+    if impl == "pallas" and (q.shape[-1] % 128 != 0 or k_l.shape[2] % 8 != 0):
+        impl = "xla"
     if impl == "pallas":
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
 
         pages_per_block = min(8, page_table.shape[1])
+        # the kernel applies no softmax scale — pre-scale q
+        q_scaled = (q.astype(jnp.float32) * (q.shape[-1] ** -0.5)).astype(q.dtype)
         return paged_attention(
-            q, k_l, v_l, lengths, page_table,
+            q_scaled, k_l, v_l, lengths, page_table,
             pages_per_compute_block=pages_per_block,
         )
     return _decode_attention_xla(q, k_l, v_l, lengths, page_table)

@@ -6,16 +6,20 @@ import os
 # Must be set before jax backends initialize. Force CPU even when the
 # environment preselects a TPU platform (e.g. JAX_PLATFORMS=axon, which this
 # image also pins via jax config at import): unit tests are hermetic and the
-# virtual 8-device mesh needs the host platform.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+# virtual 8-device mesh needs the host platform. Set PRIME_RL_TPU_TESTS=1 to
+# keep the real device (tests/tpu on-device parity suite).
+_ON_DEVICE = os.environ.get("PRIME_RL_TPU_TESTS") == "1"
+if not _ON_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax
 import pytest
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_DEVICE:
+    jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(autouse=True)
