@@ -136,6 +136,12 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         num_kv_heads=2, head_dim=32, intermediate_size=256, rope_theta=1e6,
         tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
     ),
+    "debug_moe": ModelSpec(
+        family="qwen3_moe", vocab_size=512, hidden_size=128, num_layers=2, num_heads=4,
+        num_kv_heads=2, head_dim=32, intermediate_size=256, rope_theta=1e6,
+        tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+    ),
 }
 
 

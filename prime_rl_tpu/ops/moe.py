@@ -1,0 +1,85 @@
+"""MoE ops: token-choice top-k routing + sorted ragged grouped-GEMM expert
+compute.
+
+TPU-native replacement for the reference's GroupedExperts/TokenChoiceTopKRouter
+stack (reference: models/layers/moe.py:1-1244 — grouped_mm / DeepEP paths):
+instead of torch grouped_mm or a capacity-based one-hot einsum, tokens are
+sorted by expert id and pushed through ``jax.lax.ragged_dot`` (the XLA
+grouped/ragged GEMM that tiles directly onto the MXU), then combined with
+their routing weights on the way back. Static shapes throughout: the sort is
+over T*topk elements, group_sizes is [E].
+
+Router runs in float32 (reference keeps router/lm_head fp32 for stability).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class RouterOutput(NamedTuple):
+    expert_ids: jax.Array  # [T, K] int32
+    weights: jax.Array  # [T, K] f32 combine weights
+    load_balance_loss: jax.Array  # scalar aux (monitoring; optionally trained)
+    router_entropy: jax.Array  # scalar monitoring stat
+
+
+def route_topk(
+    x: jax.Array,  # [T, D] (any dtype; router math in f32)
+    router_w: jax.Array,  # [D, E]
+    top_k: int,
+    norm_topk_prob: bool = True,
+) -> RouterOutput:
+    logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))  # [T, E]
+    probs = jax.nn.softmax(logits, axis=-1)
+    weights, expert_ids = jax.lax.top_k(probs, top_k)  # [T, K]
+    if norm_topk_prob:
+        weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    e = router_w.shape[1]
+    # Switch-style load-balance aux: E * sum_e f_e * p_e
+    counts = jnp.zeros((e,), jnp.float32).at[expert_ids.reshape(-1)].add(1.0)
+    frac_tokens = counts / jnp.maximum(jnp.sum(counts), 1.0)
+    frac_probs = jnp.mean(probs, axis=0)
+    lb = e * jnp.sum(frac_tokens * frac_probs)
+    entropy = -jnp.mean(jnp.sum(probs * jnp.log(probs + 1e-9), axis=-1))
+    return RouterOutput(expert_ids.astype(jnp.int32), weights, lb, entropy)
+
+
+def moe_mlp(
+    x: jax.Array,  # [T, D]
+    router_w: jax.Array,  # [D, E]
+    w_gate: jax.Array,  # [E, D, M]
+    w_up: jax.Array,  # [E, D, M]
+    w_down: jax.Array,  # [E, M, D]
+    top_k: int,
+    norm_topk_prob: bool = True,
+) -> tuple[jax.Array, RouterOutput]:
+    """Returns (output [T, D], router stats). Sorted ragged dispatch:
+
+      1. route: top-k experts per token
+      2. sort the T*K (token, expert) pairs by expert id
+      3. ragged grouped GEMMs over contiguous expert groups (MXU)
+      4. unsort + weighted combine
+    """
+    t, d = x.shape
+    e = router_w.shape[1]
+    routing = route_topk(x, router_w, top_k, norm_topk_prob)
+
+    flat_experts = routing.expert_ids.reshape(-1)  # [T*K]
+    order = jnp.argsort(flat_experts)  # stable ascending by expert
+    token_idx = order // top_k  # source token of each sorted slot
+    group_sizes = jnp.zeros((e,), jnp.int32).at[flat_experts].add(1)
+
+    xs = jnp.take(x, token_idx, axis=0)  # [T*K, D] sorted by expert
+    gate = jax.lax.ragged_dot(xs, w_gate, group_sizes, preferred_element_type=jnp.float32)
+    up = jax.lax.ragged_dot(xs, w_up, group_sizes, preferred_element_type=jnp.float32)
+    h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
+    out_sorted = jax.lax.ragged_dot(h, w_down, group_sizes, preferred_element_type=jnp.float32)
+
+    w_flat = jnp.take(routing.weights.reshape(-1), order)  # combine weight per sorted slot
+    contrib = out_sorted * w_flat[:, None]  # [T*K, D] f32
+    out = jnp.zeros((t, d), jnp.float32).at[token_idx].add(contrib)
+    return out.astype(x.dtype), routing

@@ -41,7 +41,18 @@ def _qkv(x, lp, spec, positions, inv_freq):
     return q, k, v
 
 
-def _mlp(x, lp):
+def _mlp(x, lp, spec):
+    """Dense SwiGLU or MoE sparse MLP depending on the family. x: [B, T, D]."""
+    if spec.is_moe:
+        from prime_rl_tpu.ops.moe import moe_mlp
+
+        b, t, d = x.shape
+        out, _ = moe_mlp(
+            x.reshape(b * t, d), lp["router"],
+            lp["expert_gate"], lp["expert_up"], lp["expert_down"],
+            spec.num_experts_per_tok, spec.norm_topk_prob,
+        )
+        return out.reshape(b, t, d)
     return jnp.dot(swiglu(jnp.dot(x, lp["gate"]), jnp.dot(x, lp["up"])), lp["down"])
 
 
@@ -89,7 +100,7 @@ def prefill(
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
         h = h + jnp.dot(o.reshape(1, lpad, spec.q_dim), lp["o"])
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         # scatter K/V into this slot's pages: [1, Lpad, NKV, HD] ->
         # [NKV, n_pages, PS, HD] placed at `pages`
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
@@ -201,7 +212,7 @@ def decode(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
         )  # [S, NH, HD]
         h = h + jnp.dot(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         return h, (k_l, v_l)
 
     h, (k_pool, v_pool) = jax.lax.scan(body, h, (params["layers"], k_pool, v_pool))

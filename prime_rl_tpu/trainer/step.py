@@ -68,13 +68,6 @@ class Scales(NamedTuple):
     ref_kl: Array
 
 
-_FORWARDS = {"qwen3": qwen3.forward, "llama": qwen3.forward}
-
-
-def register_forward(family: str, fn) -> None:
-    _FORWARDS[family] = fn
-
-
 def _shift_left(x: Array, fill) -> Array:
     return jnp.concatenate([x[:, 1:], jnp.full_like(x[:, :1], fill)], axis=1)
 
@@ -93,8 +86,10 @@ def model_logprobs(
     out[i] = logp(token_i | tokens_<i). Position 0 of each packed row gets the
     uniform-distribution pad (log 1/V, log V) — those positions are always
     loss-masked (reference convention: loss.py:66-91)."""
-    fwd = _FORWARDS[spec.family]
-    hidden = fwd(
+    from prime_rl_tpu.models import get_family
+
+    family = get_family(spec)
+    hidden = family.forward(
         params, spec, mb.input_ids, mb.segment_ids, mb.position_ids,
         compute_dtype=jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32,
         attn_impl=model_cfg.attn.impl,
@@ -105,7 +100,7 @@ def model_logprobs(
     labels = _shift_left(mb.input_ids, 0)
     # logits at t are scaled by the temperature the *label* token was sampled at
     label_temps = _shift_left(mb.temperatures, 1.0)
-    lm_head = qwen3.get_lm_head(params, spec).astype(
+    lm_head = family.get_lm_head(params, spec).astype(
         jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
     )
     lp_next, ent_next = chunked_logprob_entropy(
@@ -217,10 +212,14 @@ def init_train_state(
 ) -> TrainState:
     """Sharded-init the train state. With ``params=None``, random-init directly
     into the sharded layout (single jit, no host materialization)."""
+    from prime_rl_tpu.models import get_family
+
     shardings = None
     if params is None:
+        family = get_family(spec)
+
         def init_fn():
-            p = qwen3.init_params(spec, jax.random.key(seed))
+            p = family.init(spec, jax.random.key(seed))
             return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
 
         shapes = jax.eval_shape(init_fn)

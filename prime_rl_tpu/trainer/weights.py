@@ -64,12 +64,12 @@ def save_hf_weights(params: Params, spec: ModelSpec, path: str | Path) -> Path:
     must be readable by any HF-compatible loader)."""
     from safetensors.numpy import save_file
 
-    from prime_rl_tpu.models import qwen3
+    from prime_rl_tpu.models import get_family
 
     path = Path(path)
     path.mkdir(parents=True, exist_ok=True)
     host_params = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), params)
-    state = qwen3.params_to_hf_state_dict(host_params, spec)
+    state = get_family(spec).to_hf(host_params, spec)
     # bf16 on disk (serving dtype); safetensors numpy backend handles ml_dtypes
     import ml_dtypes
 
@@ -87,14 +87,14 @@ def load_hf_weights(path: str | Path, spec: ModelSpec) -> Params:
     stacked pytree (float32 masters)."""
     from safetensors.numpy import load_file
 
-    from prime_rl_tpu.models import qwen3
+    from prime_rl_tpu.models import get_family
 
     path = Path(path)
     state: dict[str, np.ndarray] = {}
     for f in sorted(path.glob("*.safetensors")):
         state.update(load_file(f))
     state = {k: np.asarray(v, dtype=np.float32) for k, v in state.items()}
-    return qwen3.params_from_hf_state_dict(state, spec, dtype=np.float32)
+    return get_family(spec).from_hf(state, spec, dtype=np.float32)
 
 
 class WeightCheckpointManager:
