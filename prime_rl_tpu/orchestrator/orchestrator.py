@@ -34,6 +34,7 @@ from prime_rl_tpu.envs.types import Episode, SamplingConfig
 from prime_rl_tpu.orchestrator.algo.algorithms import make_algorithm
 from prime_rl_tpu.orchestrator.algo.base import Algorithm, Rollout
 from prime_rl_tpu.orchestrator.filters import FilterSet
+from prime_rl_tpu.orchestrator.metrics import RolloutMetrics
 from prime_rl_tpu.orchestrator.source import TrainSource
 from prime_rl_tpu.orchestrator.trajectories import episode_to_samples
 from prime_rl_tpu.transport.types import TrainingBatch
@@ -65,17 +66,34 @@ class GroupState:
     errors: int = 0
     cancelled: bool = False
     tasks: list[asyncio.Task] = field(default_factory=list)
+    kind: str = "train"  # "train" | "eval"
+    eval_step: int = -1
 
     @property
     def complete(self) -> bool:
         return self.cancelled or (len(self.rollouts) + self.errors >= self.group_size)
 
 
+@dataclass(eq=False)
+class EvalRun:
+    """One eval epoch for one env at one step (reference: eval_sink.py:37-128)."""
+
+    env_name: str
+    eval_step: int
+    num_groups: int
+    done_groups: int = 0
+    metrics: "RolloutMetrics | None" = None
+
+    @property
+    def complete(self) -> bool:
+        return self.done_groups >= self.num_groups
+
+
 @dataclass
 class EnvSource:
-    config: EnvSourceConfig
+    config: Any  # EnvSourceConfig | EvalSourceConfig
     client: EnvClientBase
-    algorithm: Algorithm
+    algorithm: Algorithm | None  # eval sources carry no algorithm
 
 
 class Orchestrator:
@@ -98,6 +116,9 @@ class Orchestrator:
         self._stop = False
         self._permits = asyncio.Semaphore(config.max_inflight_episodes)
         self._group_done: asyncio.Queue[GroupState] = asyncio.Queue()
+        self.eval_sources: dict[str, EnvSource] = {}
+        self._eval_runs: dict[tuple[str, int], EvalRun] = {}
+        self.train_metrics = RolloutMetrics("train")
 
     # -- setup --------------------------------------------------------------
 
@@ -110,6 +131,8 @@ class Orchestrator:
         tasksets = {n: await s.client.taskset() for n, s in self.sources.items()}
         ratios = {n: s.config.ratio for n, s in self.sources.items()}
         self.train_source = TrainSource(list(self.sources), tasksets, ratios, cfg.seed)
+        for src in cfg.eval_envs:
+            self.eval_sources[src.name] = EnvSource(src, make_env_client(src), None)
 
         from prime_rl_tpu.transport import setup_training_batch_sender
 
@@ -190,7 +213,8 @@ class Orchestrator:
                     task_data=group.task_data,
                     policy_version=group.policy_version_at_start,
                 )
-                await src.algorithm.finalize_rollout(rollout)
+                if src.algorithm is not None:
+                    await src.algorithm.finalize_rollout(rollout)
                 group.rollouts.append(rollout)
         except asyncio.CancelledError:
             group.errors += 1  # synthetic marker keeps group accounting whole
@@ -212,6 +236,64 @@ class Orchestrator:
                 group.cancelled = True
                 for t in group.tasks:
                     t.cancel()
+
+    # -- eval ---------------------------------------------------------------
+
+    async def _maybe_trigger_eval(self) -> None:
+        """At every eval interval, schedule the full eval epoch for each eval
+        env (reference: eval_source.py:47-86, orchestrator.py:726)."""
+        step = self.progress.step
+        for name, src in self.eval_sources.items():
+            if step % max(src.config.interval, 1) != 0:
+                continue
+            if (name, step) in self._eval_runs:
+                continue
+            tasks = await src.client.taskset()
+            if src.config.num_examples:
+                tasks = tasks[: src.config.num_examples]
+            run = EvalRun(name, step, num_groups=len(tasks), metrics=RolloutMetrics("eval"))
+            self._eval_runs[(name, step)] = run
+            sampling = SamplingConfig(
+                max_tokens=src.config.sampling.max_tokens or 256,
+                temperature=src.config.sampling.temperature,
+                top_p=src.config.sampling.top_p,
+                top_k=src.config.sampling.top_k,
+            )
+            base_url = self.inference[next(self._rr)].base_url
+            self.logger.info(f"eval '{name}' @ step {step}: {len(tasks)} examples x{src.config.group_size}")
+            for task in tasks:
+                group = GroupState(
+                    env_name=name, task_data=task, group_size=src.config.group_size,
+                    policy_version_at_start=self.policy.version,
+                    kind="eval", eval_step=step,
+                )
+                for _ in range(group.group_size):
+                    await self._permits.acquire()
+                    group.tasks.append(asyncio.create_task(
+                        self._run_rollout(group, src, sampling, base_url)
+                    ))
+                self.inflight.add(group)
+
+    def _process_eval_group(self, group: GroupState) -> None:
+        run = self._eval_runs.get((group.env_name, group.eval_step))
+        if run is None:
+            return
+        run.done_groups += 1
+        correct = 0
+        for r in group.rollouts:
+            m = dict(r.episode.metrics)
+            m.setdefault("reward", r.reward)
+            is_correct = bool(m.get("correct", m.get("exact", r.reward >= 1.0)))
+            correct += int(is_correct)
+            run.metrics.add_rollout(group.env_name, m)
+        run.metrics.add_group(group.env_name, correct, max(len(group.rollouts), 1))
+        if run.complete:
+            view = run.metrics.view()
+            view["eval/step"] = run.eval_step
+            self.monitor.log(view, run.eval_step)
+            mean = view.get("eval/agg/all/reward/mean")
+            self.logger.info(f"eval '{run.env_name}' @ step {run.eval_step}: reward={mean}")
+            del self._eval_runs[(run.env_name, run.eval_step)]
 
     # -- sink ---------------------------------------------------------------
 
@@ -242,6 +324,11 @@ class Orchestrator:
             for s in r.samples:
                 samples.append(s)
             rewards.append(r.reward)
+            self.train_metrics.add_rollout(r.env_name, {
+                **r.episode.metrics, "reward": r.reward,
+                "num_output_tokens": r.num_output_tokens,
+                "off_policy_steps": true_staleness,
+            })
         batch = TrainingBatch(examples=samples, step=self.progress.step)
         self.sender.send(batch)
         self.progress.total_rollouts += len(batch_rollouts)
@@ -255,6 +342,8 @@ class Orchestrator:
             "filters": dict(self.filters.counts),
             "inflight_groups": len(self.inflight),
         }
+        metrics.update(self.train_metrics.view())
+        self.train_metrics.reset()
         self.monitor.log(metrics, self.progress.step)
         self.logger.info(
             f"step {self.progress.step}: shipped {len(samples)} samples, "
@@ -263,6 +352,7 @@ class Orchestrator:
         self.progress.step += 1
         if self.config.ckpt.interval and self.progress.step % self.config.ckpt.interval == 0:
             self._save_ckpt()
+        await self._maybe_trigger_eval()
 
     # -- weight watcher -----------------------------------------------------
 
@@ -341,6 +431,9 @@ class Orchestrator:
                 try:
                     group = await asyncio.wait_for(self._group_done.get(), timeout=0.5)
                 except asyncio.TimeoutError:
+                    continue
+                if group.kind == "eval":
+                    self._process_eval_group(group)
                     continue
                 kept = self._process_group(group)
                 if not kept and group.rollouts == [] and not group.cancelled:
