@@ -75,6 +75,7 @@ def _attn_block(
     attn_impl: str,
     block_q: int,
     block_kv: int,
+    mesh=None,
 ) -> jax.Array:
     b, l, d = h.shape
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
@@ -86,7 +87,8 @@ def _attn_block(
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
     q = apply_rope(q, position_ids, inv_freq)
     k = apply_rope(k, position_ids, inv_freq)
-    o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl, block_q=block_q, block_kv=block_kv)
+    o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
+                  block_q=block_q, block_kv=block_kv, mesh=mesh)
     return h + jnp.dot(o.reshape(b, l, spec.q_dim), lp["o"])
 
 
@@ -106,15 +108,19 @@ def forward(
     block_q: int = 512,
     block_kv: int = 512,
     remat: str = "full",
+    mesh=None,
 ) -> jax.Array:
-    """Token ids -> final hidden states [B, L, D] (pre-LM-head, normed)."""
+    """Token ids -> final hidden states [B, L, D] (pre-LM-head, normed).
+
+    ``mesh`` with a context axis > 1 enables Ulysses CP in attention."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
     def block(h: jax.Array, lp: dict[str, jax.Array]) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
-        h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq, attn_impl, block_q, block_kv)
+        h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
+                        attn_impl, block_q, block_kv, mesh)
         h = _mlp_block(h, lp, spec)
         return h
 

@@ -62,6 +62,7 @@ def forward(
     block_q: int = 512,
     block_kv: int = 512,
     remat: str = "full",
+    mesh=None,
 ) -> jax.Array:
     """Token ids -> final normed hidden states [B, L, D]."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
@@ -73,7 +74,7 @@ def forward(
         cast = {k: (v.astype(compute_dtype) if v.ndim >= 2 and k != "router" else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
-                              attn_impl, block_q, block_kv)
+                              attn_impl, block_q, block_kv, mesh)
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
         out, _ = moe_mlp(
             x.reshape(b * l, d),

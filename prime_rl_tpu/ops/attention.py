@@ -80,10 +80,23 @@ def attention(
     impl: str = "auto",
     block_q: int = 512,
     block_kv: int = 512,
+    mesh=None,
+    cp_axis: str = "context",
 ) -> jax.Array:
-    """Self-attention dispatch for the training forward (Lq == Lk)."""
+    """Self-attention dispatch for the training forward (Lq == Lk).
+
+    With a ``mesh`` whose ``cp_axis`` degree > 1, runs Ulysses context
+    parallelism (shard_map all-to-all heads↔seq) with the chosen kernel
+    locally; otherwise a single-program kernel under GSPMD."""
     if impl == "auto":
         impl = "pallas" if q.shape[1] >= 512 and jax.default_backend() not in ("cpu",) else "xla"
+    if mesh is not None and mesh.shape.get(cp_axis, 1) > 1:
+        from prime_rl_tpu.ops.ulysses import ulysses_attention
+
+        return ulysses_attention(
+            q, k, v, segment_ids, mesh, axis=cp_axis, causal=causal,
+            impl=impl, block_q=block_q, block_kv=block_kv,
+        )
     if impl == "pallas":
         from prime_rl_tpu.ops.flash_attention import flash_attention
 

@@ -81,6 +81,7 @@ def model_logprobs(
     spec: ModelSpec,
     mb,  # one micro-batch: fields [B, L]
     model_cfg,
+    mesh=None,
 ) -> tuple[Array, Array]:
     """(logprobs [B, L], entropy [B, L]) in current-token convention:
     out[i] = logp(token_i | tokens_<i). Position 0 of each packed row gets the
@@ -96,6 +97,7 @@ def model_logprobs(
         block_q=model_cfg.attn.block_q,
         block_kv=model_cfg.attn.block_kv,
         remat=model_cfg.ac.mode,
+        mesh=mesh,
     )
     labels = _shift_left(mb.input_ids, 0)
     # logits at t are scaled by the temperature the *label* token was sampled at
@@ -111,11 +113,11 @@ def model_logprobs(
     return logprobs, entropy
 
 
-def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg):
+def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None):
     """Per-micro-batch loss closure: (params, mb, scales) -> (loss, metrics)."""
 
     def loss_fn(params: Params, mb, scales: Scales):
-        logprobs, entropy = model_logprobs(params, spec, mb, model_cfg)
+        logprobs, entropy = model_logprobs(params, spec, mb, model_cfg, mesh)
         total, metrics = loss_lib.compute_loss(
             trainer_logprobs=logprobs,
             inference_logprobs=mb.inference_logprobs,
@@ -149,7 +151,9 @@ def make_train_step(
 
     fn(state, batch: MicroBatchArrays [N,B,L], scales) -> (state', metrics)
     """
-    loss_fn = make_loss_fn(spec, model_cfg, loss_cfg)
+    # Ulysses CP engages when the mesh has a context axis > 1
+    cp_mesh = mesh_info.mesh if mesh_info.cp_size > 1 else None
+    loss_fn = make_loss_fn(spec, model_cfg, loss_cfg, cp_mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
