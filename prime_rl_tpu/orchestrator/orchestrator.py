@@ -344,6 +344,8 @@ class Orchestrator:
         }
         metrics.update(self.train_metrics.view())
         self.train_metrics.reset()
+        if getattr(self, "lag_monitor", None) is not None:
+            metrics.update(self.lag_monitor.view())
         self.monitor.log(metrics, self.progress.step)
         self.logger.info(
             f"step {self.progress.step}: shipped {len(samples)} samples, "
@@ -413,8 +415,11 @@ class Orchestrator:
     # -- main loop ----------------------------------------------------------
 
     async def run(self) -> None:
+        from prime_rl_tpu.utils.async_utils import EventLoopLagMonitor
+
         await self.setup()
         watcher = asyncio.create_task(self._watch_weights())
+        self.lag_monitor = EventLoopLagMonitor().start()
         cfg = self.config
         try:
             while not self._stop:

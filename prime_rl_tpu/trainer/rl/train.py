@@ -79,6 +79,12 @@ def train(config: TrainerConfig) -> None:
     weight_mgr.save(state.params, version)
     logger.info(f"published initial weights v{version}")
 
+    from prime_rl_tpu.utils.metrics_server import maybe_start_metrics_server
+
+    metrics_server = maybe_start_metrics_server(config.metrics_server)
+    if config.trace_path:
+        jax.profiler.start_trace(config.trace_path)
+
     perf = PerfCounter(spec.flops_per_token(config.batch.seq_len), mesh_info.mesh.size)
     bench = config.bench
     max_steps = config.max_steps or 10**9
@@ -139,6 +145,8 @@ def train(config: TrainerConfig) -> None:
             "rl_tokens": counts["rl"],
         }
         monitor.log(record, progress.step)
+        if metrics_server is not None:
+            metrics_server.update({"step": progress.step, **record})
         logger.info(
             f"step {progress.step}: loss={loss:.4f} kl={record['mismatch_kl']} "
             f"ent={record['entropy']:.3f} tps={perf.tokens_per_sec:,.0f} "
@@ -150,6 +158,11 @@ def train(config: TrainerConfig) -> None:
         if bench is not None and progress.step >= bench.warmup_steps + bench.steps:
             break
 
+    if config.trace_path:
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {config.trace_path}")
+    if metrics_server is not None:
+        metrics_server.stop()
     if bench is None:
         ckpt_mgr.save(state, progress)
     monitor.finalize()
