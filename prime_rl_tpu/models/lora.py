@@ -1,0 +1,123 @@
+"""LoRA adapters as functional pytrees.
+
+Re-design of the reference's module-swap LoRA (reference: trainer/lora.py:
+1-306, models/layers/lora/ MultiLoRALinear): adapters are a SEPARATE pytree
+``{"layers": {"q_a": [nl, in, r], "q_b": [nl, r, out], ...}}`` threaded
+through the same scanned forward — the base stays frozen (never donated,
+never touched by the optimizer) and the train state holds only adapter
+params, so optimizer memory is O(rank).
+
+Serving: ``merge_lora`` folds B·A into the base for HF snapshots (the
+filesystem weight-broadcast path the reference requires for LoRA), and
+``adapter_state_dict`` exports a standalone PEFT-style adapter.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from prime_rl_tpu.configs.shared import LoRAConfig
+from prime_rl_tpu.models.base import ModelSpec, Params
+
+# target -> (in_dim_attr, out_dim_attr) resolved against the spec
+_TARGET_DIMS = {
+    "q": ("hidden_size", "q_dim"),
+    "k": ("hidden_size", "kv_dim"),
+    "v": ("hidden_size", "kv_dim"),
+    "o": ("q_dim", "hidden_size"),
+    "gate": ("hidden_size", "intermediate_size"),
+    "up": ("hidden_size", "intermediate_size"),
+    "down": ("intermediate_size", "hidden_size"),
+}
+
+# accept the reference's HF-style regex-ish names too (q_proj -> q)
+_ALIASES = {f"{t}_proj": t for t in _TARGET_DIMS}
+
+
+def resolve_targets(cfg: LoRAConfig, spec: ModelSpec) -> list[str]:
+    out = []
+    for name in cfg.target_modules:
+        t = _ALIASES.get(name, name)
+        if t not in _TARGET_DIMS:
+            raise ValueError(f"unknown LoRA target {name!r}")
+        if spec.is_moe and t in ("gate", "up", "down"):
+            continue  # expert LoRA: round 2
+        out.append(t)
+    return out
+
+
+def lora_scale(cfg: LoRAConfig) -> float:
+    return cfg.alpha / cfg.rank
+
+
+def init_lora(spec: ModelSpec, cfg: LoRAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    """A ~ N(0, 0.02), B = 0 (identity at init)."""
+    layers: dict[str, jax.Array] = {}
+    nl, r = spec.num_layers, cfg.rank
+    for i, t in enumerate(resolve_targets(cfg, spec)):
+        d_in = getattr(spec, _TARGET_DIMS[t][0])
+        d_out = getattr(spec, _TARGET_DIMS[t][1])
+        k = jax.random.fold_in(key, i)
+        layers[f"{t}_a"] = (jax.random.normal(k, (nl, d_in, r)) * 0.02).astype(dtype)
+        layers[f"{t}_b"] = jnp.zeros((nl, r, d_out), dtype)
+    return {"layers": layers}
+
+
+def lora_param_pspec(path: str) -> P:
+    """Sharding: A input-dim over fsdp, B output-dim over tensor; the tiny
+    rank dim stays replicated."""
+    if path.endswith("_a"):
+        return P(None, "fsdp", None)
+    if path.endswith("_b"):
+        return P(None, None, "tensor")
+    raise KeyError(path)
+
+
+def apply_lora_proj(x: jax.Array, w: jax.Array, lora_layer: dict | None,
+                    name: str, scale: float) -> jax.Array:
+    """y = x·W (+ scale · (x·A)·B). Adapter math runs in the compute dtype."""
+    y = jnp.dot(x, w)
+    if lora_layer is not None and f"{name}_a" in lora_layer:
+        a = lora_layer[f"{name}_a"].astype(x.dtype)
+        b = lora_layer[f"{name}_b"].astype(x.dtype)
+        y = y + scale * jnp.dot(jnp.dot(x, a), b)
+    return y
+
+
+def merge_lora(base: Params, lora: Params, cfg: LoRAConfig) -> Params:
+    """base + scale·A·B folded in (host or device) for serving snapshots."""
+    scale = lora_scale(cfg)
+    merged_layers = dict(base["layers"])
+    for t in _TARGET_DIMS:
+        a = lora["layers"].get(f"{t}_a")
+        if a is None:
+            continue
+        b = lora["layers"][f"{t}_b"]
+        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32)) * scale
+        merged_layers[t] = (base["layers"][t].astype(jnp.float32) + delta).astype(base["layers"][t].dtype)
+    out = dict(base)
+    out["layers"] = merged_layers
+    return out
+
+
+def adapter_state_dict(lora: Params, spec: ModelSpec, cfg: LoRAConfig) -> dict[str, np.ndarray]:
+    """PEFT-style flat dict (per-layer, HF naming) for standalone adapter
+    snapshots (reference: ckpt.py LoRA adapter export)."""
+    hf_names = {"q": "q_proj", "k": "k_proj", "v": "v_proj", "o": "o_proj",
+                "gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+    mod_prefix = {"q": "self_attn", "k": "self_attn", "v": "self_attn", "o": "self_attn",
+                  "gate": "mlp", "up": "mlp", "down": "mlp"}
+    state: dict[str, np.ndarray] = {}
+    for t, hf in hf_names.items():
+        a = lora["layers"].get(f"{t}_a")
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(lora["layers"][f"{t}_b"])
+        for i in range(spec.num_layers):
+            prefix = f"base_model.model.model.layers.{i}.{mod_prefix[t]}.{hf}"
+            state[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[i].T)  # [r, in]
+            state[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[i].T)  # [out, r]
+    return state

@@ -76,12 +76,16 @@ def _attn_block(
     block_q: int,
     block_kv: int,
     mesh=None,
+    lora: dict | None = None,
+    lora_scale: float = 1.0,
 ) -> jax.Array:
+    from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
     b, l, d = h.shape
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-    q = jnp.dot(x, lp["q"]).reshape(b, l, spec.num_heads, spec.head_dim)
-    k = jnp.dot(x, lp["k"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
-    v = jnp.dot(x, lp["v"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    q = _p(x, lp["q"], lora, "q", lora_scale).reshape(b, l, spec.num_heads, spec.head_dim)
+    k = _p(x, lp["k"], lora, "k", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    v = _p(x, lp["v"], lora, "v", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
     if spec.qk_norm:
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
@@ -89,12 +93,17 @@ def _attn_block(
     k = apply_rope(k, position_ids, inv_freq)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                   block_q=block_q, block_kv=block_kv, mesh=mesh)
-    return h + jnp.dot(o.reshape(b, l, spec.q_dim), lp["o"])
+    return h + _p(o.reshape(b, l, spec.q_dim), lp["o"], lora, "o", lora_scale)
 
 
-def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec) -> jax.Array:
+def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec,
+               lora: dict | None = None, lora_scale: float = 1.0) -> jax.Array:
+    from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
     x = rms_norm(h, lp["mlp_norm"], spec.rms_eps)
-    return h + jnp.dot(swiglu(jnp.dot(x, lp["gate"]), jnp.dot(x, lp["up"])), lp["down"])
+    gate = _p(x, lp["gate"], lora, "gate", lora_scale)
+    up = _p(x, lp["up"], lora, "up", lora_scale)
+    return h + _p(swiglu(gate, up), lp["down"], lora, "down", lora_scale)
 
 
 def forward(
@@ -109,19 +118,23 @@ def forward(
     block_kv: int = 512,
     remat: str = "full",
     mesh=None,
+    lora: Params | None = None,
+    lora_scale: float = 1.0,
 ) -> jax.Array:
     """Token ids -> final hidden states [B, L, D] (pre-LM-head, normed).
 
-    ``mesh`` with a context axis > 1 enables Ulysses CP in attention."""
+    ``mesh`` with a context axis > 1 enables Ulysses CP in attention.
+    ``lora`` is an adapter pytree (models/lora.py) scanned alongside the
+    base layers."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
-    def block(h: jax.Array, lp: dict[str, jax.Array]) -> jax.Array:
+    def block(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
         h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
-                        attn_impl, block_q, block_kv, mesh)
-        h = _mlp_block(h, lp, spec)
+                        attn_impl, block_q, block_kv, mesh, ll, lora_scale)
+        h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
 
     if remat == "full":
@@ -133,10 +146,17 @@ def forward(
             prevent_cse=False,
         )
 
-    def scan_body(h, lp):
-        return block(h, lp), None
+    if lora is None:
+        def scan_body(h, lp):
+            return block(h, lp, None), None
 
-    h, _ = jax.lax.scan(scan_body, h, params["layers"])
+        h, _ = jax.lax.scan(scan_body, h, params["layers"])
+    else:
+        def scan_body(h, xs):
+            lp, ll = xs
+            return block(h, lp, ll), None
+
+        h, _ = jax.lax.scan(scan_body, h, (params["layers"], lora["layers"]))
     return rms_norm(h, params["final_norm"], spec.rms_eps)
 
 

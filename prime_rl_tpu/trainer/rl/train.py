@@ -50,8 +50,25 @@ def train(config: TrainerConfig) -> None:
 
         if (Path(config.model.name) / "config.json").exists():
             init_params = load_hf_weights(config.model.name, spec)
-    state = init_train_state(spec, mesh_info, optimizer, seed=config.seed, params=init_params)
-    train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info)
+
+    base_params = None
+    if config.model.lora is not None:
+        from prime_rl_tpu.trainer.step import init_base_params, init_lora_train_state
+
+        base_params = init_base_params(spec, mesh_info, config.seed, init_params)
+        state = init_lora_train_state(spec, config.model.lora, mesh_info, optimizer, config.seed)
+        logger.info(f"LoRA r{config.model.lora.rank}: training adapters only")
+    else:
+        state = init_train_state(spec, mesh_info, optimizer, seed=config.seed, params=init_params)
+    train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info,
+                                 base_params=base_params)
+
+    def publish_params():
+        if base_params is None:
+            return state.params
+        from prime_rl_tpu.models.lora import merge_lora
+
+        return merge_lora(base_params, state.params, config.model.lora)
 
     ckpt_mgr = CheckpointManager(config.output_dir, config.ckpt)
     weight_mgr = WeightCheckpointManager(config.output_dir, config.weight_ckpt, spec)
@@ -76,7 +93,7 @@ def train(config: TrainerConfig) -> None:
     # startup broadcast: publish the current policy so the sampler starts from
     # trainer weights (reference: rl/train.py:277-288)
     version = progress.step
-    weight_mgr.save(state.params, version)
+    weight_mgr.save(publish_params(), version)
     logger.info(f"published initial weights v{version}")
 
     from prime_rl_tpu.utils.metrics_server import maybe_start_metrics_server
@@ -126,7 +143,7 @@ def train(config: TrainerConfig) -> None:
         version = progress.step
         if bench is None:
             t_pub = time.perf_counter()
-            weight_mgr.save(state.params, version)
+            weight_mgr.save(publish_params(), version)
             pub_s = time.perf_counter() - t_pub
         else:
             pub_s = 0.0

@@ -82,6 +82,8 @@ def model_logprobs(
     mb,  # one micro-batch: fields [B, L]
     model_cfg,
     mesh=None,
+    lora: Params | None = None,
+    lora_scale: float = 1.0,
 ) -> tuple[Array, Array]:
     """(logprobs [B, L], entropy [B, L]) in current-token convention:
     out[i] = logp(token_i | tokens_<i). Position 0 of each packed row gets the
@@ -90,6 +92,7 @@ def model_logprobs(
     from prime_rl_tpu.models import get_family
 
     family = get_family(spec)
+    extra = {} if lora is None else {"lora": lora, "lora_scale": lora_scale}
     hidden = family.forward(
         params, spec, mb.input_ids, mb.segment_ids, mb.position_ids,
         compute_dtype=jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32,
@@ -98,6 +101,7 @@ def model_logprobs(
         block_kv=model_cfg.attn.block_kv,
         remat=model_cfg.ac.mode,
         mesh=mesh,
+        **extra,
     )
     labels = _shift_left(mb.input_ids, 0)
     # logits at t are scaled by the temperature the *label* token was sampled at
@@ -113,11 +117,22 @@ def model_logprobs(
     return logprobs, entropy
 
 
-def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None):
-    """Per-micro-batch loss closure: (params, mb, scales) -> (loss, metrics)."""
+def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: Params | None = None):
+    """Per-micro-batch loss closure: (params, mb, scales) -> (loss, metrics).
+
+    With ``base_params`` set (LoRA mode), ``params`` is the adapter pytree and
+    the frozen base is captured — gradients flow only through the adapters."""
 
     def loss_fn(params: Params, mb, scales: Scales):
-        logprobs, entropy = model_logprobs(params, spec, mb, model_cfg, mesh)
+        if base_params is not None:
+            from prime_rl_tpu.models.lora import lora_scale as _ls
+
+            logprobs, entropy = model_logprobs(
+                base_params, spec, mb, model_cfg, mesh,
+                lora=params, lora_scale=_ls(model_cfg.lora),
+            )
+        else:
+            logprobs, entropy = model_logprobs(params, spec, mb, model_cfg, mesh)
         total, metrics = loss_lib.compute_loss(
             trainer_logprobs=logprobs,
             inference_logprobs=mb.inference_logprobs,
@@ -146,14 +161,18 @@ def make_train_step(
     loss_cfg,
     optimizer: optax.GradientTransformation,
     mesh_info: MeshInfo,
+    base_params: Params | None = None,
 ):
     """Build the jitted RL train step.
 
     fn(state, batch: MicroBatchArrays [N,B,L], scales) -> (state', metrics)
+
+    ``base_params``: frozen base weights for LoRA mode — the state then holds
+    only adapter params (reference analogue: trainer/lora.py module swap).
     """
     # Ulysses CP engages when the mesh has a context axis > 1
     cp_mesh = mesh_info.mesh if mesh_info.cp_size > 1 else None
-    loss_fn = make_loss_fn(spec, model_cfg, loss_cfg, cp_mesh)
+    loss_fn = make_loss_fn(spec, model_cfg, loss_cfg, cp_mesh, base_params)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
@@ -236,6 +255,70 @@ def init_train_state(
         out_shardings=state_shardings_for_opt(optimizer, params, mesh_info),
     )(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def init_base_params(
+    spec: ModelSpec,
+    mesh_info: MeshInfo,
+    seed: int = 0,
+    params: Params | None = None,
+) -> Params:
+    """Sharded frozen base weights (LoRA mode): random-init in place or
+    device_put a loaded pytree."""
+    from prime_rl_tpu.models import get_family
+
+    if params is not None:
+        return jax.device_put(params, model_base.param_shardings(params, mesh_info))
+    family = get_family(spec)
+    shapes = jax.eval_shape(lambda: family.init(spec, jax.random.key(seed)))
+    shardings = model_base.param_shardings(shapes, mesh_info)
+    return jax.jit(lambda: family.init(spec, jax.random.key(seed)), out_shardings=shardings)()
+
+
+def init_lora_train_state(
+    spec: ModelSpec,
+    lora_cfg,
+    mesh_info: MeshInfo,
+    optimizer: optax.GradientTransformation,
+    seed: int = 0,
+) -> TrainState:
+    """Adapter-only train state, sharded by the LoRA rules."""
+    from jax.sharding import NamedSharding
+
+    from prime_rl_tpu.models.lora import init_lora, lora_param_pspec
+
+    def init_fn():
+        p = init_lora(spec, lora_cfg, jax.random.key(seed))
+        return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
+
+    shapes = jax.eval_shape(init_fn)
+    replicated = mesh_info.replicated()
+
+    def fit(spec_, shape):
+        from jax.sharding import PartitionSpec as P
+
+        dims = []
+        for i, axis in enumerate(spec_):
+            if axis is None:
+                dims.append(None)
+                continue
+            size = mesh_info.sizes[axis]
+            dims.append(axis if i < len(shape) and shape[i] % size == 0 else None)
+        return P(*dims)
+
+    param_pairs = model_base._iter_paths(shapes.params)
+    by_shape = {}
+    param_shardings = {"layers": {}}
+    for path, leaf in param_pairs:
+        sh = NamedSharding(mesh_info.mesh, fit(lora_param_pspec(path), leaf.shape))
+        name = path.split(".")[-1]
+        param_shardings["layers"][name] = sh
+        by_shape.setdefault(tuple(leaf.shape), sh)
+    opt_shardings = jax.tree.map(
+        lambda leaf: by_shape.get(tuple(leaf.shape), replicated), shapes.opt_state
+    )
+    shardings = TrainState(params=param_shardings, opt_state=opt_shardings, step=replicated)
+    return jax.jit(init_fn, out_shardings=shardings)()
 
 
 def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo):

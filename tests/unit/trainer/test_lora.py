@@ -1,0 +1,100 @@
+"""LoRA: adapter-only training, identity at init, merge correctness
+(reference roles: trainer/lora.py tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prime_rl_tpu.configs import MeshConfig, TrainerConfig
+from prime_rl_tpu.configs.shared import AdamWConfig, LoRAConfig
+from prime_rl_tpu.models import qwen3
+from prime_rl_tpu.models.base import debug_spec
+from prime_rl_tpu.models.lora import init_lora, lora_scale, merge_lora, adapter_state_dict
+from prime_rl_tpu.parallel.mesh import build_mesh
+from prime_rl_tpu.trainer import step as step_lib
+from prime_rl_tpu.trainer.optim import make_optimizer
+from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+from prime_rl_tpu.trainer.step import (
+    Scales,
+    init_base_params,
+    init_lora_train_state,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def spec():
+    return debug_spec(num_layers=2)
+
+
+def test_lora_identity_at_init(spec):
+    cfg = LoRAConfig(rank=4)
+    base = qwen3.init_params(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    ids = jnp.arange(16)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    h0 = qwen3.forward(base, spec, ids, seg, pos, compute_dtype=jnp.float32,
+                       attn_impl="xla", remat="none")
+    h1 = qwen3.forward(base, spec, ids, seg, pos, compute_dtype=jnp.float32,
+                       attn_impl="xla", remat="none", lora=lora, lora_scale=lora_scale(cfg))
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+    # B=0 -> merge is the identity
+    merged = merge_lora(base, lora, cfg)
+    np.testing.assert_allclose(np.asarray(merged["layers"]["q"]),
+                               np.asarray(base["layers"]["q"]), atol=1e-7)
+
+
+def test_merge_matches_runtime_adapter(spec):
+    cfg = LoRAConfig(rank=4)
+    base = qwen3.init_params(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    # make B nonzero so the adapter does something
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    ids = jnp.arange(16)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    with_adapter = qwen3.forward(base, spec, ids, seg, pos, compute_dtype=jnp.float32,
+                                 attn_impl="xla", remat="none",
+                                 lora=lora, lora_scale=lora_scale(cfg))
+    merged = merge_lora(base, lora, cfg)
+    with_merged = qwen3.forward(merged, spec, ids, seg, pos, compute_dtype=jnp.float32,
+                                attn_impl="xla", remat="none")
+    np.testing.assert_allclose(np.asarray(with_adapter), np.asarray(with_merged),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_lora_train_step_only_updates_adapters(spec):
+    cfg = TrainerConfig()
+    cfg.model.attn.impl = "xla"
+    cfg.model.lm_head_chunk_size = 0
+    cfg.model.lora = LoRAConfig(rank=4)
+    mesh_info = build_mesh(MeshConfig(fsdp=2, tensor=2, context=2))
+    opt, _ = make_optimizer(AdamWConfig(lr=1e-2), cfg.scheduler, 1.0)
+    base = init_base_params(spec, mesh_info, seed=0)
+    base_before = np.asarray(jax.tree.leaves(base)[0]).copy()
+    state = init_lora_train_state(spec, cfg.model.lora, mesh_info, opt, seed=0)
+    ts = make_train_step(spec, cfg.model, cfg.loss, opt, mesh_info, base_params=base)
+    loader = FakeDataLoader(spec.vocab_size, 128, 2, 2, seed=4)
+    losses = []
+    for _ in range(4):
+        batch, counts = loader.next_batch()
+        batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+        scales = Scales(jnp.float32(max(counts["rl"], 1)), jnp.float32(1), jnp.float32(1))
+        state, metrics = ts(state, batch, scales)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    # adapters moved (B no longer zero)
+    assert float(jnp.abs(state.params["layers"]["q_b"]).sum()) > 0
+    # base untouched
+    np.testing.assert_array_equal(np.asarray(jax.tree.leaves(base)[0]), base_before)
+
+
+def test_adapter_export(spec):
+    cfg = LoRAConfig(rank=4, target_modules=["q_proj", "v_proj"])
+    lora = init_lora(spec, cfg, jax.random.key(2))
+    state = adapter_state_dict(lora, spec, cfg)
+    assert "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight" in state
+    assert state["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"].shape == (4, spec.hidden_size)
+    assert not any("gate_proj" in k for k in state)
