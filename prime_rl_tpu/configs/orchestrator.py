@@ -98,6 +98,12 @@ class OrchestratorConfig(BaseConfig):
     max_batch_tokens: int | None = None
     seq_len: int = 4096
 
+    # How new policy versions are detected: "filesystem" polls weights/ and
+    # pushes /update_weights to each engine; "liveness" polls the engines'
+    # /liveness policy_version (colocated mode — the trainer swaps weights
+    # in-process and just bumps the version)
+    watch: Literal["filesystem", "liveness"] = "filesystem"
+
     # Async pipeline control (reference: orchestrator.py:103-107,912-942)
     target_lag: int = 1
     max_off_policy_steps: int = 8

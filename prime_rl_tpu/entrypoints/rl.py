@@ -42,10 +42,13 @@ def rl(config: RLConfig) -> int:
     config.trainer.output_dir = str(output_dir)
     config.orchestrator.output_dir = str(output_dir)
     config.inference.output_dir = str(output_dir)
+    if config.colocated:
+        config.orchestrator.watch = "liveness"
     cfg_dir = output_dir / "configs"
     trainer_toml = _write_subconfig(config.trainer, cfg_dir / "trainer.toml")
     orch_toml = _write_subconfig(config.orchestrator, cfg_dir / "orchestrator.toml")
     inf_toml = _write_subconfig(config.inference, cfg_dir / "inference.toml")
+    rl_toml = _write_subconfig(config, cfg_dir / "rl_resolved.toml")
 
     if config.dry_run:
         print(f"resolved configs written to {cfg_dir}")
@@ -54,10 +57,18 @@ def rl(config: RLConfig) -> int:
     py = sys.executable
     children: dict[str, subprocess.Popen] = {}
     try:
-        children["inference"] = _spawn(
-            "inference", [py, "-m", "prime_rl_tpu.entrypoints.inference", f"@{inf_toml}"],
-            output_dir,
-        )
+        if config.colocated:
+            # one process owns the chip(s): learner + sampler time-sliced,
+            # weight sync fully on-device
+            children["trainer"] = _spawn(
+                "colocated", [py, "-m", "prime_rl_tpu.entrypoints.colocated", f"@{rl_toml}"],
+                output_dir,
+            )
+        else:
+            children["inference"] = _spawn(
+                "inference", [py, "-m", "prime_rl_tpu.entrypoints.inference", f"@{inf_toml}"],
+                output_dir,
+            )
         for i, es in enumerate(config.env_servers):
             es.output_dir = str(output_dir)
             es_toml = _write_subconfig(es, cfg_dir / f"env_{i}.toml")
@@ -69,10 +80,11 @@ def rl(config: RLConfig) -> int:
             "orchestrator", [py, "-m", "prime_rl_tpu.entrypoints.orchestrator", f"@{orch_toml}"],
             output_dir, env={"JAX_PLATFORMS": "cpu"},  # orchestrator never touches the TPU
         )
-        children["trainer"] = _spawn(
-            "trainer", [py, "-m", "prime_rl_tpu.entrypoints.trainer", f"@{trainer_toml}"],
-            output_dir,
-        )
+        if not config.colocated:
+            children["trainer"] = _spawn(
+                "trainer", [py, "-m", "prime_rl_tpu.entrypoints.trainer", f"@{trainer_toml}"],
+                output_dir,
+            )
         print(f"RL run: {len(children)} processes, logs under {output_dir}/logs/")
 
         # fail-fast child monitor (reference: rl.py:368-401)

@@ -361,7 +361,24 @@ class Orchestrator:
     async def _apply_latest_weights(self) -> bool:
         """One watcher pass: if a newer STABLE snapshot exists, publish the
         version, age in-flight groups, then pause→update→resume every engine
-        (ordering per reference: watcher.py:54-157). Returns True if applied."""
+        (ordering per reference: watcher.py:54-157). Returns True if applied.
+
+        Liveness mode (colocated): the trainer already swapped the engine's
+        weights in-process — only observe the version and age groups."""
+        if self.config.watch == "liveness":
+            latest = self.policy.version
+            for client in self.inference:
+                try:
+                    live = await client.liveness()
+                    latest = max(latest, int(live.get("policy_version", -1)))
+                except Exception:
+                    pass
+            if latest <= self.policy.version:
+                return False
+            self.policy.version = latest
+            self.age_inflight()
+            self.logger.info(f"policy -> v{latest} (liveness)")
+            return True
         weights_parent = pathing.Path(self.config.output_dir) / "weights"
         latest = pathing.latest_step(weights_parent)
         if latest is None or latest <= self.policy.version:

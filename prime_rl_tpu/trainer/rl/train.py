@@ -32,7 +32,10 @@ from prime_rl_tpu.utils.monitor import setup_monitor
 from prime_rl_tpu.utils.pathing import logs_dir
 
 
-def train(config: TrainerConfig) -> None:
+def train(config: TrainerConfig, weight_sink=None) -> None:
+    """``weight_sink``: WeightBroadcastSink override (trainer/rl/broadcast.py).
+    None = filesystem broadcast (snapshot per step); the colocated entrypoint
+    passes a ColocatedBroadcast that swaps the live engine's params."""
     setup_logger(config.log.level, config.log.json_logs,
                  logs_dir(config.output_dir) / "trainer.log")
     logger = get_logger()
@@ -92,8 +95,13 @@ def train(config: TrainerConfig) -> None:
 
     # startup broadcast: publish the current policy so the sampler starts from
     # trainer weights (reference: rl/train.py:277-288)
+    from prime_rl_tpu.trainer.rl.broadcast import FilesystemBroadcast
+
+    colocated = weight_sink is not None
+    if weight_sink is None:
+        weight_sink = FilesystemBroadcast(weight_mgr)
     version = progress.step
-    weight_mgr.save(publish_params(), version)
+    weight_sink.publish(publish_params(), version)
     logger.info(f"published initial weights v{version}")
 
     from prime_rl_tpu.utils.metrics_server import maybe_start_metrics_server
@@ -138,12 +146,14 @@ def train(config: TrainerConfig) -> None:
         progress.total_tokens += tokens
         perf.record(dt, tokens)
 
-        # weight broadcast: v{step} (filesystem path; the orchestrator's
-        # watcher pauses/updates/resumes the sampler pool)
+        # weight broadcast: v{step} — filesystem snapshot+STABLE or direct
+        # in-process engine swap (colocated)
         version = progress.step
         if bench is None:
             t_pub = time.perf_counter()
-            weight_mgr.save(publish_params(), version)
+            weight_sink.publish(publish_params(), version)
+            if colocated and progress.step % config.weight_ckpt.interval == 0:
+                weight_mgr.save(publish_params(), version)
             pub_s = time.perf_counter() - t_pub
         else:
             pub_s = 0.0
