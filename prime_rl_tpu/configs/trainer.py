@@ -192,6 +192,15 @@ class SFTDataConfig(BaseConfig):
     loss_mask: Literal["all", "assistant"] = "assistant"
 
 
+class SFTValConfig(BaseConfig):
+    """Held-out validation (reference: sft/train.py validation loop)."""
+
+    interval: int = 50
+    num_batches: int = 4
+    split: str = "test"
+    seed: int = 1234  # held-out stream seed for fake datasets
+
+
 class SFTConfig(BaseConfig):
     """SFT trainer process config."""
 
@@ -204,6 +213,7 @@ class SFTConfig(BaseConfig):
     ckpt: CheckpointConfig = CheckpointConfig()
     weight_ckpt: WeightCheckpointConfig = WeightCheckpointConfig()
     data: SFTDataConfig = SFTDataConfig()
+    val: SFTValConfig | None = None
     monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
     log: LogConfig = LogConfig()
     max_steps: int | None = 100

@@ -129,6 +129,24 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         num_experts_per_tok=8, moe_intermediate_size=768, norm_topk_prob=True,
         **{**_QWEN3, "family": "qwen3_moe"},
     ),
+    "meta-llama/Llama-3.2-1B": ModelSpec(
+        family="llama", vocab_size=128256, hidden_size=2048, num_layers=16, num_heads=32,
+        num_kv_heads=8, head_dim=64, intermediate_size=8192, rope_theta=500000.0,
+        rms_eps=1e-5, tie_embeddings=True, qk_norm=False, max_position_embeddings=131072,
+        eos_token_id=128001, pad_token_id=128001,
+    ),
+    "meta-llama/Llama-3.2-3B": ModelSpec(
+        family="llama", vocab_size=128256, hidden_size=3072, num_layers=28, num_heads=24,
+        num_kv_heads=8, head_dim=128, intermediate_size=8192, rope_theta=500000.0,
+        rms_eps=1e-5, tie_embeddings=True, qk_norm=False, max_position_embeddings=131072,
+        eos_token_id=128001, pad_token_id=128001,
+    ),
+    "meta-llama/Llama-3.1-8B": ModelSpec(
+        family="llama", vocab_size=128256, hidden_size=4096, num_layers=32, num_heads=32,
+        num_kv_heads=8, head_dim=128, intermediate_size=14336, rope_theta=500000.0,
+        rms_eps=1e-5, tie_embeddings=False, qk_norm=False, max_position_embeddings=131072,
+        eos_token_id=128001, pad_token_id=128001,
+    ),
     # ByteTokenizer-compatible tiny model for the offline sync-GRPO debug loop
     # (vocab 512 covers the 260-token byte vocab; eos = <|im_end|> = 258)
     "debug": ModelSpec(

@@ -70,6 +70,34 @@ def train(config: SFTConfig) -> None:
         tokenizer = AutoTokenizer.from_pretrained(config.tokenizer.name or config.model.name)
     loader = setup_sft_loader(config.data, tokenizer)
 
+    val_loader = None
+    eval_step = None
+    if config.val is not None:
+        val_data = config.data.model_copy(
+            update={"seed": config.val.seed, "split": config.val.split}
+        )
+        val_loader = setup_sft_loader(val_data, tokenizer)
+        from prime_rl_tpu.trainer.step import make_loss_fn
+
+        val_loss_fn = make_loss_fn(spec, config.model, loss_cfg,
+                                   mesh_info.mesh if mesh_info.cp_size > 1 else None)
+        eval_step = jax.jit(lambda p, mb, sc: val_loss_fn(p, mb, sc)[1]["nll"])
+
+    def run_validation(step: int) -> None:
+        totals, counts = 0.0, 0.0
+        for _ in range(config.val.num_batches):
+            vb, vcounts = val_loader.next_batch()
+            vb = step_lib.put_batch(jax.tree.map(jnp.asarray, vb), mesh_info)
+            sc = Scales(jnp.float32(1), jnp.float32(max(vcounts["ce"], 1)), jnp.float32(1))
+            for i in range(vb.input_ids.shape[0]):
+                mb = jax.tree.map(lambda x: x[i], vb)
+                nll = eval_step(state.params, mb, sc)
+                totals += float(nll.total)
+                counts += float(nll.count)
+        val_nll = totals / max(counts, 1.0)
+        monitor.log({"val_nll": val_nll}, step)
+        logger.info(f"validation @ step {step}: nll={val_nll:.4f}")
+
     perf = PerfCounter(spec.flops_per_token(config.data.seq_len), mesh_info.mesh.size)
     max_steps = config.max_steps or 10**9
     bench = config.bench
@@ -106,6 +134,8 @@ def train(config: SFTConfig) -> None:
             f"tps={perf.tokens_per_sec:,.0f} ({dt*1e3:.0f} ms)"
         )
 
+        if eval_step is not None and progress.step % config.val.interval == 0:
+            run_validation(progress.step)
         if bench is None and progress.step % config.ckpt.interval == 0:
             ckpt_mgr.save(state, progress)
         if bench is None and progress.step % config.weight_ckpt.interval == 0:
