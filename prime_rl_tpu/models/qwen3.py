@@ -93,6 +93,10 @@ def _attn_block(
     k = apply_rope(k, position_ids, inv_freq)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                   block_q=block_q, block_kv=block_kv, mesh=mesh)
+    # tagged so the "save_attn" remat policy keeps attention outputs and the
+    # backward never re-runs the O(L^2) kernel (memory: [B, L, H*D] per layer)
+    from jax.ad_checkpoint import checkpoint_name as _ckname
+    o = _ckname(o, "attn_out")
     return h + _p(o.reshape(b, l, spec.q_dim), lp["o"], lora, "o", lora_scale)
 
 
@@ -139,6 +143,14 @@ def forward(
 
     if remat == "full":
         block = jax.checkpoint(block, prevent_cse=False)
+    elif remat == "save_attn":
+        # full remat EXCEPT attention outputs: trades ~[B,L,H*D]/layer of HBM
+        # for skipping the quadratic attention recompute in the backward
+        block = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            prevent_cse=False,
+        )
     elif remat == "selective":
         block = jax.checkpoint(
             block,
