@@ -67,11 +67,16 @@ class EvalSourceConfig(BaseConfig):
 
 
 class ClientConfig(BaseConfig):
-    """Inference pool endpoints."""
+    """Inference pool endpoints. ``discovery`` switches to the elastic pool:
+    ``file:///path/to/urls.txt`` or ``dns://name`` re-read on an interval,
+    with joiners weight-synced before admission (reference: utils/elastic.py)."""
 
     base_urls: list[str] = Field(default_factory=lambda: ["http://127.0.0.1:8000"])
     api_key: str | None = None
     timeout: float = 1200.0
+    discovery: str | None = None
+    discovery_port: int = 8000
+    sync_interval: float = 10.0
 
 
 class OrchestratorCheckpointConfig(BaseConfig):

@@ -103,9 +103,16 @@ class Orchestrator:
         self.policy = Policy()
         self.progress = Progress()
         self.monitor = setup_monitor(config.monitor, config.output_dir, "orchestrator")
-        self.inference = [InferenceClient(u, timeout=config.client.timeout)
-                          for u in config.client.base_urls]
-        self._rr = itertools.cycle(range(len(self.inference)))
+        from prime_rl_tpu.orchestrator.pool import ElasticInferencePool, StaticInferencePool
+
+        if config.client.discovery:
+            self.pool = ElasticInferencePool(
+                config.client.discovery, config.client.discovery_port,
+                config.client.timeout,
+                weight_dir_fn=lambda v: pathing.weights_dir(config.output_dir, v),
+            )
+        else:
+            self.pool = StaticInferencePool(config.client.base_urls, config.client.timeout)
         self.sources: dict[str, EnvSource] = {}
         self.filters = FilterSet(config.filters)
         self.inflight: set[GroupState] = set()
@@ -142,17 +149,15 @@ class Orchestrator:
         if cfg.ckpt.resume_step is not None:
             self._load_ckpt(cfg.ckpt.resume_step)
 
-        # wait for at least one live inference server
-        for client in self.inference:
-            for _ in range(600):
-                try:
-                    live = await client.liveness()
-                    self.policy.version = max(self.policy.version, live.get("policy_version", -1))
-                    break
-                except Exception:
-                    await asyncio.sleep(1.0)
-            else:
-                raise TimeoutError(f"inference at {client.base_url} never became live")
+        # wait for the inference pool (elastic: discover first)
+        if hasattr(self.pool, "sync"):
+            deadline = time.monotonic() + 600
+            while not self.pool.members and time.monotonic() < deadline:
+                await self.pool.sync()
+                if not self.pool.members:
+                    await asyncio.sleep(2.0)
+        live = await self.pool.wait_live()
+        self.policy.version = max(self.policy.version, live.get("policy_version", -1))
         # sync samplers to the trainer's startup broadcast before dispatching
         # (reference: orchestrator.py:354-382 resume re-sync)
         deadline = time.monotonic() + 300
@@ -183,7 +188,7 @@ class Orchestrator:
             group_size=src.config.group_size,
             policy_version_at_start=self.policy.version,
         )
-        base_url = self.inference[next(self._rr)].base_url  # group pinned for prefix cache
+        base_url = self.pool.pick().base_url  # group pinned for prefix-cache affinity
         sampling = SamplingConfig(
             max_tokens=src.config.sampling.max_tokens or 256,
             temperature=src.config.sampling.temperature,
@@ -225,6 +230,7 @@ class Orchestrator:
             self._permits.release()
             if group.complete and group in self.inflight:
                 self.inflight.discard(group)
+                self.pool.release(base_url)
                 await self._group_done.put(group)
 
     def age_inflight(self) -> None:
@@ -259,7 +265,7 @@ class Orchestrator:
                 top_p=src.config.sampling.top_p,
                 top_k=src.config.sampling.top_k,
             )
-            base_url = self.inference[next(self._rr)].base_url
+            base_url = self.pool.pick().base_url
             self.logger.info(f"eval '{name}' @ step {step}: {len(tasks)} examples x{src.config.group_size}")
             for task in tasks:
                 group = GroupState(
@@ -367,7 +373,7 @@ class Orchestrator:
         weights in-process — only observe the version and age groups."""
         if self.config.watch == "liveness":
             latest = self.policy.version
-            for client in self.inference:
+            for client in self.pool.clients:
                 try:
                     live = await client.liveness()
                     latest = max(latest, int(live.get("policy_version", -1)))
@@ -386,7 +392,9 @@ class Orchestrator:
         self.policy.version = latest  # pre-apply publish
         self.age_inflight()  # drain/cancel BEFORE pausing engines
         wdir = str(pathing.weights_dir(self.config.output_dir, latest))
-        for client in self.inference:
+        if hasattr(self.pool, "current_version"):
+            self.pool.current_version = latest  # joiners sync to this
+        for client in self.pool.clients:
             try:
                 await client.pause()
                 await client.update_weights(wdir, latest)
@@ -397,8 +405,15 @@ class Orchestrator:
         return True
 
     async def _watch_weights(self) -> None:
+        last_sync = 0.0
         while not self._stop:
             await self._apply_latest_weights()
+            if hasattr(self.pool, "sync") and time.monotonic() - last_sync > self.config.client.sync_interval:
+                try:
+                    await self.pool.sync()
+                except Exception:
+                    self.logger.exception("elastic pool sync failed")
+                last_sync = time.monotonic()
             await asyncio.sleep(0.5)
 
     # -- ckpt ---------------------------------------------------------------

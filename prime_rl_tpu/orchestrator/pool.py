@@ -1,0 +1,126 @@
+"""Inference pools: static least-loaded selection + elastic membership
+(reference: utils/client.py:30-166 InferencePool/StaticInferencePool,
+utils/elastic.py:106-507 ElasticInferencePool).
+
+The orchestrator assigns each rollout *group* to one engine (prefix-cache
+affinity) using assignment-count least-loaded selection. The elastic pool
+re-reads a discovery source (url list file or DNS name) on ``sync()``,
+health-checks members, drops dead engines, and brings joiners up to the
+current policy before admitting them (reference: elastic.py weight resync).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import socket
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from prime_rl_tpu.envs.client import InferenceClient
+from prime_rl_tpu.utils.logger import get_logger
+
+
+@dataclass
+class PoolMember:
+    client: InferenceClient
+    inflight: int = 0
+    healthy: bool = True
+
+    @property
+    def base_url(self) -> str:
+        return self.client.base_url
+
+
+class StaticInferencePool:
+    def __init__(self, base_urls: list[str], timeout: float = 1200.0):
+        self.members = [PoolMember(InferenceClient(u, timeout)) for u in base_urls]
+
+    @property
+    def clients(self) -> list[InferenceClient]:
+        return [m.client for m in self.members if m.healthy]
+
+    def pick(self) -> PoolMember:
+        healthy = [m for m in self.members if m.healthy] or self.members
+        m = min(healthy, key=lambda m: m.inflight)
+        m.inflight += 1
+        return m
+
+    def release(self, base_url: str) -> None:
+        for m in self.members:
+            if m.base_url == base_url and m.inflight > 0:
+                m.inflight -= 1
+                return
+
+    async def wait_live(self, timeout: float = 600.0) -> dict:
+        """Block until every member answers /liveness; returns the max-version
+        liveness payload."""
+        best: dict = {}
+        for m in self.members:
+            deadline = asyncio.get_event_loop().time() + timeout
+            while True:
+                try:
+                    live = await m.client.liveness()
+                    if live.get("policy_version", -1) >= best.get("policy_version", -1):
+                        best = live
+                    break
+                except Exception:
+                    if asyncio.get_event_loop().time() > deadline:
+                        raise TimeoutError(f"{m.base_url} never became live")
+                    await asyncio.sleep(1.0)
+        return best
+
+
+class ElasticInferencePool(StaticInferencePool):
+    """Discovers members from a source; ``sync()`` reconciles membership."""
+
+    def __init__(self, discovery: str, port: int = 8000, timeout: float = 1200.0,
+                 weight_dir_fn=None):
+        super().__init__([], timeout)
+        self.discovery = discovery
+        self.port = port
+        self.timeout = timeout
+        self.weight_dir_fn = weight_dir_fn  # version -> weight dir (joiner sync)
+        self.current_version = -1
+
+    def _discover(self) -> list[str]:
+        if self.discovery.startswith("file://"):
+            path = Path(self.discovery[len("file://"):])
+            if not path.exists():
+                return []
+            return [l.strip() for l in path.read_text().splitlines() if l.strip()]
+        if self.discovery.startswith("dns://"):
+            name = self.discovery[len("dns://"):]
+            try:
+                _, _, addrs = socket.gethostbyname_ex(name)
+            except OSError:
+                return []
+            return [f"http://{a}:{self.port}" for a in sorted(addrs)]
+        return [u.strip() for u in self.discovery.split(",") if u.strip()]
+
+    async def sync(self) -> None:
+        logger = get_logger()
+        urls = set(self._discover())
+        known = {m.base_url for m in self.members}
+        # health-check existing
+        for m in list(self.members):
+            try:
+                await m.client.liveness()
+                m.healthy = True
+            except Exception:
+                m.healthy = False
+                if m.base_url not in urls:
+                    self.members.remove(m)
+                    logger.info(f"elastic: dropped dead engine {m.base_url}")
+        # admit joiners (after syncing them to the current policy)
+        for url in urls - known:
+            client = InferenceClient(url, self.timeout)
+            try:
+                await client.liveness()
+                if self.weight_dir_fn is not None and self.current_version >= 0:
+                    await client.update_weights(
+                        str(self.weight_dir_fn(self.current_version)), self.current_version
+                    )
+                self.members.append(PoolMember(client))
+                logger.info(f"elastic: admitted engine {url} (v{self.current_version})")
+            except Exception as e:
+                logger.debug(f"elastic: candidate {url} not ready: {e}")
