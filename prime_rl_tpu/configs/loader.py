@@ -24,10 +24,29 @@ T = TypeVar("T", bound=BaseModel)
 
 def deep_merge(base: dict[str, Any], overlay: dict[str, Any]) -> dict[str, Any]:
     """Recursively merge ``overlay`` into ``base`` (overlay wins). Lists are
-    replaced, not concatenated — matching TOML re-declaration semantics."""
+    replaced, not concatenated — matching TOML re-declaration semantics —
+    EXCEPT when the overlay is a dict of numeric indices
+    (``--train-envs.0.name x`` CLI overrides merge into list elements)."""
     out = dict(base)
     for key, value in overlay.items():
-        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+        if (
+            key in out
+            and isinstance(out[key], list)
+            and isinstance(value, dict)
+            and value
+            and all(k.isdigit() for k in value)
+        ):
+            items = list(out[key])
+            for idx_str, item_overlay in value.items():
+                idx = int(idx_str)
+                while len(items) <= idx:
+                    items.append({})
+                if isinstance(items[idx], dict) and isinstance(item_overlay, dict):
+                    items[idx] = deep_merge(items[idx], item_overlay)
+                else:
+                    items[idx] = item_overlay
+            out[key] = items
+        elif key in out and isinstance(out[key], dict) and isinstance(value, dict):
             out[key] = deep_merge(out[key], value)
         else:
             out[key] = value
