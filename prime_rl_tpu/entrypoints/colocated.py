@@ -69,6 +69,12 @@ def run_colocated(config: RLConfig) -> None:
         f"{cache_cfg.num_pages}x{cache_cfg.page_size}, training starts now"
     )
     train(tcfg, weight_sink=ColocatedBroadcast(engine))
+    # bounded teardown: the server/engine daemon threads hold zmq/aiohttp
+    # state that can abort at interpreter shutdown (reference:
+    # orchestrator.py:95-97 uses the same os._exit pattern)
+    import os
+
+    os._exit(0)
 
 
 def main() -> None:

@@ -36,8 +36,45 @@ def _spawn(name: str, args: list[str], output_dir: Path, env: dict | None = None
     )
 
 
+def _resolve_resume(config: RLConfig, output_dir: Path) -> None:
+    """Resolve ``--trainer.ckpt.resume-step -1`` to the newest step both the
+    trainer and orchestrator checkpointed, pin it in both subconfigs, and
+    clean artifacts from beyond it (reference: entrypoints/rl.py:618-653)."""
+    import shutil
+
+    from prime_rl_tpu.utils import pathing
+
+    step = config.trainer.ckpt.resume_step
+    ckpts = pathing.list_step_dirs(output_dir / "checkpoints")
+    both = [
+        s for s in ckpts
+        # a finalized orbax save has the `state` dir (tmp dirs mean the save
+        # was interrupted)
+        if (pathing.trainer_ckpt_dir(output_dir, s) / "state").exists()
+        and (pathing.orch_ckpt_dir(output_dir, s) / "state.json").exists()
+    ]
+    if step == -1:
+        if not both:
+            print("no joint checkpoint found; starting fresh")
+            config.trainer.ckpt.resume_step = None
+            config.orchestrator.ckpt.resume_step = None
+            return
+        step = both[-1]
+    config.trainer.ckpt.resume_step = step
+    config.orchestrator.ckpt.resume_step = step
+    # clean snapshots/rollouts written after the resume point so the version
+    # protocol restarts cleanly
+    for parent in ("weights", "rollouts"):
+        for s in pathing.list_step_dirs(output_dir / parent, stable_only=False):
+            if s > step:
+                shutil.rmtree(output_dir / parent / f"step_{s}", ignore_errors=True)
+    print(f"resuming both processes from step {step}")
+
+
 def rl(config: RLConfig) -> int:
     output_dir = Path(config.output_dir)
+    if config.trainer.ckpt.resume_step is not None:
+        _resolve_resume(config, output_dir)
     # propagate the shared output dir into every process config
     config.trainer.output_dir = str(output_dir)
     config.orchestrator.output_dir = str(output_dir)
@@ -96,6 +133,14 @@ def rl(config: RLConfig) -> int:
                         print("trainer finished cleanly; shutting down")
                         return 0
                     if name == "orchestrator" and code == 0:
+                        # give the trainer a grace window to finish its final
+                        # checkpoint save before SIGTERM
+                        trainer = children.get("trainer")
+                        if trainer is not None and trainer.poll() is None:
+                            try:
+                                trainer.wait(timeout=120)
+                            except subprocess.TimeoutExpired:
+                                pass
                         print("orchestrator finished cleanly; shutting down")
                         return 0
                     print(f"process {name} exited with {code}; failing run")
