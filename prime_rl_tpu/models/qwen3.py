@@ -78,6 +78,7 @@ def _attn_block(
     mesh=None,
     lora: dict | None = None,
     lora_scale: float = 1.0,
+    cp_style: str = "ulysses",
 ) -> jax.Array:
     from prime_rl_tpu.models.lora import apply_lora_proj as _p
 
@@ -92,7 +93,7 @@ def _attn_block(
     q = apply_rope(q, position_ids, inv_freq)
     k = apply_rope(k, position_ids, inv_freq)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
-                  block_q=block_q, block_kv=block_kv, mesh=mesh)
+                  block_q=block_q, block_kv=block_kv, mesh=mesh, cp_style=cp_style)
     # tagged so the "save_attn" remat policy keeps attention outputs and the
     # backward never re-runs the O(L^2) kernel (memory: [B, L, H*D] per layer)
     from jax.ad_checkpoint import checkpoint_name as _ckname
@@ -124,6 +125,7 @@ def forward(
     mesh=None,
     lora: Params | None = None,
     lora_scale: float = 1.0,
+    cp_style: str = "ulysses",
 ) -> jax.Array:
     """Token ids -> final hidden states [B, L, D] (pre-LM-head, normed).
 
@@ -137,7 +139,7 @@ def forward(
     def block(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
         h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
-                        attn_impl, block_q, block_kv, mesh, ll, lora_scale)
+                        attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style)
         h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
 

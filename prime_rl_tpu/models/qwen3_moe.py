@@ -63,6 +63,9 @@ def forward(
     block_kv: int = 512,
     remat: str = "full",
     mesh=None,
+    lora=None,
+    lora_scale: float = 1.0,
+    cp_style: str = "ulysses",
 ) -> jax.Array:
     """Token ids -> final normed hidden states [B, L, D]."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
@@ -74,7 +77,7 @@ def forward(
         cast = {k: (v.astype(compute_dtype) if v.ndim >= 2 and k != "router" else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
-                              attn_impl, block_q, block_kv, mesh)
+                              attn_impl, block_q, block_kv, mesh, lora, lora_scale, cp_style)
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
         out, _ = moe_mlp(
             x.reshape(b * l, d),

@@ -82,15 +82,20 @@ def attention(
     block_kv: int = 512,
     mesh=None,
     cp_axis: str = "context",
+    cp_style: str = "ulysses",
 ) -> jax.Array:
     """Self-attention dispatch for the training forward (Lq == Lk).
 
-    With a ``mesh`` whose ``cp_axis`` degree > 1, runs Ulysses context
-    parallelism (shard_map all-to-all heads↔seq) with the chosen kernel
-    locally; otherwise a single-program kernel under GSPMD."""
+    With a ``mesh`` whose ``cp_axis`` degree > 1, runs context parallelism:
+    ``ulysses`` (all-to-all heads↔seq) or ``ring`` (rotating KV blocks);
+    otherwise a single-program kernel under GSPMD."""
     if impl == "auto":
         impl = "pallas" if q.shape[1] >= 512 and jax.default_backend() not in ("cpu",) else "xla"
     if mesh is not None and mesh.shape.get(cp_axis, 1) > 1:
+        if cp_style == "ring":
+            from prime_rl_tpu.ops.ring_attention import ring_attention
+
+            return ring_attention(q, k, v, segment_ids, mesh, axis=cp_axis, causal=causal)
         from prime_rl_tpu.ops.ulysses import ulysses_attention
 
         return ulysses_attention(

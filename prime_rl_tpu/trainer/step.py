@@ -101,6 +101,7 @@ def model_logprobs(
         block_kv=model_cfg.attn.block_kv,
         remat=model_cfg.ac.mode,
         mesh=mesh,
+        cp_style=model_cfg.cp_style,
         **extra,
     )
     labels = _shift_left(mb.input_ids, 0)
