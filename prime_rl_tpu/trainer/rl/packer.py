@@ -1,0 +1,189 @@
+"""Packer: re-bins TrainingBatches into per-host MicroBatch streams for
+multi-host trainers (reference: trainer/rl/packer.py:1-358 SinglePacker +
+transport/zmq.py MicroBatch PUB/SUB).
+
+Single-host trainers pack locally (rl/train.py); a multi-host deployment
+runs one packer (here) that receives TrainingBatches from the orchestrator,
+first-fit packs them into [L] rows, balances rows across hosts by quadratic
+cost, and publishes each host's rows over the MicroBatch transport. A
+watchdog thread kills the process after a stall (reference: packer.py:23,
+62-70 — 30-min default) so a wedged data plane fails fast instead of
+hanging the cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+
+import numpy as np
+
+from prime_rl_tpu.trainer.batch import balance_rows, pack_rows
+from prime_rl_tpu.trainer.step import MicroBatchArrays
+from prime_rl_tpu.transport.base import MicroBatchReceiver, MicroBatchSender, TrainingBatchReceiver
+from prime_rl_tpu.transport.types import MicroBatch, TrainingBatch
+from prime_rl_tpu.utils.logger import get_logger
+
+
+def row_to_wire(row, seq_len: int) -> MicroBatch:
+    """PackedRow -> wire MicroBatch ([L] streams, zero-padded)."""
+    L = seq_len
+    input_ids = np.zeros(L, np.int32)
+    loss_mask = np.zeros(L, bool)
+    advantages = np.zeros(L, np.float32)
+    logprobs = np.zeros(L, np.float32)
+    position_ids = np.zeros(L, np.int32)
+    temperatures = np.ones(L, np.float32)
+    seq_lens: list[int] = []
+    env_names: list[str] = []
+    optional: dict[str, np.ndarray | None] = {
+        "ref_logprobs": None, "rl_weights": None, "ce_weights": None, "ref_kl_weights": None,
+    }
+    cursor = 0
+    for s in row.samples:
+        n = len(s)
+        sl = slice(cursor, cursor + n)
+        input_ids[sl] = s.token_ids
+        mask = np.asarray(s.mask, bool).copy()
+        mask[0] = False
+        loss_mask[sl] = mask
+        if s.advantages is not None:
+            advantages[sl] = s.advantages
+        logprobs[sl] = s.logprobs
+        position_ids[sl] = np.arange(n)
+        temperatures[sl] = s.temperatures
+        for name in optional:
+            v = getattr(s, name)
+            if v is not None:
+                if optional[name] is None:
+                    optional[name] = np.zeros(L, np.float32)
+                optional[name][sl] = v
+        seq_lens.append(n)
+        env_names.append(s.env_name)
+        cursor += n
+    return MicroBatch(
+        input_ids=input_ids, loss_mask=loss_mask, advantages=advantages,
+        inference_logprobs=logprobs, position_ids=position_ids,
+        temperatures=temperatures, seq_lens=seq_lens, env_names=env_names,
+        **optional,
+    )
+
+
+def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1) -> MicroBatchArrays:
+    """Wire rows -> stacked [N, B, L] arrays (+ derived segment ids)."""
+    L = len(mbs[0].input_ids)
+    B = rows_per_micro_batch
+    pad = (-len(mbs)) % B
+    rows = list(mbs) + [None] * pad
+    n = len(rows) // B
+
+    def seg_ids(mb: MicroBatch | None) -> np.ndarray:
+        seg = np.zeros(L, np.int32)
+        if mb is not None:
+            off = 0
+            for i, sl in enumerate(mb.seq_lens, start=1):
+                seg[off : off + sl] = i
+                off += sl
+        return seg
+
+    def stream(mb, name, fill=0.0):
+        if mb is None:
+            base = np.ones(L, np.float32) if name == "temperatures" else np.zeros(L, np.float32)
+            return base
+        v = getattr(mb, name)
+        return v
+
+    def maybe(name):
+        if all(getattr(mb, name) is None for mb in mbs):
+            return None
+        return np.stack([
+            np.stack([
+                (getattr(rows[i * B + j], name) if rows[i * B + j] is not None and getattr(rows[i * B + j], name) is not None else np.zeros(L, np.float32))
+                for j in range(B)
+            ]) for i in range(n)
+        ])
+
+    def grid(name):
+        return np.stack([
+            np.stack([stream(rows[i * B + j], name) for j in range(B)]) for i in range(n)
+        ])
+
+    return MicroBatchArrays(
+        input_ids=grid("input_ids").astype(np.int32),
+        loss_mask=grid("loss_mask").astype(bool),
+        advantages=grid("advantages").astype(np.float32),
+        inference_logprobs=grid("inference_logprobs").astype(np.float32),
+        position_ids=grid("position_ids").astype(np.int32),
+        segment_ids=np.stack([
+            np.stack([seg_ids(rows[i * B + j]) for j in range(B)]) for i in range(n)
+        ]),
+        temperatures=grid("temperatures").astype(np.float32),
+        ref_logprobs=maybe("ref_logprobs"),
+        rl_weights=maybe("rl_weights"),
+        ce_weights=maybe("ce_weights"),
+        ref_kl_weights=maybe("ref_kl_weights"),
+    )
+
+
+class Packer:
+    def __init__(
+        self,
+        receiver: TrainingBatchReceiver,
+        sender: MicroBatchSender,
+        seq_len: int,
+        num_ranks: int,
+        watchdog_timeout: float = 1800.0,
+    ):
+        self.receiver = receiver
+        self.sender = sender
+        self.seq_len = seq_len
+        self.num_ranks = num_ranks
+        self._last_progress = time.monotonic()
+        self._stop = threading.Event()
+        self.watchdog_timeout = watchdog_timeout
+        self._watchdog = threading.Thread(target=self._watch, daemon=True)
+
+    def _watch(self) -> None:
+        while not self._stop.wait(10.0):
+            if time.monotonic() - self._last_progress > self.watchdog_timeout:
+                get_logger().error(
+                    f"packer stalled > {self.watchdog_timeout}s; exiting "
+                    f"(reference: packer.py watchdog)"
+                )
+                os._exit(1)
+
+    def pack(self, batch: TrainingBatch) -> list[list[MicroBatch]]:
+        rows = pack_rows(batch.examples, self.seq_len)
+        bins = balance_rows(rows, self.num_ranks)
+        # every rank must see the same number of micro-batches (all-ranks-
+        # same-program); pad short bins with empty rows
+        width = max(len(b) for b in bins) if bins else 0
+        from prime_rl_tpu.trainer.batch import PackedRow
+
+        return [
+            [row_to_wire(r, self.seq_len) for r in b] + [
+                row_to_wire(PackedRow(samples=[]), self.seq_len)
+            ] * (width - len(b))
+            for b in bins
+        ]
+
+    def run(self, max_batches: int | None = None) -> None:
+        self._watchdog.start()
+        logger = get_logger()
+        seen = 0
+        while not self._stop.is_set():
+            batch = self.receiver.receive(timeout=1.0)
+            if batch is None:
+                continue
+            per_rank = self.pack(batch)
+            self.sender.send(batch.step, per_rank)
+            self._last_progress = time.monotonic()
+            seen += 1
+            logger.debug(f"packer: step {batch.step} -> {len(per_rank)} ranks x {len(per_rank[0])} rows")
+            if max_batches is not None and seen >= max_batches:
+                break
+        self._stop.set()
+
+    def stop(self) -> None:
+        self._stop.set()

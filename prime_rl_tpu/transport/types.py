@@ -164,6 +164,8 @@ def _from_wire(obj: Any) -> Any:
     if isinstance(obj, dict) and "__t__" in obj:
         cls = _TYPES[obj.pop("__t__")]
         return cls(**{k: _from_wire(v) for k, v in obj.items()})
+    if isinstance(obj, dict):
+        return {k: _from_wire(v) for k, v in obj.items()}
     if isinstance(obj, list):
         return [_from_wire(v) for v in obj]
     return obj
