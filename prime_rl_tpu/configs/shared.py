@@ -87,7 +87,7 @@ class AttentionConfig(BaseConfig):
 
     impl: Literal["auto", "pallas", "xla"] = "auto"
     block_q: int = 512
-    block_kv: int = 512
+    block_kv: int = 1024  # larger kv blocks stream better from HBM on TPU
 
 
 class ActivationCheckpointConfig(BaseConfig):

@@ -146,11 +146,11 @@ def forward(
     if remat == "full":
         block = jax.checkpoint(block, prevent_cse=False)
     elif remat == "save_attn":
-        # full remat EXCEPT attention outputs: trades ~[B,L,H*D]/layer of HBM
-        # for skipping the quadratic attention recompute in the backward
+        # full remat EXCEPT the attention kernel's outputs (out + lse): trades
+        # ~[B,L,H*D]/layer of HBM for skipping the O(L^2) forward recompute
         block = jax.checkpoint(
             block,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            policy=jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse"),
             prevent_cse=False,
         )
     elif remat == "selective":

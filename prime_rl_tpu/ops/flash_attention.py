@@ -65,11 +65,12 @@ def _fwd_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale  # [bq, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [bkv, D]
+        # keep MXU inputs in bf16 (f32 dots are ~8x slower); accumulate f32
+        q = q_ref[0, 0]  # [bq, D]
+        k = k_ref[0, 0]  # [bkv, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [bq, bkv]
+        ) * scale  # [bq, bkv]
 
         seg_q = seg_q_ref[0, 0]  # [bq]
         seg_kv = seg_kv_ref[0, 0]  # [bkv]
@@ -89,7 +90,7 @@ def _fwd_kernel(
         alpha = jnp.exp(m_prev - m_new)
         l_new = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         acc_ref[:] = acc_ref[:] * alpha[:, None] + jax.lax.dot_general(
-            p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:, 0] = m_new
@@ -166,14 +167,17 @@ def _bwd_dq_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
+        # bf16 MXU inputs, f32 accumulation (softmax math stays f32)
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
         lse = lse_ref[0, 0, 0]  # [bq]
         delta = delta_ref[0, 0, 0]  # [bq]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
         seg_q = seg_q_ref[0, 0]
         seg_kv = seg_kv_ref[0, 0]
         mask = (seg_q[:, None] == seg_kv[None, :]) & (seg_q[:, None] != 0)
@@ -183,7 +187,7 @@ def _bwd_dq_kernel(
             mask = mask & (rows >= cols)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])
+        ds = (p * (dp - delta[:, None])).astype(k.dtype)
         dq_acc_ref[:] += jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
@@ -195,10 +199,13 @@ def _bwd_dq_kernel(
 
 def _bwd_dkv_kernel(
     seg_q_ref, seg_kv_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
+    q_ref,  # [1, G, bq, D]: all query heads of this KV head's GQA group
+    k_ref, v_ref,  # [1, 1, bkv, D]
+    do_ref,  # [1, G, bq, D]
+    lse_ref, delta_ref,  # [1, G, 1, bq]
+    dk_ref, dv_ref,  # [1, 1, bkv, D]
     dk_acc_ref, dv_acc_ref,
-    *, scale, causal, block_q, block_kv,
+    *, scale, causal, block_q, block_kv, group,
 ):
     j = pl.program_id(2)  # kv block
     i = pl.program_id(3)  # q block (innermost)
@@ -213,14 +220,8 @@ def _bwd_dkv_kernel(
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * scale
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0, 0]
-        delta = delta_ref[0, 0, 0]
-
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
         seg_q = seg_q_ref[0, 0]
         seg_kv = seg_kv_ref[0, 0]
         mask = (seg_q[:, None] == seg_kv[None, :]) & (seg_q[:, None] != 0)
@@ -228,15 +229,25 @@ def _bwd_dkv_kernel(
             rows = i * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 0)
             cols = j * block_kv + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_kv), 1)
             mask = mask & (rows >= cols)
-        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # [bq, bkv]
-        dv_acc_ref[:] += jax.lax.dot_general(
-            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None])  # [bq, bkv]
-        dk_acc_ref[:] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # note: q already has scale folded in
+        # accumulate dk/dv over the whole GQA group before writing HBM
+        for g in range(group):
+            q = q_ref[0, g]
+            do = do_ref[0, g]
+            lse = lse_ref[0, g, 0]
+            delta = delta_ref[0, g, 0]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)  # [bq, bkv]
+            dv_acc_ref[:] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            ds = (p * (dp - delta[:, None])).astype(q.dtype)  # [bq, bkv]
+            dk_acc_ref[:] += jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
 
     @pl.when(i == nq - 1)
     def _finalize():
@@ -250,6 +261,9 @@ def _bwd(causal, scale, block_q, block_kv, res, g):
     b, nh, l, d = q.shape
     nkv_heads = k.shape[1]
     group = nh // nkv_heads
+    # the backward's per-block working set is ~2x the forward's (p AND ds in
+    # f32); kv blocks beyond 512 spill VMEM and regress
+    block_kv = min(block_kv, 512)
     nq = pl.cdiv(l, block_q)
     nkv = pl.cdiv(l, block_kv)
 
@@ -277,29 +291,30 @@ def _bwd(causal, scale, block_q, block_kv, res, g):
         interpret=_interpret(),
     )(seg3, seg3, q, k, v, do, lse, delta)
 
-    # dk/dv computed per q-head, then reduced over the GQA group
-    dk_h, dv_h = pl.pallas_call(
+    # dk/dv: one grid cell per KV head, GQA group accumulated in-kernel
+    dk, dv = pl.pallas_call(
         functools.partial(
-            _bwd_dkv_kernel, scale=scale, causal=causal, block_q=block_q, block_kv=block_kv
+            _bwd_dkv_kernel, scale=scale, causal=causal,
+            block_q=block_q, block_kv=block_kv, group=group,
         ),
-        grid=(b, nh, nkv, nq),
+        grid=(b, nkv_heads, nkv, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, h, j, i: (bi, 0, i)),
             pl.BlockSpec((1, 1, block_kv), lambda bi, h, j, i: (bi, 0, j)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h // group, j, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h // group, j, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
+            pl.BlockSpec((1, group, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
+            pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
+            pl.BlockSpec((1, group, block_q, d), lambda bi, h, j, i: (bi, h, i, 0)),
+            pl.BlockSpec((1, group, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
+            pl.BlockSpec((1, group, 1, block_q), lambda bi, h, j, i: (bi, h, 0, i)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
             pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nh, l, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, nh, l, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, nkv_heads, l, d), k.dtype),
+            jax.ShapeDtypeStruct((b, nkv_heads, l, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, d), jnp.float32),
@@ -307,9 +322,6 @@ def _bwd(causal, scale, block_q, block_kv, res, g):
         ],
         interpret=_interpret(),
     )(seg3, seg3, q, k, v, do, lse, delta)
-
-    dk = dk_h.reshape(b, nkv_heads, group, l, d).sum(axis=2).astype(k.dtype)
-    dv = dv_h.reshape(b, nkv_heads, group, l, d).sum(axis=2).astype(v.dtype)
     return dq, dk, dv, None
 
 
@@ -320,8 +332,13 @@ def _flash(q, k, v, segment_ids, causal, scale, block_q, block_kv):
 
 
 def _flash_fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _fwd(q, k, v, segment_ids, causal, scale, block_q, block_kv)
-    return out, (q, k, v, segment_ids, out, lse)
+    # named so the "save_attn" remat policy can keep the kernel outputs and
+    # skip re-running the forward flash kernel during the backward pass
+    return out, (q, k, v, segment_ids,
+                 checkpoint_name(out, "attn_out"), checkpoint_name(lse, "attn_lse"))
 
 
 def _flash_bwd(causal, scale, block_q, block_kv, res, g):

@@ -11,13 +11,16 @@ import time
 
 import jax
 
-# bf16 peak matmul FLOPs per chip (public spec sheets)
+# bf16 peak matmul FLOPs per chip (public spec sheets). Device kinds vary
+# ("TPU v5 lite" = v5e, "TPU v5p", ...), so match the most specific first.
 _PEAK_FLOPS = {
-    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5lite": 197e12,
     "v5e": 197e12,
     "v5p": 459e12,
     "v6e": 918e12,
-    "v6p": 4614e12 / 2,  # per-chip bf16
+    "v6 lite": 918e12,
+    "v4": 275e12,
     "cpu": 1e12,  # nominal, keeps MFU finite in tests
 }
 
