@@ -22,13 +22,19 @@ BASELINE_TOKENS_PER_SEC = 11_900.0  # Qwen3-0.6B RL, 16k seq, 1xH100 (BASELINE.m
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="Qwen/Qwen3-0.6B")
+    p.add_argument("--mode", choices=["train", "decode"], default="train")
     p.add_argument("--seq-len", type=int, default=16384)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--micro-batches", type=int, default=4)
     p.add_argument("--micro-batch-rows", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=32, help="decode: concurrent slots")
+    p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
+
+    if args.mode == "decode":
+        return bench_decode(args)
 
     import jax
 
@@ -101,6 +107,56 @@ def main() -> None:
         "value": round(tps, 1),
         "unit": "tok/s",
         "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
+    }))
+
+
+def bench_decode(args) -> None:
+    """Steady-state decode throughput of the sampling engine: ``batch_size``
+    concurrent requests generating ``gen_tokens`` each."""
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    spec = get_spec(args.model)
+    family = get_family(spec)
+    import jax.numpy as jnp
+
+    params = family.init(spec, jax.random.key(0), dtype=jnp.bfloat16)
+    max_len = max(512, args.gen_tokens + 128)
+    pages_needed = args.batch_size * (-(-max_len // 64)) + 16
+    cache_cfg = CacheConfig(
+        num_pages=pages_needed, page_size=64, max_slots=args.batch_size,
+        max_seq_len=max_len,
+    )
+    engine = Engine(params, spec, cache_cfg)
+    rng = np.random.default_rng(0)
+    prompts = [
+        [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]
+        for _ in range(args.batch_size)
+    ]
+    sp = SamplingParams(max_tokens=args.gen_tokens, temperature=1.0,
+                        ignore_eos=True, seed=1)
+    # warmup: compile prefill + decode
+    engine.generate(prompts[:1], SamplingParams(max_tokens=4, temperature=1.0, ignore_eos=True))
+
+    t0 = time.perf_counter()
+    results = engine.generate(prompts, sp)
+    dt = time.perf_counter() - t0
+    total = sum(len(r.token_ids) for r in results)
+    tps = total / dt
+    print(f"decode: {total} tokens in {dt:.2f}s across {args.batch_size} slots", file=sys.stderr)
+    print(json.dumps({
+        "metric": "decode_tokens_per_sec",
+        "value": round(tps, 1),
+        "unit": "tok/s",
+        "vs_baseline": None,
     }))
 
 

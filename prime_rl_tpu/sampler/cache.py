@@ -35,23 +35,27 @@ class CacheConfig:
 
 
 class KVPool:
-    """Device-side pool; functionally updated (donated) inside jitted steps."""
+    """Device-side pool; functionally updated (donated) inside jitted steps.
+
+    Layout: one buffer PER LAYER (a list) — the serving forward unrolls the
+    layer loop so scatters update each buffer in place; a stacked [NL, ...]
+    pool under lax.scan would be fully rewritten every decode step."""
 
     def __init__(self, spec: ModelSpec, config: CacheConfig, dtype=jnp.bfloat16):
         self.spec = spec
         self.config = config
         shape = (
-            spec.num_layers,
             spec.num_kv_heads,
             config.num_pages,
             config.page_size,
             spec.head_dim,
         )
-        self.k = jnp.zeros(shape, dtype)
-        self.v = jnp.zeros(shape, dtype)
+        self.k = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
+        self.v = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
 
     def hbm_bytes(self) -> int:
-        return 2 * self.k.size * self.k.dtype.itemsize
+        per = self.k[0].size * self.k[0].dtype.itemsize
+        return 2 * per * len(self.k)
 
 
 class PageAllocator:

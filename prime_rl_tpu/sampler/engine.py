@@ -1,20 +1,22 @@
 """Continuous-batching sampling engine — the first-party replacement for the
 reference's vLLM inference layer (reference: SURVEY.md §2.4 "vLLM" row).
 
-Architecture (TPU-first):
-- ONE decode program for all slots, jitted once: [S] tokens in, [S] tokens
-  out, paged-attention over the shared KV pool, fused sampling. Decode cost
-  does not depend on how many requests are active (static shapes).
-- Prefill jitted per bucketed prompt length; writes K/V pages and samples the
-  first token in the same program. Optional prompt_logprobs in-program
-  (the prefill-scoring surface, reference: utils/client.py:599).
-- Host side owns only the scheduler: slot/page allocation (cache.py),
-  request queue, stop conditions. Every device interaction is one jitted
-  call per engine step.
-- Weight update = swapping the params pytree between steps (pause/resume
-  protocol, reference: inference/vllm/server.py:70-147) — in-flight requests
-  keep their KV cache: the next decode step simply reads new weights, which
-  is exactly the reference's in-place update semantics.
+Architecture (TPU-first, latency-pipelined):
+- ONE decode program for all slots, jitted once. Decode state (last tokens,
+  lengths, active mask, per-slot sampling params, PRNG key) lives ON DEVICE
+  and is threaded functionally between steps — the host never syncs inside
+  the decode loop. Steps are dispatched ahead (async) and their outputs
+  drained with a small LOOKAHEAD, so per-step host↔device latency is fully
+  hidden (a synchronous loop pays a device round-trip per token; this design
+  pays one per LOOKAHEAD tokens and pipelines the rest).
+- Bucketed prefill writes K/V pages and seeds the slot's device state in
+  the same dispatch stream (donation keeps ordering).
+- Slot release is deferred until every in-flight step that referenced the
+  slot has drained, so page reuse can never race a pending write.
+- Weight update = swapping the params pytree between dispatches
+  (pause/resume protocol, reference: inference/vllm/server.py:70-147);
+  in-flight requests keep their KV cache, matching the reference's in-place
+  update semantics.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ class SamplingParams:
     logprobs: bool = True
     prompt_logprobs: bool = False
     seed: int | None = None
+    ignore_eos: bool = False  # benchmarking: always generate max_tokens
 
 
 @dataclass
@@ -72,7 +75,19 @@ class _Active:
     slot: int
     generated: list[int] = field(default_factory=list)
     logprobs: list[float] = field(default_factory=list)
-    prompt_logprobs: list[float] | None = None
+    prompt_logprobs_handle: jax.Array | None = None
+    first_token_handle: tuple | None = None  # (token_dev, logprob_dev)
+    done: bool = False
+
+
+@dataclass
+class _StepOutput:
+    """One dispatched decode step awaiting drain."""
+
+    seq: int
+    tokens: jax.Array  # [S] device
+    logprobs: jax.Array  # [S] device
+    slots: list[int]  # slots active at dispatch time
 
 
 def _bucket(n: int, buckets: list[int]) -> int:
@@ -84,6 +99,8 @@ def _bucket(n: int, buckets: list[int]) -> int:
 
 class Engine:
     """Single-host sampling engine over one (possibly sharded) params pytree."""
+
+    LOOKAHEAD = 4  # in-flight decode steps before forcing a drain
 
     def __init__(
         self,
@@ -98,7 +115,9 @@ class Engine:
     ):
         self.spec = spec
         self.compute_dtype = compute_dtype
-        self.params = jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params)
+        self.params = smodel.unstack_params(
+            jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params), spec
+        )
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
@@ -108,7 +127,6 @@ class Engine:
         self.paused = False
         self.policy_version = -1
         self._lock = threading.Lock()
-        self._key_counter = seed
         self._prefill_attn_impl = prefill_attn_impl
         self._decode_attn_impl = decode_attn_impl
         ps = self.config.page_size
@@ -116,7 +134,28 @@ class Engine:
                         if b <= self.config.max_seq_len and b % ps == 0]
         if not self.buckets or self.buckets[-1] < self.config.max_seq_len:
             self.buckets.append(self.config.max_seq_len)
+
+        # device-resident decode state
+        s = self.config.max_slots
+        self._d_tokens = jnp.zeros((s,), jnp.int32)
+        self._d_lengths = jnp.zeros((s,), jnp.int32)
+        self._d_active = jnp.zeros((s,), jnp.bool_)
+        self._d_temp = jnp.ones((s,), jnp.float32)
+        self._d_topk = jnp.full((s,), -1, jnp.int32)
+        self._d_topp = jnp.ones((s,), jnp.float32)
+        self._d_table = jnp.asarray(self.slots.page_table)
+        self._d_key = jax.random.key(seed)
+
+        self._inflight: deque[_StepOutput] = deque()
+        self._dispatch_seq = 0
+        self._deferred_release: list[tuple[int, int]] = []  # (slot, seq at finish)
+        self._shadow_lengths = np.zeros((s,), np.int64)  # host mirror (exact)
+
         self._decode_fn = self._build_decode()
+        self._set_slot_fn = self._build_set_slot()
+        self._deactivate_fn = jax.jit(
+            lambda active, slot: active.at[slot].set(False), donate_argnums=(0,)
+        )
         self._prefill_fns: dict[tuple[int, bool], any] = {}
 
     # -- jitted programs ----------------------------------------------------
@@ -124,16 +163,38 @@ class Engine:
     def _build_decode(self):
         spec, dtype, impl = self.spec, self.compute_dtype, self._decode_attn_impl
 
-        @functools.partial(jax.jit, donate_argnums=(1, 2))
-        def decode_fn(params, k_pool, v_pool, tokens, lengths, page_table, temp, top_k, top_p, key):
+        # NOTE: `tokens` is NOT donated — each step's sampled tokens are kept
+        # as a drain handle while the next step consumes them as input
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10))
+        def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
+                      temp, top_k, top_p, key):
             k_pool, v_pool, logits = smodel.decode(
                 params, spec, k_pool, v_pool, tokens, lengths, page_table,
                 compute_dtype=dtype, attn_impl=impl,
             )
-            out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, key)
-            return k_pool, v_pool, out_tokens, out_logprobs
+            step_key, next_key = jax.random.split(key)
+            out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
+            new_lengths = lengths + active.astype(jnp.int32)
+            return k_pool, v_pool, out_tokens, out_logprobs, new_lengths, next_key
 
         return decode_fn
+
+    def _build_set_slot(self):
+        # tokens not donated: the buffer may be aliased by a pending drain
+        # handle from the decode pipeline
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
+        def set_slot(tokens, lengths, active, temp, topk, topp,
+                     slot, token, length, temp_v, topk_v, topp_v):
+            return (
+                tokens.at[slot].set(token),
+                lengths.at[slot].set(length),
+                active.at[slot].set(True),
+                temp.at[slot].set(temp_v),
+                topk.at[slot].set(topk_v),
+                topp.at[slot].set(topp_v),
+            )
+
+        return set_slot
 
     def _prefill_fn(self, lpad: int, want_plp: bool):
         fn = self._prefill_fns.get((lpad, want_plp))
@@ -153,12 +214,6 @@ class Engine:
             fn = self._prefill_fns[(lpad, want_plp)] = prefill_fn
         return fn
 
-    def _next_key(self, seed: int | None = None):
-        if seed is None:
-            self._key_counter += 1
-            seed = self._key_counter
-        return jax.random.key(seed)
-
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt: list[int], params: SamplingParams | None = None) -> Future:
@@ -168,7 +223,7 @@ class Engine:
         return req.future
 
     def has_work(self) -> bool:
-        return bool(self.pending or self.active)
+        return bool(self.pending or self.active or self._inflight)
 
     def pause(self) -> None:
         self.paused = True
@@ -177,43 +232,55 @@ class Engine:
         self.paused = False
 
     def update_params(self, new_params: Params, version: int | None = None) -> None:
-        """Swap weights between steps (caller is responsible for pausing if it
-        wants a version-atomic boundary across a batch of requests)."""
-        self.params = jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), new_params)
+        """Swap weights between dispatches (caller pauses for a version-atomic
+        boundary across a batch of requests)."""
+        self._drain(force=True)  # complete steps sampled under the old policy
+        self.params = smodel.unstack_params(
+            jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), new_params), self.spec
+        )
         if version is not None:
             self.policy_version = version
 
     # -- scheduler ----------------------------------------------------------
 
     def step(self) -> bool:
-        """One engine iteration: admit one prefill if possible, else decode
-        all active slots. Returns True if any work was done."""
+        """One engine iteration: admit a prefill if possible, else dispatch a
+        decode step (pipelined), draining completed outputs opportunistically.
+        Returns True if any work was done."""
         if self.paused:
             return False
+        did = False
         if self.pending:
             req = self.pending[0]
-            lpad = _bucket(max(len(req.prompt), 1), self.buckets)
-            slot = self.slots.acquire(lpad)
+            n = max(len(req.prompt), 1)
+            lpad = _bucket(n, self.buckets)
+            # pre-allocate pages for the whole request so the page table never
+            # changes during decode (no mid-stream host->device table pushes)
+            want = min(max(lpad, n + req.params.max_tokens + 1), self.config.max_seq_len)
+            slot = self.slots.acquire(want)
             if slot is not None:
                 with self._lock:
                     self.pending.popleft()
-                self._run_prefill(req, slot, lpad)
-                return True
-            if not self.active:  # cannot ever fit
+                self._admit(req, slot, lpad, n)
+                did = True
+            elif not self.active and not self._inflight:
                 with self._lock:
                     self.pending.popleft()
                 req.future.set_exception(
                     MemoryError(f"prompt of {len(req.prompt)} tokens cannot fit in KV pool")
                 )
                 return True
-        if self.active:
-            self._run_decode()
-            return True
-        return False
+        live = any(not a.done for a in self.active.values())
+        if live and len(self._inflight) < self.LOOKAHEAD:
+            self._dispatch_decode()
+            did = True
+        self._drain(force=not did)
+        return did or bool(self._inflight)
 
     def run_until_idle(self) -> None:
         while self.has_work():
-            self.step()
+            if not self.step():
+                self._drain(force=True)
 
     def generate(
         self, prompts: list[list[int]], params: SamplingParams | list[SamplingParams] | None = None
@@ -227,12 +294,17 @@ class Engine:
 
     # -- internals ----------------------------------------------------------
 
-    def _run_prefill(self, req: _Request, slot: int, lpad: int) -> None:
+    def _admit(self, req: _Request, slot: int, lpad: int, n: int) -> None:
         sp = req.params
-        n = len(req.prompt)
         ids = np.zeros((1, lpad), np.int32)
         ids[0, :n] = req.prompt
-        pages = np.asarray(self.slots.alloc.slot_pages[slot][: lpad // self.config.page_size], np.int32)
+        pages = np.asarray(
+            self.slots.alloc.slot_pages[slot][: lpad // self.config.page_size], np.int32
+        )
+        self.slots.lengths[slot] = n
+        self._shadow_lengths[slot] = n
+        self._d_table = jnp.asarray(self.slots.page_table)
+        seed = sp.seed if sp.seed is not None else (self._dispatch_seq + slot + 1)
         fn = self._prefill_fn(lpad, sp.prompt_logprobs)
         self.k_pool, self.v_pool, tok, lp, plp = fn(
             self.params, self.k_pool, self.v_pool,
@@ -240,72 +312,118 @@ class Engine:
             jnp.asarray([sp.temperature], jnp.float32),
             jnp.asarray([sp.top_k], jnp.int32),
             jnp.asarray([sp.top_p], jnp.float32),
-            self._next_key(sp.seed),
+            jax.random.key(seed),
         )
-        # true cache length = prompt only; the sampled token is written by the
-        # next decode step for this slot
-        self.slots.lengths[slot] = n
         active = _Active(req, slot)
+        active.first_token_handle = (tok, lp)
         if sp.prompt_logprobs:
-            active.prompt_logprobs = [float(x) for x in np.asarray(plp)[:n]]
+            active.prompt_logprobs_handle = plp
         self.active[slot] = active
-        if sp.max_tokens <= 0:
-            self._finish(active, "length")
-            return
-        self._append_token(active, int(tok), float(lp))
-
-    def _run_decode(self) -> None:
-        slots = sorted(self.active.keys())
-        s_max = self.config.max_slots
-        tokens = np.zeros(s_max, np.int32)
-        temp = np.ones(s_max, np.float32)
-        top_k = np.full(s_max, -1, np.int32)
-        top_p = np.ones(s_max, np.float32)
-        for s in slots:
-            a = self.active[s]
-            tokens[s] = a.generated[-1]
-            temp[s] = a.req.params.temperature
-            top_k[s] = a.req.params.top_k
-            top_p[s] = a.req.params.top_p
-        lengths = self.slots.lengths.copy()
-        self.k_pool, self.v_pool, out_tokens, out_logprobs = self._decode_fn(
-            self.params, self.k_pool, self.v_pool,
-            jnp.asarray(tokens), jnp.asarray(lengths), jnp.asarray(self.slots.page_table),
-            jnp.asarray(temp), jnp.asarray(top_k), jnp.asarray(top_p),
-            self._next_key(),
+        # seed device state (async; ordering preserved by dispatch stream)
+        (self._d_tokens, self._d_lengths, self._d_active,
+         self._d_temp, self._d_topk, self._d_topp) = self._set_slot_fn(
+            self._d_tokens, self._d_lengths, self._d_active,
+            self._d_temp, self._d_topk, self._d_topp,
+            jnp.int32(slot), tok, jnp.int32(n),
+            jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
         )
-        out_tokens = np.asarray(out_tokens)
-        out_logprobs = np.asarray(out_logprobs)
-        for s in slots:
-            a = self.active[s]
-            # the decode step wrote a.generated[-1]'s KV at position lengths[s]
-            if not self.slots.extend(s, int(lengths[s]) + 1):
-                self._finish(a, "length")
-                continue
-            self._append_token(a, int(out_tokens[s]), float(out_logprobs[s]))
+        if sp.max_tokens <= 0:
+            self._finalize_scoring_only(active)
 
-    def _append_token(self, a: _Active, token: int, logprob: float) -> None:
-        a.generated.append(token)
-        a.logprobs.append(logprob)
+    def _finalize_scoring_only(self, a: _Active) -> None:
+        self._fetch_first_token(a)
+        a.generated.clear()
+        a.logprobs.clear()
+        self._finish(a, "length")
+
+    def _fetch_first_token(self, a: _Active) -> None:
+        if a.first_token_handle is not None:
+            tok, lp = a.first_token_handle
+            a.generated.append(int(tok))
+            a.logprobs.append(float(lp))
+            a.first_token_handle = None
+
+    def _dispatch_decode(self) -> None:
+        slots = sorted(s for s, a in self.active.items() if not a.done)
+        (self.k_pool, self.v_pool, out_tokens, out_logprobs,
+         self._d_lengths, self._d_key) = self._decode_fn(
+            self.params, self.k_pool, self.v_pool,
+            self._d_tokens, self._d_lengths, self._d_active, self._d_table,
+            self._d_temp, self._d_topk, self._d_topp, self._d_key,
+        )
+        self._d_tokens = out_tokens
+        self._dispatch_seq += 1
+        for s in slots:
+            self._shadow_lengths[s] += 1
+        self._inflight.append(_StepOutput(self._dispatch_seq, out_tokens, out_logprobs, slots))
+
+    def _drain(self, force: bool = False) -> None:
+        while self._inflight and (force or len(self._inflight) > self.LOOKAHEAD - 1):
+            step = self._inflight.popleft()
+            tokens = np.asarray(step.tokens)
+            logprobs = np.asarray(step.logprobs)
+            for s in step.slots:
+                a = self.active.get(s)
+                if a is None or a.done:
+                    continue  # finished earlier; extra tokens discarded
+                if a.first_token_handle is not None:
+                    self._fetch_first_token(a)
+                    self._post_append_checks(a)
+                    if a.done:
+                        continue
+                self._append_token(a, int(tokens[s]), float(logprobs[s]))
+            self._process_deferred(step.seq)
+        if force:
+            self._process_deferred(self._dispatch_seq, drained_all=not self._inflight)
+
+    def _process_deferred(self, drained_seq: int, drained_all: bool = False) -> None:
+        still = []
+        for slot, seq in self._deferred_release:
+            if seq <= drained_seq or drained_all:
+                self.slots.release(slot)
+                del self.active[slot]
+            else:
+                still.append((slot, seq))
+        self._deferred_release = still
+
+    def _post_append_checks(self, a: _Active) -> None:
         sp = a.req.params
-        stop = set(sp.stop_token_ids) | {self.spec.eos_token_id}
+        token = a.generated[-1]
+        stop = set(sp.stop_token_ids) | (set() if sp.ignore_eos else {self.spec.eos_token_id})
         if token in stop:
             self._finish(a, "stop")
         elif len(a.generated) >= sp.max_tokens:
             self._finish(a, "length")
-        elif self.slots.lengths[a.slot] + 1 >= self.config.max_seq_len:
+        elif self._shadow_lengths[a.slot] + 1 >= self.config.max_seq_len:
             self._finish(a, "length")
 
+    def _append_token(self, a: _Active, token: int, logprob: float) -> None:
+        if a.done or len(a.generated) >= a.req.params.max_tokens:
+            self._finish(a, "length")
+            return
+        a.generated.append(token)
+        a.logprobs.append(logprob)
+        self._post_append_checks(a)
+
     def _finish(self, a: _Active, reason: str) -> None:
-        self.slots.release(a.slot)
-        del self.active[a.slot]
+        if a.done:
+            return
+        a.done = True
+        self._fetch_first_token(a)
+        plp = None
+        if a.prompt_logprobs_handle is not None:
+            plp = [float(x) for x in np.asarray(a.prompt_logprobs_handle)[: len(a.req.prompt)]]
+        # stop generating for this slot as of the NEXT dispatch; pages stay
+        # reserved until every already-dispatched step has drained
+        self._d_active = self._deactivate_fn(self._d_active, jnp.int32(a.slot))
+        self._deferred_release.append((a.slot, self._dispatch_seq))
         a.req.future.set_result(
             GenerationResult(
-                token_ids=a.generated,
-                logprobs=a.logprobs,
+                token_ids=list(a.generated),
+                logprobs=list(a.logprobs),
                 finish_reason=reason,
                 prompt_len=len(a.req.prompt),
-                prompt_logprobs=a.prompt_logprobs,
+                prompt_logprobs=plp,
                 policy_version=self.policy_version,
             )
         )

@@ -64,11 +64,25 @@ def _cast_layer(lp: dict, dtype) -> dict:
 # Prefill
 # ---------------------------------------------------------------------------
 
+def unstack_params(params: Params, spec: ModelSpec) -> Params:
+    """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
+    per-layer dicts). The serving forward unrolls the layer loop in Python so
+    each layer's KV buffer is read/written IN PLACE — a scan over stacked
+    caches would copy the whole pool every decode step."""
+    nl = spec.num_layers
+    layers = [
+        {k: v[l] for k, v in params["layers"].items()} for l in range(nl)
+    ]
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = layers
+    return out
+
+
 def prefill(
-    params: Params,
+    params: Params,  # serving layout (unstack_params)
     spec: ModelSpec,
-    k_pool: jax.Array,  # [NL, NKV, NP, PS, HD]
-    v_pool: jax.Array,
+    k_pool: list[jax.Array],  # NL x [NKV, NP, PS, HD]
+    v_pool: list[jax.Array],
     input_ids: jax.Array,  # [1, Lpad] int32 (bucketed)
     length: jax.Array,  # int32 scalar: true prompt length
     pages: jax.Array,  # [Lpad // page_size] int32: this slot's pages
@@ -84,7 +98,7 @@ def prefill(
     (reference: utils/client.py:599 prefill_logprobs).
     """
     _, lpad = input_ids.shape
-    page_size = k_pool.shape[3]
+    page_size = k_pool[0].shape[2]
     n_pages = lpad // page_size
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (1, lpad))
@@ -93,8 +107,8 @@ def prefill(
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
-    def body(h, xs):
-        lp, k_l, v_l = xs
+    k_out, v_out = [], []
+    for lp, k_l, v_l in zip(params["layers"], k_pool, v_pool):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
@@ -105,11 +119,9 @@ def prefill(
         # [NKV, n_pages, PS, HD] placed at `pages`
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
-        k_l = k_l.at[:, pages].set(k_w.astype(k_l.dtype))
-        v_l = v_l.at[:, pages].set(v_w.astype(v_l.dtype))
-        return h, (k_l, v_l)
-
-    h, (k_pool, v_pool) = jax.lax.scan(body, h, (params["layers"], k_pool, v_pool))
+        k_out.append(k_l.at[:, pages].set(k_w.astype(k_l.dtype)))
+        v_out.append(v_l.at[:, pages].set(v_w.astype(v_l.dtype)))
+    k_pool, v_pool = k_out, v_out
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
 
     last_hidden = h[0, jnp.maximum(length - 1, 0)]
@@ -170,8 +182,8 @@ def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str):
 def decode(
     params: Params,
     spec: ModelSpec,
-    k_pool: jax.Array,
-    v_pool: jax.Array,
+    k_pool: list[jax.Array],  # NL x [NKV, NP, PS, HD]
+    v_pool: list[jax.Array],
     tokens: jax.Array,  # [S] int32: the newest token of each slot
     lengths: jax.Array,  # [S] int32: tokens in cache BEFORE this one
     page_table: jax.Array,  # [S, P] int32
@@ -180,11 +192,15 @@ def decode(
     attn_impl: str = "auto",
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
-    over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V])."""
+    over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
+
+    The layer loop is unrolled in Python over per-layer cache buffers so XLA
+    lowers the token scatters as IN-PLACE updates on the donated pool —
+    scanning stacked caches would rewrite the whole pool every step."""
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     s = tokens.shape[0]
-    page_size = k_pool.shape[3]
+    page_size = k_pool[0].shape[2]
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
 
@@ -195,31 +211,30 @@ def decode(
     flat_idx = page_idx * page_size + lengths % page_size  # [S]
     attn_lengths = lengths + 1
 
-    def body(h, xs):
-        lp, k_l, v_l = xs
+    k_out, v_out = [], []
+    for lp, k_l, v_l in zip(params["layers"], k_pool, v_pool):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
         # write the new token's K/V: [S, 1, NKV, HD] -> flat [NKV, NP*PS, HD]
         nkv, np_, ps, hd = k_l.shape
-        k_flat = k_l.reshape(nkv, np_ * ps, hd)
-        v_flat = v_l.reshape(nkv, np_ * ps, hd)
-        k_flat = k_flat.at[:, flat_idx].set(k[:, 0].transpose(1, 0, 2).astype(k_l.dtype))
-        v_flat = v_flat.at[:, flat_idx].set(v[:, 0].transpose(1, 0, 2).astype(v_l.dtype))
-        k_l = k_flat.reshape(nkv, np_, ps, hd)
-        v_l = v_flat.reshape(nkv, np_, ps, hd)
+        k_l = k_l.reshape(nkv, np_ * ps, hd).at[:, flat_idx].set(
+            k[:, 0].transpose(1, 0, 2).astype(k_l.dtype)
+        ).reshape(nkv, np_, ps, hd)
+        v_l = v_l.reshape(nkv, np_ * ps, hd).at[:, flat_idx].set(
+            v[:, 0].transpose(1, 0, 2).astype(v_l.dtype)
+        ).reshape(nkv, np_, ps, hd)
         o = _decode_attention(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
         )  # [S, NH, HD]
         h = h + jnp.dot(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
-        return h, (k_l, v_l)
-
-    h, (k_pool, v_pool) = jax.lax.scan(body, h, (params["layers"], k_pool, v_pool))
+        k_out.append(k_l)
+        v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     lm_head = get_lm_head(params, spec).astype(compute_dtype)
     logits = jnp.dot(h[:, 0], lm_head, preferred_element_type=jnp.float32)  # [S, V]
-    return k_pool, v_pool, logits
+    return k_out, v_out, logits
 
 
 def logits_from_hidden(params: Params, spec: ModelSpec, hidden: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:

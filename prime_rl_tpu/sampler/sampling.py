@@ -41,6 +41,9 @@ def apply_top_p(logits: jax.Array, top_p: jax.Array) -> jax.Array:
     return jnp.where(keep, logits, NEG_INF)
 
 
+MAX_TOP_K = 64  # candidate window for filtered sampling (vLLM-on-TPU style)
+
+
 def sample_tokens(
     logits: jax.Array,  # [S, V] f32
     temperature: jax.Array,  # [S]
@@ -50,16 +53,41 @@ def sample_tokens(
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (tokens [S], logprobs [S]) — logprob of the sampled token under
     the temperature-scaled UNfiltered distribution (matching what a trainer
-    recomputing logprobs from the weights will see)."""
+    recomputing logprobs from the weights will see).
+
+    Decode-hot-path design: NO full-vocab sort (a [S, V] sort dominates the
+    whole decode step on TPU). Unfiltered sampling is exact gumbel-max over
+    the full vocabulary; top-k/top-p filter within a ``MAX_TOP_K`` candidate
+    window via one ``lax.top_k`` — exact for ``top_k <= 64`` and for any
+    nucleus that fits the window (top-p mass outside the top-64 is clipped).
+    """
     s, v = logits.shape
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
-    filtered = apply_top_k(scaled, top_k)
-    filtered = apply_top_p(filtered, top_p)
     gumbel = jax.random.gumbel(key, (s, v), dtype=jnp.float32)
-    sampled = jnp.argmax(filtered + gumbel, axis=-1)
+
+    # exact unfiltered categorical sample (gumbel-max) and greedy
+    sampled_full = jnp.argmax(scaled + gumbel, axis=-1)
     greedy = jnp.argmax(logits, axis=-1)
+
+    # filtered path over the top-64 candidate window
+    cand_vals, cand_idx = jax.lax.top_k(scaled, MAX_TOP_K)  # desc [S, K]
+    ranks = jnp.arange(MAX_TOP_K)[None, :]
+    keep = jnp.ones((s, MAX_TOP_K), bool)
+    keep &= jnp.where(top_k[:, None] > 0, ranks < top_k[:, None], True)
+    probs = jax.nn.softmax(cand_vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep &= ((cum - probs) < top_p[:, None]).at[:, 0].set(True)
+    cand_gumbel = jnp.take_along_axis(gumbel, cand_idx, axis=-1)
+    cand_scores = jnp.where(keep, cand_vals + cand_gumbel, NEG_INF)
+    pick = jnp.argmax(cand_scores, axis=-1)
+    sampled_filtered = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
+
+    filtering = (top_k > 0) | (top_p < 1.0)
+    sampled = jnp.where(filtering, sampled_filtered, sampled_full)
     tokens = jnp.where(temperature <= 0, greedy, sampled).astype(jnp.int32)
-    logprobs_all = jax.nn.log_softmax(scaled, axis=-1)
-    logprobs = jnp.take_along_axis(logprobs_all, tokens[:, None], axis=-1)[:, 0]
-    return tokens, logprobs
+    # logprob under the unfiltered temperature-scaled distribution, computed
+    # without materializing log_softmax over [S, V]
+    lse = jax.nn.logsumexp(scaled, axis=-1)
+    target = jnp.take_along_axis(scaled, tokens[:, None], axis=-1)[:, 0]
+    return tokens, target - lse
