@@ -100,7 +100,7 @@ def _bucket(n: int, buckets: list[int]) -> int:
 class Engine:
     """Single-host sampling engine over one (possibly sharded) params pytree."""
 
-    LOOKAHEAD = 4  # in-flight decode steps before forcing a drain
+    LOOKAHEAD = 8  # in-flight decode steps per batched drain
 
     def __init__(
         self,
@@ -358,10 +358,14 @@ class Engine:
         self._inflight.append(_StepOutput(self._dispatch_seq, out_tokens, out_logprobs, slots))
 
     def _drain(self, force: bool = False) -> None:
-        while self._inflight and (force or len(self._inflight) > self.LOOKAHEAD - 1):
-            step = self._inflight.popleft()
-            tokens = np.asarray(step.tokens)
-            logprobs = np.asarray(step.logprobs)
+        if not self._inflight or (not force and len(self._inflight) < self.LOOKAHEAD):
+            return
+        # one batched host fetch for every queued step (per-step fetches pay a
+        # full host<->device round-trip each; this pays one per LOOKAHEAD)
+        steps = list(self._inflight)
+        self._inflight.clear()
+        fetched = jax.device_get([(st.tokens, st.logprobs) for st in steps])
+        for step, (tokens, logprobs) in zip(steps, fetched):
             for s in step.slots:
                 a = self.active.get(s)
                 if a is None or a.done:

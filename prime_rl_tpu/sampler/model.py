@@ -115,12 +115,14 @@ def prefill(
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
         h = h + jnp.dot(o.reshape(1, lpad, spec.q_dim), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
-        # scatter K/V into this slot's pages: [1, Lpad, NKV, HD] ->
-        # [NKV, n_pages, PS, HD] placed at `pages`
+        # scatter K/V into this slot's pages. dynamic_update_slice per page
+        # (NOT .at[].set with an index array) — XLA lowers dus-in-loop as an
+        # in-place update on the donated pool; advanced-index scatter copies
+        # the whole buffer.
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
-        k_out.append(k_l.at[:, pages].set(k_w.astype(k_l.dtype)))
-        v_out.append(v_l.at[:, pages].set(v_w.astype(v_l.dtype)))
+        k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
+        v_out.append(_write_pages(v_l, v_w.astype(v_l.dtype), pages))
     k_pool, v_pool = k_out, v_out
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
 
@@ -136,6 +138,33 @@ def prefill(
             [jnp.full((1, 1), -jnp.log(spec.vocab_size), jnp.float32), lp_next[:, :-1]], axis=1
         )[0]
     return k_pool, v_pool, last_hidden, prompt_logprobs
+
+
+def _write_pages(pool: jax.Array, new_pages: jax.Array, pages: jax.Array) -> jax.Array:
+    """In-place page writes: pool [NKV, NP, PS, HD], new_pages [NKV, n, PS, HD]
+    placed at page indices ``pages [n]``."""
+    nkv, _, ps, hd = pool.shape
+    n = new_pages.shape[1]
+
+    def body(i, buf):
+        page = jax.lax.dynamic_slice(new_pages, (0, i, 0, 0), (nkv, 1, ps, hd))
+        return jax.lax.dynamic_update_slice(buf, page, (0, pages[i], 0, 0))
+
+    return jax.lax.fori_loop(0, n, body, pool)
+
+
+def _write_tokens(pool: jax.Array, new_kv: jax.Array, flat_idx: jax.Array) -> jax.Array:
+    """In-place single-token writes: pool [NKV, NP, PS, HD] viewed flat as
+    [NKV, NP*PS, HD]; new_kv [NKV, S, HD] at token offsets ``flat_idx [S]``."""
+    nkv, np_, ps, hd = pool.shape
+    s = new_kv.shape[1]
+    flat = pool.reshape(nkv, np_ * ps, hd)
+
+    def body(i, buf):
+        tok = jax.lax.dynamic_slice(new_kv, (0, i, 0), (nkv, 1, hd))
+        return jax.lax.dynamic_update_slice(buf, tok, (0, flat_idx[i], 0))
+
+    return jax.lax.fori_loop(0, s, body, flat).reshape(nkv, np_, ps, hd)
 
 
 # ---------------------------------------------------------------------------
@@ -216,14 +245,9 @@ def decode(
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
-        # write the new token's K/V: [S, 1, NKV, HD] -> flat [NKV, NP*PS, HD]
-        nkv, np_, ps, hd = k_l.shape
-        k_l = k_l.reshape(nkv, np_ * ps, hd).at[:, flat_idx].set(
-            k[:, 0].transpose(1, 0, 2).astype(k_l.dtype)
-        ).reshape(nkv, np_, ps, hd)
-        v_l = v_l.reshape(nkv, np_ * ps, hd).at[:, flat_idx].set(
-            v[:, 0].transpose(1, 0, 2).astype(v_l.dtype)
-        ).reshape(nkv, np_, ps, hd)
+        # write the new token's K/V in place (see _write_tokens)
+        k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
+        v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
         o = _decode_attention(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
         )  # [S, NH, HD]
