@@ -173,6 +173,9 @@ class TrainerConfig(BaseConfig):
     seed: int = 0
     bench: BenchConfig | None = None
     trace_path: str | None = None  # jax.profiler trace output dir
+    # park optimizer state in host memory (reference: CPUOffloadOptimizer,
+    # trainer/optim.py:17-108) — frees ~2x param bytes of HBM
+    offload_optimizer: bool = False
 
 
 class SFTDataConfig(BaseConfig):

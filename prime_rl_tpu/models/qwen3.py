@@ -153,6 +153,20 @@ def forward(
             policy=jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse"),
             prevent_cse=False,
         )
+    elif remat == "offload_attn":
+        # like save_attn but the kernel outputs park in HOST memory between
+        # passes — the long-context lever (reference analogue:
+        # utils/act_offloading.py stream-overlapped CPU offload)
+        block = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=["attn_out", "attn_lse"],
+                offload_src="device",
+                offload_dst="pinned_host",
+            ),
+            prevent_cse=False,
+        )
     elif remat == "selective":
         block = jax.checkpoint(
             block,

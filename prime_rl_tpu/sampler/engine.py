@@ -67,6 +67,8 @@ class _Request:
     prompt: list[int]
     params: SamplingParams
     future: Future
+    # streaming: called from the engine thread per sampled token
+    on_token: "callable | None" = None
 
 
 @dataclass
@@ -216,8 +218,9 @@ class Engine:
 
     # -- public API ---------------------------------------------------------
 
-    def submit(self, prompt: list[int], params: SamplingParams | None = None) -> Future:
-        req = _Request(list(prompt), params or SamplingParams(), Future())
+    def submit(self, prompt: list[int], params: SamplingParams | None = None,
+               on_token=None) -> Future:
+        req = _Request(list(prompt), params or SamplingParams(), Future(), on_token)
         with self._lock:
             self.pending.append(req)
         return req.future
@@ -342,6 +345,8 @@ class Engine:
             a.generated.append(int(tok))
             a.logprobs.append(float(lp))
             a.first_token_handle = None
+            if a.req.on_token is not None:
+                a.req.on_token(int(tok), float(lp))
 
     def _dispatch_decode(self) -> None:
         slots = sorted(s for s, a in self.active.items() if not a.done)
@@ -407,6 +412,8 @@ class Engine:
             return
         a.generated.append(token)
         a.logprobs.append(logprob)
+        if a.req.on_token is not None:
+            a.req.on_token(token, logprob)
         self._post_append_checks(a)
 
     def _finish(self, a: _Active, reason: str) -> None:

@@ -116,6 +116,8 @@ class InferenceServer:
             top_p=float(body.get("top_p", 1.0)),
             seed=body.get("seed"),
         )
+        if body.get("stream"):
+            return await self._stream_chat(request, body, prompt, sp)
         result = await self._submit(prompt, sp)
         completion_ids = result.token_ids
         if completion_ids and completion_ids[-1] == self.engine.spec.eos_token_id:
@@ -144,6 +146,54 @@ class InferenceServer:
                 "total_tokens": result.prompt_len + len(result.token_ids),
             },
         })
+
+    async def _stream_chat(self, request: web.Request, body: dict,
+                           prompt: list[int], sp: SamplingParams) -> web.StreamResponse:
+        """SSE streaming chat completion (OpenAI wire format)."""
+        loop = asyncio.get_running_loop()
+        queue: asyncio.Queue = asyncio.Queue()
+
+        def on_token(token: int, logprob: float) -> None:
+            loop.call_soon_threadsafe(queue.put_nowait, token)
+
+        fut = self.engine.submit(prompt, sp, on_token=on_token)
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        cid = f"chatcmpl-{uuid.uuid4().hex[:16]}"
+        model = body.get("model", self.model_name)
+
+        def chunk(delta: dict, finish: str | None = None) -> bytes:
+            payload = {
+                "id": cid, "object": "chat.completion.chunk",
+                "created": int(time.time()), "model": model,
+                "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+            }
+            return f"data: {json.dumps(payload)}\n\n".encode()
+
+        await resp.write(chunk({"role": "assistant"}))
+        afut = asyncio.wrap_future(fut)
+        while True:
+            get = asyncio.create_task(queue.get())
+            done, _ = await asyncio.wait({get, afut}, return_when=asyncio.FIRST_COMPLETED)
+            if get in done:
+                token = get.result()
+                if token != self.engine.spec.eos_token_id:
+                    await resp.write(chunk({"content": self.tokenizer.decode([token])}))
+            else:
+                get.cancel()
+                while not queue.empty():
+                    token = queue.get_nowait()
+                    if token != self.engine.spec.eos_token_id:
+                        await resp.write(chunk({"content": self.tokenizer.decode([token])}))
+                result = afut.result()
+                await resp.write(chunk({}, finish=result.finish_reason))
+                await resp.write(b"data: [DONE]\n\n")
+                break
+        await resp.write_eof()
+        return resp
 
     async def completions(self, request: web.Request) -> web.Response:
         if self.tokenizer is None:

@@ -62,9 +62,14 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         state = init_lora_train_state(spec, config.model.lora, mesh_info, optimizer, config.seed)
         logger.info(f"LoRA r{config.model.lora.rank}: training adapters only")
     else:
-        state = init_train_state(spec, mesh_info, optimizer, seed=config.seed, params=init_params)
+        state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
+                                 params=init_params, offload_optimizer=config.offload_optimizer)
+    state_out_shardings = (
+        jax.tree.map(lambda x: x.sharding, state) if config.offload_optimizer else None
+    )
     train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info,
-                                 base_params=base_params)
+                                 base_params=base_params,
+                                 state_out_shardings=state_out_shardings)
 
     def publish_params():
         if base_params is None:

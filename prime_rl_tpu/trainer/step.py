@@ -163,6 +163,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh_info: MeshInfo,
     base_params: Params | None = None,
+    state_out_shardings=None,
 ):
     """Build the jitted RL train step.
 
@@ -195,7 +196,28 @@ def make_train_step(
             accum, (zero_grads, jnp.zeros(()), zero_metrics), batch
         )
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        opt_state_in = state.opt_state
+        if state_out_shardings is not None:
+            # host-offloaded optimizer state: stream to device for the update
+            # (out_shardings streams the new state back to pinned host)
+            def to_device(x, sh):
+                try:
+                    return jax.device_put(x, sh.with_memory_kind("device"))
+                except Exception:
+                    return x
+
+            opt_state_in = jax.tree.map(to_device, opt_state_in,
+                                        state_out_shardings.opt_state)
+        updates, opt_state = optimizer.update(grads, opt_state_in, state.params)
+        if state_out_shardings is not None:
+            # stream the updated state back to its (possibly host) home
+            def to_home(x, sh):
+                try:
+                    return jax.device_put(x, sh)
+                except Exception:
+                    return x
+
+            opt_state = jax.tree.map(to_home, opt_state, state_out_shardings.opt_state)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
         metrics = dict(metrics)
@@ -205,6 +227,11 @@ def make_train_step(
 
     # The caller device_puts the batch with batch_sharding(); jit respects
     # those committed shardings and the donated state keeps its layout.
+    # ``state_out_shardings`` pins the output state layout (host-offloaded
+    # optimizer state must return to pinned host memory).
+    if state_out_shardings is not None:
+        return jax.jit(step_fn, donate_argnums=(0,),
+                       out_shardings=(state_out_shardings, None))
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
@@ -233,12 +260,16 @@ def init_train_state(
     optimizer: optax.GradientTransformation,
     seed: int = 0,
     params: Params | None = None,
+    offload_optimizer: bool = False,
 ) -> TrainState:
     """Sharded-init the train state. With ``params=None``, random-init directly
-    into the sharded layout (single jit, no host materialization)."""
+    into the sharded layout (single jit, no host materialization).
+
+    ``offload_optimizer=True`` parks optimizer-state leaves in pinned host
+    memory (the TPU analogue of the reference's CPUOffloadOptimizer,
+    trainer/optim.py:17-108) — XLA streams them in/out around the update."""
     from prime_rl_tpu.models import get_family
 
-    shardings = None
     if params is None:
         family = get_family(spec)
 
@@ -247,15 +278,22 @@ def init_train_state(
             return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
 
         shapes = jax.eval_shape(init_fn)
-        shardings = state_shardings(shapes, mesh_info)
+        shardings = state_shardings(shapes, mesh_info, offload_optimizer)
         return jax.jit(init_fn, out_shardings=shardings)()
     shardings = model_base.param_shardings(params, mesh_info)
     params = jax.device_put(params, shardings)
-    opt_state = jax.jit(
-        optimizer.init,
-        out_shardings=state_shardings_for_opt(optimizer, params, mesh_info),
-    )(params)
+    opt_shardings = state_shardings_for_opt(optimizer, params, mesh_info)
+    if offload_optimizer:
+        opt_shardings = jax.tree.map(_to_host_kind, opt_shardings)
+    opt_state = jax.jit(optimizer.init, out_shardings=opt_shardings)(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+
+
+def _to_host_kind(sh: NamedSharding) -> NamedSharding:
+    try:
+        return sh.with_memory_kind("pinned_host")
+    except Exception:  # platform without host memory kinds (CPU tests)
+        return sh
 
 
 def init_base_params(
@@ -322,7 +360,8 @@ def init_lora_train_state(
     return jax.jit(init_fn, out_shardings=shardings)()
 
 
-def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo):
+def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo,
+                    offload_optimizer: bool = False):
     """Shardings for a full TrainState shape pytree: params by rule, optimizer
     leaves by shape-matching against the param tree, scalars replicated."""
     param_shardings = model_base.param_shardings(state_shapes.params, mesh_info)
@@ -334,7 +373,8 @@ def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo):
     replicated = mesh_info.replicated()
 
     def opt_leaf(leaf):
-        return by_shape.get(tuple(leaf.shape), replicated)
+        sh = by_shape.get(tuple(leaf.shape), replicated)
+        return _to_host_kind(sh) if offload_optimizer and leaf.ndim >= 2 else sh
 
     return TrainState(
         params=param_shardings,

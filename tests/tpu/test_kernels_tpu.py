@@ -45,3 +45,35 @@ def test_flash_attention_parity_tpu():
     o_ref = np.asarray(xla_attention(q, k, v, seg, seg), np.float32)
     o_pal = np.asarray(flash_attention(q, k, v, seg, block_q=256, block_kv=256), np.float32)
     np.testing.assert_allclose(o_pal, o_ref, atol=2e-2, rtol=2e-2)
+
+
+@requires_tpu
+def test_offloaded_optimizer_step():
+    """Optimizer state in pinned host memory still trains (and frees HBM)."""
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.configs import MeshConfig, TrainerConfig
+    from prime_rl_tpu.models.base import debug_spec
+    from prime_rl_tpu.parallel.mesh import build_mesh
+    from prime_rl_tpu.trainer import step as step_lib
+    from prime_rl_tpu.trainer.optim import make_optimizer
+    from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+    from prime_rl_tpu.trainer.step import Scales, init_train_state, make_train_step
+
+    cfg = TrainerConfig()
+    cfg.model.lm_head_chunk_size = 0
+    spec = debug_spec(num_layers=2)
+    mesh_info = build_mesh(MeshConfig(fsdp=1), jax.devices()[:1])
+    opt, _ = make_optimizer(cfg.optimizer, cfg.scheduler, 1.0)
+    state = init_train_state(spec, mesh_info, opt, offload_optimizer=True)
+    # moment tensors (ndim >= 2) park on host; scalar counts stay on device
+    mu_leaf = next(x for x in jax.tree.leaves(state.opt_state) if x.ndim >= 2)
+    assert mu_leaf.sharding.memory_kind == "pinned_host"
+    sos = jax.tree.map(lambda x: x.sharding, state)
+    ts = make_train_step(spec, cfg.model, cfg.loss, opt, mesh_info, state_out_shardings=sos)
+    batch, counts = FakeDataLoader(spec.vocab_size, 128, 2, 2).next_batch()
+    batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+    state2, m = ts(state, batch, Scales(jnp.float32(max(counts["rl"], 1)), jnp.float32(1), jnp.float32(1)))
+    mu2 = next(x for x in jax.tree.leaves(state2.opt_state) if x.ndim >= 2)
+    assert mu2.sharding.memory_kind == "pinned_host"
+    assert float(m["grad_norm"]) > 0

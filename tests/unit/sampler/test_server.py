@@ -153,3 +153,26 @@ def test_update_weights_roundtrip(server, tmp_path_factory):
     assert r.status_code == 200, r.text
     live = httpx.get(f"{server}/liveness", timeout=10).json()
     assert live["policy_version"] == 3
+
+
+def test_chat_streaming(server):
+    with httpx.stream(
+        "POST", f"{server}/v1/chat/completions",
+        json={
+            "model": "m", "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 6, "temperature": 0.8, "stream": True,
+        },
+        timeout=120,
+    ) as r:
+        assert r.status_code == 200
+        assert r.headers["content-type"].startswith("text/event-stream")
+        events = []
+        for line in r.iter_lines():
+            if line.startswith("data: "):
+                events.append(line[6:])
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
+        text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+        assert isinstance(text, str)
