@@ -109,9 +109,11 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     weight_sink.publish(publish_params(), version)
     logger.info(f"published initial weights v{version}")
 
+    from prime_rl_tpu.utils.memory import GarbageCollection, device_memory_stats
     from prime_rl_tpu.utils.metrics_server import maybe_start_metrics_server
 
     metrics_server = maybe_start_metrics_server(config.metrics_server)
+    gc_gate = GarbageCollection(interval=50)
     if config.trace_path:
         jax.profiler.start_trace(config.trace_path)
 
@@ -176,7 +178,10 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             "publish_s": pub_s,
             "rl_tokens": counts["rl"],
         }
+        if progress.step % 50 == 0:
+            record.update(device_memory_stats())
         monitor.log(record, progress.step)
+        gc_gate.maybe_collect(progress.step)
         if metrics_server is not None:
             metrics_server.update({"step": progress.step, **record})
         logger.info(
