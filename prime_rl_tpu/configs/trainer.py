@@ -176,6 +176,10 @@ class TrainerConfig(BaseConfig):
     # park optimizer state in host memory (reference: CPUOffloadOptimizer,
     # trainer/optim.py:17-108) — frees ~2x param bytes of HBM
     offload_optimizer: bool = False
+    # multi-tenant LoRA runs: route batches by TrainingBatch.run_idx to
+    # per-tenant adapter states (requires model.lora; reference: runs.py)
+    multi_run: bool = False
+    max_runs: int = 8
 
 
 class SFTDataConfig(BaseConfig):

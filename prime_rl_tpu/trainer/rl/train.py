@@ -55,12 +55,21 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             init_params = load_hf_weights(config.model.name, spec)
 
     base_params = None
+    run_mgr = None
     if config.model.lora is not None:
         from prime_rl_tpu.trainer.step import init_base_params, init_lora_train_state
 
         base_params = init_base_params(spec, mesh_info, config.seed, init_params)
         state = init_lora_train_state(spec, config.model.lora, mesh_info, optimizer, config.seed)
         logger.info(f"LoRA r{config.model.lora.rank}: training adapters only")
+        if config.multi_run:
+            from prime_rl_tpu.trainer.runs import MultiRunManager
+
+            run_mgr = MultiRunManager(
+                config.output_dir, spec, config.model.lora, mesh_info, optimizer,
+                max_runs=config.max_runs, seed=config.seed,
+            )
+            logger.info(f"multi-run: up to {config.max_runs} concurrent LoRA tenants")
     else:
         state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
                                  params=init_params, offload_optimizer=config.offload_optimizer)
@@ -122,6 +131,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     max_steps = config.max_steps or 10**9
     while progress.step < max_steps:
         t_wait = time.perf_counter()
+        run = None
         if fake_loader is not None:
             batch, counts = fake_loader.next_batch()
         else:
@@ -136,6 +146,9 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 tb.examples, config.batch.seq_len, config.batch.micro_batch_size
             )
             counts = token_counts(batch)
+            if run_mgr is not None:
+                run = run_mgr.get_or_create(f"run_{tb.run_idx or 0}")
+                state = run.state  # tenant swap: same jit, different pytree
         wait_s = time.perf_counter() - t_wait
 
         tokens = int(batch.loss_mask.size)
@@ -152,6 +165,13 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         progress.step += 1
         progress.total_tokens += tokens
         perf.record(dt, tokens)
+        if run is not None:
+            run.state = state
+            run.progress.step += 1
+            if run.progress.step % config.weight_ckpt.interval == 0:
+                run_mgr.publish(run, base_params, run.progress.step)
+            if run.progress.step % config.ckpt.interval == 0:
+                run_mgr.save(run)
 
         # weight broadcast: v{step} — filesystem snapshot+STABLE or direct
         # in-process engine swap (colocated)
@@ -200,6 +220,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         logger.info(f"profiler trace written to {config.trace_path}")
     if metrics_server is not None:
         metrics_server.stop()
+    if run_mgr is not None:
+        run_mgr.save_all()
     if bench is None:
         ckpt_mgr.save(state, progress)
     monitor.finalize()
