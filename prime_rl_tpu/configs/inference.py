@@ -50,3 +50,5 @@ class InferenceConfig(BaseConfig):
     max_model_len: int = 4096
     enforce_eager: bool = False
     seed: int = 0
+    # int8 weight-only serving quantization (halves decode weight bandwidth)
+    quantization: Literal["int8"] | None = None

@@ -114,12 +114,12 @@ class Engine:
         prefill_attn_impl: str = "auto",
         decode_attn_impl: str = "auto",
         seed: int = 0,
+        quantize: str | None = None,
     ):
         self.spec = spec
         self.compute_dtype = compute_dtype
-        self.params = smodel.unstack_params(
-            jax.tree.map(lambda x: jnp.asarray(x, compute_dtype), params), spec
-        )
+        self.quantize = quantize
+        self.params = self._prepare_params(params)
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
@@ -234,13 +234,19 @@ class Engine:
     def resume(self) -> None:
         self.paused = False
 
+    def _prepare_params(self, params: Params) -> Params:
+        out = smodel.unstack_params(
+            jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), params), self.spec
+        )
+        if self.quantize == "int8":
+            out = jax.jit(lambda p: smodel.quantize_params(p, self.spec))(out)
+        return out
+
     def update_params(self, new_params: Params, version: int | None = None) -> None:
         """Swap weights between dispatches (caller pauses for a version-atomic
         boundary across a batch of requests)."""
         self._drain(force=True)  # complete steps sampled under the old policy
-        self.params = smodel.unstack_params(
-            jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), new_params), self.spec
-        )
+        self.params = self._prepare_params(new_params)
         if version is not None:
             self.policy_version = version
 

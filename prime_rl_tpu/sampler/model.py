@@ -9,8 +9,10 @@ TPU design notes:
 - Decode is one jitted program for ALL slots: [S] new tokens, paged
   Pallas attention on TPU (XLA gather fallback on CPU for tests), KV scatter
   via one flat index per slot.
-- Layer scan: weights and cache are stacked on the layer axis; the cache is
-  scanned as xs and re-stacked as ys so donation reuses the pool buffers.
+- The layer loop is UNROLLED over per-layer weight dicts and KV buffers
+  (``unstack_params``): in-place cache updates, no stacked-pool rewrites.
+- Optional int8 weight-only quantization (``quantize_params``) halves the
+  weight bandwidth that bounds decode.
 """
 
 from __future__ import annotations
@@ -27,12 +29,22 @@ from prime_rl_tpu.ops.attention import attention
 from prime_rl_tpu.ops.layers import apply_rope, rms_norm, rope_frequencies, swiglu
 
 
+def _mm(x: jax.Array, w) -> jax.Array:
+    """Matmul against a raw weight or an int8 weight-only-quantized record
+    ``{"q8": int8 [in, out], "scale": f32 [out]}`` — the dequant fuses into
+    the dot's HBM reads, halving (vs bf16) the weight bandwidth that
+    dominates decode."""
+    if isinstance(w, dict):
+        return jnp.dot(x, w["q8"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+    return jnp.dot(x, w)
+
+
 def _qkv(x, lp, spec, positions, inv_freq):
     """Shared q/k/v projection + qk-norm + rope. x: [B, T, D]."""
     b, t, _ = x.shape
-    q = jnp.dot(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
-    k = jnp.dot(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
-    v = jnp.dot(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    q = _mm(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
+    k = _mm(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = _mm(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
     if spec.qk_norm:
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
@@ -53,11 +65,41 @@ def _mlp(x, lp, spec):
             spec.num_experts_per_tok, spec.norm_topk_prob,
         )
         return out.reshape(b, t, d)
-    return jnp.dot(swiglu(jnp.dot(x, lp["gate"]), jnp.dot(x, lp["up"])), lp["down"])
+    return _mm(swiglu(_mm(x, lp["gate"]), _mm(x, lp["up"])), lp["down"])
 
 
 def _cast_layer(lp: dict, dtype) -> dict:
-    return {k: (v.astype(dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
+    return {
+        k: (v if isinstance(v, dict) else (v.astype(dtype) if v.ndim >= 2 else v))
+        for k, v in lp.items()
+    }
+
+
+_QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+
+
+def quantize_params(params: Params, spec: ModelSpec) -> Params:
+    """int8 weight-only quantization (per-output-channel symmetric) of the
+    serving params — the bandwidth-halving analogue of the reference's FP8
+    serving path (reference: models/layers/fp8_linear.py role). Norms, the
+    router and MoE experts stay bf16; the LM head quantizes too. Expects the
+    serving (unstacked) layout."""
+
+    def quant(w: jax.Array) -> dict:
+        wf = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+        q8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return {"q8": q8, "scale": scale}
+
+    out = dict(params)
+    out["layers"] = [
+        {k: (quant(v) if k in _QUANT_TARGETS and not isinstance(v, dict) else v)
+         for k, v in lp.items()}
+        for lp in params["layers"]
+    ]
+    if "lm_head" in params:
+        out["lm_head"] = quant(params["lm_head"])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +155,7 @@ def prefill(
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
-        h = h + jnp.dot(o.reshape(1, lpad, spec.q_dim), lp["o"])
+        h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         # scatter K/V into this slot's pages. dynamic_update_slice per page
         # (NOT .at[].set with an index array) — XLA lowers dus-in-loop as an
@@ -131,7 +173,7 @@ def prefill(
     if want_prompt_logprobs:
         from prime_rl_tpu.ops.lm_head import chunked_logprob_entropy
 
-        lm_head = get_lm_head(params, spec).astype(compute_dtype)
+        lm_head = dense_lm_head(params, spec, compute_dtype)
         labels = jnp.concatenate([input_ids[:, 1:], jnp.zeros((1, 1), jnp.int32)], axis=1)
         lp_next, _ = chunked_logprob_entropy(h, lm_head, labels, None, chunk_size=1024)
         prompt_logprobs = jnp.concatenate(
@@ -251,16 +293,29 @@ def decode(
         o = _decode_attention(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
         )  # [S, NH, HD]
-        h = h + jnp.dot(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
+        h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         k_out.append(k_l)
         v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
-    lm_head = get_lm_head(params, spec).astype(compute_dtype)
-    logits = jnp.dot(h[:, 0], lm_head, preferred_element_type=jnp.float32)  # [S, V]
+    logits = logits_from_hidden(params, spec, h[:, 0], compute_dtype)  # [S, V]
     return k_out, v_out, logits
 
 
 def logits_from_hidden(params: Params, spec: ModelSpec, hidden: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
+    w = params.get("lm_head") if not spec.tie_embeddings else None
+    if isinstance(w, dict):  # int8 weight-only head
+        raw = jnp.dot(hidden.astype(compute_dtype), w["q8"].astype(compute_dtype),
+                      preferred_element_type=jnp.float32)
+        return raw * w["scale"]
     lm_head = get_lm_head(params, spec).astype(compute_dtype)
     return jnp.dot(hidden.astype(compute_dtype), lm_head, preferred_element_type=jnp.float32)
+
+
+def dense_lm_head(params: Params, spec: ModelSpec, dtype) -> jax.Array:
+    """Materialized [D, V] head (dequantized if needed) for the chunked
+    prompt-logprob path."""
+    w = params.get("lm_head") if not spec.tie_embeddings else None
+    if isinstance(w, dict):
+        return (w["q8"].astype(jnp.float32) * w["scale"]).astype(dtype)
+    return get_lm_head(params, spec).astype(dtype)

@@ -62,11 +62,40 @@ class InferenceServer:
             web.post("/load_lora_adapter", self.load_lora_adapter),
             web.get("/liveness", self.liveness),
             web.get("/health", self.liveness),
+            web.get("/metrics", self.metrics),
         ])
+        self._metrics = {"requests": 0, "tokens_generated": 0, "prompt_tokens": 0}
 
     async def _submit(self, prompt: list[int], sp: SamplingParams) -> GenerationResult:
         fut = self.engine.submit(prompt, sp)
-        return await asyncio.wrap_future(fut)
+        result = await asyncio.wrap_future(fut)
+        self._metrics["requests"] += 1
+        self._metrics["tokens_generated"] += len(result.token_ids)
+        self._metrics["prompt_tokens"] += result.prompt_len
+        return result
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus text exposition (reference surface: vLLM /metrics that
+        orchestrator/inference_metrics.py scrapes)."""
+        e = self.engine
+        lines = [
+            "# TYPE prime_rl_engine_requests_total counter",
+            f"prime_rl_engine_requests_total {self._metrics['requests']}",
+            "# TYPE prime_rl_engine_generation_tokens_total counter",
+            f"prime_rl_engine_generation_tokens_total {self._metrics['tokens_generated']}",
+            "# TYPE prime_rl_engine_prompt_tokens_total counter",
+            f"prime_rl_engine_prompt_tokens_total {self._metrics['prompt_tokens']}",
+            "# TYPE prime_rl_engine_active_requests gauge",
+            f"prime_rl_engine_active_requests {len(e.active)}",
+            "# TYPE prime_rl_engine_pending_requests gauge",
+            f"prime_rl_engine_pending_requests {len(e.pending)}",
+            "# TYPE prime_rl_engine_free_kv_pages gauge",
+            f"prime_rl_engine_free_kv_pages {e.slots.alloc.num_free}",
+            "# TYPE prime_rl_engine_policy_version gauge",
+            f"prime_rl_engine_policy_version {e.policy_version}",
+        ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
 
     # -- inference routes ---------------------------------------------------
 

@@ -147,3 +147,21 @@ def test_slot_reuse_no_leak(setup):
     assert len(engine.active) == 0
     assert len(engine.slots.free_slots) == engine.config.max_slots
     assert engine.slots.alloc.num_free == engine.config.num_pages - 1
+
+
+def test_int8_quantized_engine(setup):
+    spec, params, _ = setup
+    from prime_rl_tpu.sampler.cache import CacheConfig
+
+    eng = Engine(params, spec,
+                 CacheConfig(num_pages=64, page_size=16, max_slots=2, max_seq_len=256),
+                 compute_dtype=jnp.float32, quantize="int8")
+    # weights actually stored int8
+    q_rec = eng.params["layers"][0]["q"]
+    assert isinstance(q_rec, dict) and q_rec["q8"].dtype == jnp.int8
+    r = eng.generate([[5, 9, 23, 47]], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    assert 1 <= len(r.token_ids) <= 8
+    assert all(np.isfinite(r.logprobs))
+    # prompt logprobs path works with the dequantized head
+    r2 = eng.generate([[5, 9, 23, 47]], SamplingParams(max_tokens=1, prompt_logprobs=True))[0]
+    assert r2.prompt_logprobs is not None and len(r2.prompt_logprobs) == 4
