@@ -352,7 +352,20 @@ class Orchestrator:
         self.train_metrics.reset()
         if getattr(self, "lag_monitor", None) is not None:
             metrics.update(self.lag_monitor.view())
+        metrics.update(await self._scrape_engine_metrics())
         self.monitor.log(metrics, self.progress.step)
+        # sample table: a few rollout transcripts per shipped batch
+        # (reference: monitor log_samples / W&B sample tables)
+        samples = [
+            {
+                "env": r.env_name,
+                "reward": r.reward,
+                "completion": str(r.episode.info.get("completion", ""))[:500],
+                "policy_version": r.policy_version,
+            }
+            for r in batch_rollouts[:4]
+        ]
+        self.monitor.log_samples(samples, self.progress.step)
         self.logger.info(
             f"step {self.progress.step}: shipped {len(samples)} samples, "
             f"reward={metrics['reward_mean']:.3f} (policy v{self.policy.version})"
@@ -361,6 +374,25 @@ class Orchestrator:
         if self.config.ckpt.interval and self.progress.step % self.config.ckpt.interval == 0:
             self._save_ckpt()
         await self._maybe_trigger_eval()
+
+    async def _scrape_engine_metrics(self) -> dict:
+        """Roll up each engine's Prometheus counters into the step record
+        (reference: orchestrator/inference_metrics.py:1-462)."""
+        out: dict[str, float] = {}
+        for i, client in enumerate(self.pool.clients):
+            try:
+                r = await client._client.get(f"{client.base_url}/metrics", timeout=5)
+                for line in r.text.splitlines():
+                    if line.startswith("#") or " " not in line:
+                        continue
+                    name, _, value = line.rpartition(" ")
+                    try:
+                        out[f"inference/{i}/{name.removeprefix('prime_rl_engine_')}"] = float(value)
+                    except ValueError:
+                        pass
+            except Exception:
+                pass
+        return out
 
     # -- weight watcher -----------------------------------------------------
 
