@@ -52,6 +52,14 @@ class ModelSpec:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     norm_topk_prob: bool = True
+    # Sliding-window attention (mistral / gpt-oss / gemma-style):
+    # 0 = full attention everywhere. ``sliding_window_pattern`` n makes every
+    # n-th layer full attention (n=1: all layers windowed).
+    sliding_window: int = 0
+    sliding_window_pattern: int = 1
+    # Learned per-head attention sinks (gpt-oss style): a virtual always-
+    # attendable token contributing only to the softmax denominator.
+    attn_sinks: bool = False
 
     @property
     def is_moe(self) -> bool:

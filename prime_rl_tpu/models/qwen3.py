@@ -48,6 +48,8 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     if spec.qk_norm:
         layers["q_norm"] = jnp.ones((nl, spec.head_dim), dtype)
         layers["k_norm"] = jnp.ones((nl, spec.head_dim), dtype)
+    if spec.attn_sinks:
+        layers["sink"] = jnp.zeros((nl, spec.num_heads), dtype)
     params: Params = {
         "embed": w(k_embed, spec.vocab_size, d),
         "layers": layers,
@@ -79,6 +81,7 @@ def _attn_block(
     lora: dict | None = None,
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
+    window: "jax.Array | int" = 0,
 ) -> jax.Array:
     from prime_rl_tpu.models.lora import apply_lora_proj as _p
 
@@ -93,7 +96,8 @@ def _attn_block(
     q = apply_rope(q, position_ids, inv_freq)
     k = apply_rope(k, position_ids, inv_freq)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
-                  block_q=block_q, block_kv=block_kv, mesh=mesh, cp_style=cp_style)
+                  block_q=block_q, block_kv=block_kv, mesh=mesh, cp_style=cp_style,
+                  window=window, sinks=lp.get("sink"))
     # tagged so the "save_attn" remat policy keeps attention outputs and the
     # backward never re-runs the O(L^2) kernel (memory: [B, L, H*D] per layer)
     from jax.ad_checkpoint import checkpoint_name as _ckname
@@ -135,11 +139,14 @@ def forward(
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
+    windows = layer_windows(spec)
 
-    def block(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None) -> jax.Array:
+    def block(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None,
+              window=0) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
         h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
-                        attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style)
+                        attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style,
+                        window)
         h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
 
@@ -175,17 +182,33 @@ def forward(
         )
 
     if lora is None:
-        def scan_body(h, lp):
-            return block(h, lp, None), None
+        def scan_body(h, xs):
+            lp, w = xs
+            return block(h, lp, None, w), None
 
-        h, _ = jax.lax.scan(scan_body, h, params["layers"])
+        h, _ = jax.lax.scan(scan_body, h, (params["layers"], windows))
     else:
         def scan_body(h, xs):
-            lp, ll = xs
-            return block(h, lp, ll), None
+            lp, ll, w = xs
+            return block(h, lp, ll, w), None
 
-        h, _ = jax.lax.scan(scan_body, h, (params["layers"], lora["layers"]))
+        h, _ = jax.lax.scan(scan_body, h, (params["layers"], lora["layers"], windows))
     return rms_norm(h, params["final_norm"], spec.rms_eps)
+
+
+def layer_windows_list(spec: ModelSpec) -> list[int]:
+    """Per-layer sliding-window sizes (0 = full attention). Pattern n makes
+    every n-th layer full (gemma/gpt-oss alternation); n<=1 windows every
+    layer (mistral)."""
+    if spec.sliding_window <= 0:
+        return [0] * spec.num_layers
+    pat = max(spec.sliding_window_pattern, 1)
+    return [0 if (pat > 1 and (i % pat == pat - 1)) else spec.sliding_window
+            for i in range(spec.num_layers)]
+
+
+def layer_windows(spec: ModelSpec) -> jnp.ndarray:
+    return jnp.asarray(layer_windows_list(spec), jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -210,6 +233,8 @@ def hf_key_map(spec: ModelSpec) -> dict[str, tuple[str, bool]]:
     if spec.qk_norm:
         m["q_norm"] = ("self_attn.q_norm.weight", False)
         m["k_norm"] = ("self_attn.k_norm.weight", False)
+    if spec.attn_sinks:
+        m["sink"] = ("self_attn.sinks", False)
     return m
 
 

@@ -55,6 +55,8 @@ def xla_attention(
     segment_ids_kv: jax.Array,  # [B, Lk] int32
     causal: bool = True,
     scale: float | None = None,
+    window: jax.Array | int = 0,  # sliding window; 0/traced-0 = full attention
+    sinks: jax.Array | None = None,  # [NH] learned sink logits (gpt-oss style)
 ) -> jax.Array:
     nh, nkv = q.shape[2], k.shape[2]
     k = repeat_kv(k, nh // nkv)
@@ -64,8 +66,25 @@ def xla_attention(
     # [B, NH, Lq, Lk] scores in fp32 for numerically stable softmax
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
     mask = segment_mask(segment_ids_q, segment_ids_kv, causal)
+    lq, lk = q.shape[1], k.shape[1]
+    q_pos = jnp.arange(lq)[:, None] + (lk - lq)
+    k_pos = jnp.arange(lk)[None, :]
+    win = jnp.asarray(window)
+    in_window = (win <= 0) | (q_pos - k_pos < win)
+    mask = mask & in_window[None, None, :, :]
     scores = jnp.where(mask, scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if sinks is not None:
+        # sink = a virtual token with learned logit and zero value: it joins
+        # the softmax denominator only
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True),
+                        sinks.astype(jnp.float32)[None, :, None, None])
+        p = jnp.exp(scores - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.exp(
+            sinks.astype(jnp.float32)[None, :, None, None] - m
+        )
+        probs = (p / denom).astype(v.dtype)
+    else:
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
     return out
 
@@ -83,14 +102,24 @@ def attention(
     mesh=None,
     cp_axis: str = "context",
     cp_style: str = "ulysses",
+    window: jax.Array | int = 0,
+    sinks: jax.Array | None = None,
 ) -> jax.Array:
     """Self-attention dispatch for the training forward (Lq == Lk).
 
     With a ``mesh`` whose ``cp_axis`` degree > 1, runs context parallelism:
     ``ulysses`` (all-to-all heads↔seq) or ``ring`` (rotating KV blocks);
-    otherwise a single-program kernel under GSPMD."""
+    otherwise a single-program kernel under GSPMD. Sliding windows and
+    attention sinks currently route through the XLA kernel."""
+    windowed = sinks is not None or (isinstance(window, int) and window > 0) or (
+        not isinstance(window, int)
+    )
     if impl == "auto":
-        impl = "pallas" if q.shape[1] >= 512 and jax.default_backend() not in ("cpu",) else "xla"
+        impl = ("pallas" if q.shape[1] >= 512 and not windowed
+                and jax.default_backend() not in ("cpu",) else "xla")
+    if windowed:
+        return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal,
+                             scale=scale, window=window, sinks=sinks)
     if mesh is not None and mesh.shape.get(cp_axis, 1) > 1:
         if cp_style == "ring":
             from prime_rl_tpu.ops.ring_attention import ring_attention

@@ -149,12 +149,16 @@ def prefill(
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
+    from prime_rl_tpu.models.qwen3 import layer_windows_list
+
+    windows = layer_windows_list(spec)
     k_out, v_out = [], []
-    for lp, k_l, v_l in zip(params["layers"], k_pool, v_pool):
+    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
-        o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
+        o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
+                      window=win, sinks=lp.get("sink"))
         h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         # scatter K/V into this slot's pages. dynamic_update_slice per page
@@ -213,10 +217,11 @@ def _write_tokens(pool: jax.Array, new_kv: jax.Array, flat_idx: jax.Array) -> ja
 # Decode
 # ---------------------------------------------------------------------------
 
-def _decode_attention_xla(q, k_l, v_l, lengths, page_table):
+def _decode_attention_xla(q, k_l, v_l, lengths, page_table, window=0, sinks=None):
     """Reference/fallback decode attention: gather each slot's pages and do
     masked attention. q: [S, NH, HD]; k_l/v_l: [NKV, NP, PS, HD];
-    page_table: [S, P]. Used on CPU and as the parity oracle for kernels."""
+    page_table: [S, P]. Used on CPU, for windowed/sink layers, and as the
+    parity oracle for kernels."""
     s, nh, hd = q.shape
     nkv, _, ps, _ = k_l.shape
     p = page_table.shape[1]
@@ -226,14 +231,28 @@ def _decode_attention_xla(q, k_l, v_l, lengths, page_table):
     v_g = jnp.take(v_l, page_table, axis=1).transpose(1, 0, 2, 3, 4).reshape(s, nkv, p * ps, hd)
     qf = q.reshape(s, nkv, group, hd).astype(jnp.float32)
     scores = jnp.einsum("skgd,sktd->skgt", qf, k_g.astype(jnp.float32)) * (hd ** -0.5)
-    mask = jnp.arange(p * ps)[None, :] < lengths[:, None]  # [S, T]
+    pos = jnp.arange(p * ps)[None, :]
+    mask = pos < lengths[:, None]  # [S, T]
+    if window and window > 0:
+        # page_table maps positions contiguously per slot (pre-allocated), so
+        # flat index == token position within the slot
+        mask = mask & (pos >= (lengths - window)[:, None])
     scores = jnp.where(mask[:, None, None, :], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if sinks is not None:
+        sf = sinks.astype(jnp.float32).reshape(nkv, group)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sf)
+        pexp = jnp.exp(scores - m)
+        denom = jnp.sum(pexp, axis=-1, keepdims=True) + jnp.exp(sf - m)
+        probs = pexp / denom
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("skgt,sktd->skgd", probs, v_g.astype(jnp.float32))
     return out.reshape(s, nh, hd)
 
 
-def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str):
+def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str, window=0, sinks=None):
+    if window or sinks is not None:
+        return _decode_attention_xla(q, k_l, v_l, lengths, page_table, window, sinks)
     # the Pallas kernel tiles head_dim on the 128-lane axis
     if impl == "pallas" and (q.shape[-1] % 128 != 0 or k_l.shape[2] % 8 != 0):
         impl = "xla"
@@ -282,8 +301,11 @@ def decode(
     flat_idx = page_idx * page_size + lengths % page_size  # [S]
     attn_lengths = lengths + 1
 
+    from prime_rl_tpu.models.qwen3 import layer_windows_list
+
+    windows = layer_windows_list(spec)
     k_out, v_out = [], []
-    for lp, k_l, v_l in zip(params["layers"], k_pool, v_pool):
+    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq)
@@ -291,7 +313,8 @@ def decode(
         k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
         v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
         o = _decode_attention(
-            q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl
+            q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl,
+            window=win, sinks=lp.get("sink"),
         )  # [S, NH, HD]
         h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
