@@ -139,16 +139,29 @@ def forward(
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
-    windows = layer_windows(spec)
+    # CRITICAL: only thread per-layer windows through the scan when some
+    # layer is actually windowed — a traced window forces the full-matrix
+    # attention path ([B,H,L,L] materialization) even for window=0
+    win_list = layer_windows_list(spec)
+    windows = layer_windows(spec) if any(win_list) else None
 
-    def block(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None,
-              window=0) -> jax.Array:
+    def _block_impl(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None,
+                    window) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
         h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
                         attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style,
                         window)
         h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
+
+    if windows is None:
+        # window closed over as a STATIC 0: passing it as an argument through
+        # jax.checkpoint would trace it and force the masked full-matrix
+        # attention path
+        def block(h, lp, ll):
+            return _block_impl(h, lp, ll, 0)
+    else:
+        block = _block_impl
 
     if remat == "full":
         block = jax.checkpoint(block, prevent_cse=False)
@@ -181,18 +194,18 @@ def forward(
             prevent_cse=False,
         )
 
-    if lora is None:
-        def scan_body(h, xs):
-            lp, w = xs
-            return block(h, lp, None, w), None
-
-        h, _ = jax.lax.scan(scan_body, h, (params["layers"], windows))
+    if lora is None and windows is None:
+        h, _ = jax.lax.scan(lambda h, lp: (block(h, lp, None), None),
+                            h, params["layers"])
+    elif lora is None:
+        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], None, xs[1]), None),
+                            h, (params["layers"], windows))
+    elif windows is None:
+        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1]), None),
+                            h, (params["layers"], lora["layers"]))
     else:
-        def scan_body(h, xs):
-            lp, ll, w = xs
-            return block(h, lp, ll, w), None
-
-        h, _ = jax.lax.scan(scan_body, h, (params["layers"], lora["layers"], windows))
+        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1], xs[2]), None),
+                            h, (params["layers"], lora["layers"], windows))
     return rms_norm(h, params["final_norm"], spec.rms_eps)
 
 
