@@ -176,3 +176,37 @@ def test_chat_streaming(server):
         assert chunks[-1]["choices"][0]["finish_reason"] in ("stop", "length")
         text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
         assert isinstance(text, str)
+
+
+def test_opd_teacher_scoring_against_live_server(server):
+    """The OPD algorithm prefill-scores rollout tokens against a (teacher)
+    engine and routes them to the ref_kl loss (reference: algo/opd.py:16-47)."""
+    import asyncio
+
+    import numpy as np
+
+    from prime_rl_tpu.configs.algorithm import FrozenModelConfig, OPDAlgoConfig
+    from prime_rl_tpu.envs.types import Episode, Trace
+    from prime_rl_tpu.orchestrator.algo.algorithms import OPD
+    from prime_rl_tpu.orchestrator.algo.base import Rollout
+    from prime_rl_tpu.orchestrator.trajectories import episode_to_samples
+
+    algo = OPD(OPDAlgoConfig(teacher=FrozenModelConfig(name="t", base_url=[server])))
+    n = 6
+    trace = Trace(
+        token_ids=list(range(1, n + 1)),
+        sampled_mask=[False] * 2 + [True] * (n - 2),
+        logprobs=[0.0] * n,
+        temperatures=[1.0] * n,
+        reward=0.5,
+    )
+    episode = Episode(traces=[trace], reward=0.5)
+    rollout = Rollout(episode=episode, samples=episode_to_samples(episode, "e"),
+                      env_name="e", task_data={})
+    asyncio.run(algo.finalize_rollout(rollout))
+    s = rollout.samples[0]
+    assert s.ref_logprobs is not None and len(s.ref_logprobs) == n
+    assert np.isfinite(s.ref_logprobs[1:]).all()
+    algo.finalize_group([rollout])
+    assert s.ref_kl_weights is not None and s.ref_kl_weights.sum() > 0
+    assert s.advantages is not None and not s.advantages.any()
