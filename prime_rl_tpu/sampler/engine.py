@@ -259,7 +259,9 @@ class Engine:
         if self.paused:
             return False
         did = False
-        if self.pending:
+        # admit every pending request that fits before decoding — prefills in
+        # a row pipeline back-to-back on device
+        while self.pending:
             req = self.pending[0]
             n = max(len(req.prompt), 1)
             lpad = _bucket(n, self.buckets)
@@ -279,6 +281,8 @@ class Engine:
                     MemoryError(f"prompt of {len(req.prompt)} tokens cannot fit in KV pool")
                 )
                 return True
+            else:
+                break
         live = any(not a.done for a in self.active.values())
         if live and len(self._inflight) < self.LOOKAHEAD:
             self._dispatch_decode()
