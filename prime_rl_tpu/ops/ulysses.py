@@ -56,11 +56,10 @@ def ulysses_attention(
         raise ValueError(f"num_heads {nh} must divide context degree {cp}")
     kv_rep = cp // math.gcd(nkv, cp)  # replicate KV heads so cp | nkv*kv_rep
 
-    # batch sharding over the data axes only when divisible
+    # batch sharding over the data axes only when divisible; heads stay
+    # unsharded by tensor inside the wrapper (robust across head counts)
     dp = mesh.shape["replica"] * mesh.shape["fsdp"]
     batch_axes = ("replica", "fsdp") if b % dp == 0 else None
-    qspec = P(batch_axes, axis, "tensor" if nh % (cp * mesh.shape["tensor"]) == 0 else None, None)
-    # keep it simple and robust: heads unsharded by tensor inside the wrapper
     qspec = P(batch_axes, axis, None, None)
     sspec = P(batch_axes, axis)
 

@@ -264,7 +264,13 @@ class Engine:
         while self.pending:
             req = self.pending[0]
             n = max(len(req.prompt), 1)
-            lpad = _bucket(n, self.buckets)
+            try:
+                lpad = _bucket(n, self.buckets)
+            except ValueError as e:
+                with self._lock:
+                    self.pending.popleft()
+                req.future.set_exception(e)
+                continue
             # pre-allocate pages for the whole request so the page table never
             # changes during decode (no mid-stream host->device table pushes)
             want = min(max(lpad, n + req.params.max_tokens + 1), self.config.max_seq_len)

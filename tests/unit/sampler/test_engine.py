@@ -165,3 +165,11 @@ def test_int8_quantized_engine(setup):
     # prompt logprobs path works with the dequantized head
     r2 = eng.generate([[5, 9, 23, 47]], SamplingParams(max_tokens=1, prompt_logprobs=True))[0]
     assert r2.prompt_logprobs is not None and len(r2.prompt_logprobs) == 4
+
+
+def test_oversized_prompt_fails_cleanly(setup):
+    spec, params, engine = setup
+    fut = engine.submit(list(range(1, 1000)), SamplingParams(max_tokens=2))
+    engine.run_until_idle()
+    with pytest.raises(ValueError):
+        fut.result(timeout=5)
