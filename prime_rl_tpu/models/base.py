@@ -60,6 +60,9 @@ class ModelSpec:
     # Learned per-head attention sinks (gpt-oss style): a virtual always-
     # attendable token contributing only to the softmax denominator.
     attn_sinks: bool = False
+    # Gemma-style final-logit softcap: logits = cap * tanh(logits / cap).
+    # 0 disables (reference: models/layers/lm_head_gemma.py).
+    final_logit_softcap: float = 0.0
 
     @property
     def is_moe(self) -> bool:

@@ -25,8 +25,12 @@ def _chunk_logprob_entropy(
     labels: jax.Array,  # [C] int32
     inv_temp: jax.Array,  # [C] float32
     w: jax.Array,  # [D, V]
+    softcap: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     logits = jnp.dot(hidden, w, preferred_element_type=jnp.float32)  # [C, V]
+    if softcap > 0:
+        # gemma-style: cap * tanh(logits / cap), applied BEFORE temperature
+        logits = softcap * jnp.tanh(logits / softcap)
     logits = logits * inv_temp[:, None]
     lse = jax.nn.logsumexp(logits, axis=-1)  # [C]
     target = jnp.take_along_axis(logits, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
@@ -43,6 +47,7 @@ def chunked_logprob_entropy(
     labels: jax.Array,  # [B, L] int32 (already next-token aligned)
     temperatures: jax.Array | None = None,  # [B, L] float32
     chunk_size: int = 1024,
+    softcap: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (logprobs [B, L], entropy [B, L])."""
     b, l, d = hidden.shape
@@ -56,7 +61,7 @@ def chunked_logprob_entropy(
         inv_temp = jnp.where(temps > 0, 1.0 / jnp.maximum(temps, 1e-6), 1.0)
 
     if chunk_size <= 0 or chunk_size >= n:
-        logprob, entropy = _chunk_logprob_entropy(hidden, labels, inv_temp, lm_head)
+        logprob, entropy = _chunk_logprob_entropy(hidden, labels, inv_temp, lm_head, softcap)
         return logprob.reshape(b, l), entropy.reshape(b, l)
 
     pad = (-n) % chunk_size
@@ -69,7 +74,9 @@ def chunked_logprob_entropy(
     labels = labels.reshape(num_chunks, chunk_size)
     inv_temp = inv_temp.reshape(num_chunks, chunk_size)
 
-    body = jax.checkpoint(_chunk_logprob_entropy)  # recompute chunk logits in backward
+    body = jax.checkpoint(
+        functools.partial(_chunk_logprob_entropy, softcap=softcap)
+    )  # recompute chunk logits in backward
 
     def scan_body(carry, xs):
         h, lab, it = xs

@@ -179,7 +179,8 @@ def prefill(
 
         lm_head = dense_lm_head(params, spec, compute_dtype)
         labels = jnp.concatenate([input_ids[:, 1:], jnp.zeros((1, 1), jnp.int32)], axis=1)
-        lp_next, _ = chunked_logprob_entropy(h, lm_head, labels, None, chunk_size=1024)
+        lp_next, _ = chunked_logprob_entropy(h, lm_head, labels, None, chunk_size=1024,
+                                             softcap=spec.final_logit_softcap)
         prompt_logprobs = jnp.concatenate(
             [jnp.full((1, 1), -jnp.log(spec.vocab_size), jnp.float32), lp_next[:, :-1]], axis=1
         )[0]
@@ -328,11 +329,15 @@ def decode(
 def logits_from_hidden(params: Params, spec: ModelSpec, hidden: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:
     w = params.get("lm_head") if not spec.tie_embeddings else None
     if isinstance(w, dict):  # int8 weight-only head
-        raw = jnp.dot(hidden.astype(compute_dtype), w["q8"].astype(compute_dtype),
-                      preferred_element_type=jnp.float32)
-        return raw * w["scale"]
-    lm_head = get_lm_head(params, spec).astype(compute_dtype)
-    return jnp.dot(hidden.astype(compute_dtype), lm_head, preferred_element_type=jnp.float32)
+        logits = jnp.dot(hidden.astype(compute_dtype), w["q8"].astype(compute_dtype),
+                         preferred_element_type=jnp.float32) * w["scale"]
+    else:
+        lm_head = get_lm_head(params, spec).astype(compute_dtype)
+        logits = jnp.dot(hidden.astype(compute_dtype), lm_head,
+                         preferred_element_type=jnp.float32)
+    if spec.final_logit_softcap > 0:
+        logits = spec.final_logit_softcap * jnp.tanh(logits / spec.final_logit_softcap)
+    return logits
 
 
 def dense_lm_head(params: Params, spec: ModelSpec, dtype) -> jax.Array:

@@ -111,7 +111,8 @@ def model_logprobs(
         jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32
     )
     lp_next, ent_next = chunked_logprob_entropy(
-        hidden, lm_head, labels, label_temps, chunk_size=model_cfg.lm_head_chunk_size
+        hidden, lm_head, labels, label_temps, chunk_size=model_cfg.lm_head_chunk_size,
+        softcap=spec.final_logit_softcap,
     )
     logprobs = _shift_right(lp_next, jnp.float32(-jnp.log(spec.vocab_size)))
     entropy = _shift_right(ent_next, jnp.float32(jnp.log(spec.vocab_size)))

@@ -63,3 +63,25 @@ def test_entropy_has_no_gradient():
 
     g = jax.grad(ent_sum)(hidden)
     np.testing.assert_allclose(np.asarray(g), 0.0)
+
+
+def test_softcapped_logprobs():
+    """Gemma-style softcap: logprobs match a manual capped softmax."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prime_rl_tpu.ops.lm_head import chunked_logprob_entropy
+
+    B, L, D, V, cap = 1, 8, 16, 32, 5.0
+    ks = jax.random.split(jax.random.key(0), 2)
+    hidden = jax.random.normal(ks[0], (B, L, D), jnp.float32) * 3
+    w = jax.random.normal(ks[1], (D, V), jnp.float32)
+    labels = jnp.arange(L)[None, :] % V
+    lp, _ = chunked_logprob_entropy(hidden, w, labels, None, chunk_size=4, softcap=cap)
+    logits = np.asarray(hidden) @ np.asarray(w)
+    logits = cap * np.tanh(logits / cap)
+    want = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    got = np.asarray(lp)
+    for i in range(L):
+        np.testing.assert_allclose(got[0, i], want[0, i, int(labels[0, i])], rtol=1e-4)
