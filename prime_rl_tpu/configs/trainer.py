@@ -145,6 +145,10 @@ class BatchConfig(BaseConfig):
 
     micro_batch_size: int = 1  # sequences are packed; this is packed rows per micro-batch
     seq_len: int = 4096
+    # pinned grad-accumulation depth: keeps the [N, B, L] step shape constant
+    # across steps → the train step compiles exactly once. None = minimum fit
+    # per batch (recompiles whenever rollout length mix changes N).
+    num_micro_batches: int | None = 4
     # bin-balancing: quadratic attn-aware cost (reference: trainer/utils.py:146)
     balance: Literal["tokens", "quadratic"] = "quadratic"
 

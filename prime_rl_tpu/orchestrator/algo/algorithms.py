@@ -42,8 +42,8 @@ class RAE(Algorithm):
     """Per-agent EMA baseline (SPIRAL; reference: algo/rae.py): the baseline
     persists across groups per (env, agent) key instead of the group mean."""
 
-    def __init__(self, config):
-        super().__init__(config)
+    def __init__(self, config, tokenizer=None):
+        super().__init__(config, tokenizer=tokenizer)
         self._baselines: dict[str, float] = {}
 
     def _key(self, rollout: Rollout) -> str:
@@ -113,8 +113,8 @@ class OPD(Algorithm):
 
     needs_group = False
 
-    def __init__(self, config):
-        super().__init__(config)
+    def __init__(self, config, tokenizer=None):
+        super().__init__(config, tokenizer=tokenizer)
         self._teacher = None
 
     def _teacher_client(self):
@@ -145,8 +145,8 @@ class OPSD(Algorithm):
 
     needs_group = False
 
-    def __init__(self, config):
-        super().__init__(config)
+    def __init__(self, config, tokenizer=None):
+        super().__init__(config, tokenizer=tokenizer)
         self._clients: dict[str, object] = {}
 
     def _client(self, base_url: str):
@@ -162,9 +162,12 @@ class OPSD(Algorithm):
             raise ValueError(f"opsd: task_data lacks {self.config.demo_key!r}")
         base_url = rollout.episode.info.get("base_url")
         client = self._client(base_url)
-        from prime_rl_tpu.renderers.tokenizer import ByteTokenizer
-
-        demo_ids = ByteTokenizer().encode(str(demo))
+        if self.tokenizer is None:
+            raise ValueError(
+                "opsd needs the policy tokenizer to encode the demonstration "
+                "prefix (orchestrator passes it via make_algorithm)"
+            )
+        demo_ids = _encode_text(self.tokenizer, str(demo))
         for s in rollout.samples:
             full = demo_ids + [int(t) for t in s.token_ids]
             lps = await client.prefill_logprobs(full)
@@ -201,5 +204,15 @@ ALGORITHM_CLASSES = {
 }
 
 
-def make_algorithm(config) -> Algorithm:
-    return ALGORITHM_CLASSES[config.type](config)
+def _encode_text(tokenizer, text: str) -> list[int]:
+    """Encode a plain-text span with the policy tokenizer (HF or byte),
+    never adding special tokens — the demo is a prefix inside a running
+    token stream."""
+    try:
+        return list(tokenizer.encode(text, add_special_tokens=False))
+    except TypeError:
+        return list(tokenizer.encode(text))
+
+
+def make_algorithm(config, tokenizer=None) -> Algorithm:
+    return ALGORITHM_CLASSES[config.type](config, tokenizer=tokenizer)

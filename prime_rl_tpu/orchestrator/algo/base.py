@@ -78,8 +78,13 @@ class Algorithm:
 
     needs_group: bool = True
 
-    def __init__(self, config: Any):
+    def __init__(self, config: Any, tokenizer: Any | None = None):
         self.config = config
+        # the live policy's tokenizer (resolved by the orchestrator from
+        # tokenizer/model config) — algorithms that build token prefixes
+        # (OPSD demos) must use this, never a hardcoded fallback
+        # (reference: algo/opsd.py renders demos with the policy tokenizer)
+        self.tokenizer = tokenizer
 
     async def finalize_rollout(self, rollout: Rollout) -> None:
         """Per-episode hook (async: may call external models)."""

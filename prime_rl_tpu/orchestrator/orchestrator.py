@@ -131,9 +131,22 @@ class Orchestrator:
 
     async def setup(self) -> None:
         cfg = self.config
+        from prime_rl_tpu.renderers.tokenizer import ByteTokenizer, get_tokenizer
+
+        tok_name = cfg.tokenizer.name or cfg.model_name
+        policy_tokenizer = get_tokenizer(tok_name)
         for src in cfg.train_envs:
             client = make_env_client(src)
-            algo = make_algorithm(src.algo)
+            if (
+                src.algo.type == "opsd"
+                and tok_name not in (None, "byte")
+                and isinstance(policy_tokenizer, ByteTokenizer)
+            ):
+                raise ValueError(
+                    f"opsd requires the real policy tokenizer but {tok_name!r} "
+                    "fell back to bytes — make the tokenizer loadable offline"
+                )
+            algo = make_algorithm(src.algo, tokenizer=policy_tokenizer)
             self.sources[src.name] = EnvSource(src, client, algo)
         tasksets = {n: await s.client.taskset() for n, s in self.sources.items()}
         ratios = {n: s.config.ratio for n, s in self.sources.items()}
@@ -356,7 +369,7 @@ class Orchestrator:
         self.monitor.log(metrics, self.progress.step)
         # sample table: a few rollout transcripts per shipped batch
         # (reference: monitor log_samples / W&B sample tables)
-        samples = [
+        sample_rows = [
             {
                 "env": r.env_name,
                 "reward": r.reward,
@@ -365,9 +378,9 @@ class Orchestrator:
             }
             for r in batch_rollouts[:4]
         ]
-        self.monitor.log_samples(samples, self.progress.step)
+        self.monitor.log_samples(sample_rows, self.progress.step)
         self.logger.info(
-            f"step {self.progress.step}: shipped {len(samples)} samples, "
+            f"step {self.progress.step}: shipped {metrics['num_samples']} samples, "
             f"reward={metrics['reward_mean']:.3f} (policy v{self.policy.version})"
         )
         self.progress.step += 1

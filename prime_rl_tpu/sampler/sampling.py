@@ -55,16 +55,20 @@ def sample_tokens(
     the temperature-scaled UNfiltered distribution (matching what a trainer
     recomputing logprobs from the weights will see).
 
-    Decode-hot-path design: NO full-vocab sort (a [S, V] sort dominates the
-    whole decode step on TPU). Unfiltered sampling is exact gumbel-max over
-    the full vocabulary; top-k/top-p filter within a ``MAX_TOP_K`` candidate
-    window via one ``lax.top_k`` — exact for ``top_k <= 64`` and for any
-    nucleus that fits the window (top-p mass outside the top-64 is clipped).
+    Decode-hot-path design: NO full-vocab sort in the common case (a [S, V]
+    sort dominates the whole decode step on TPU). Unfiltered sampling is
+    exact gumbel-max over the full vocabulary; top-k/top-p filter within a
+    ``MAX_TOP_K`` candidate window via one ``lax.top_k``. The window carries
+    FULL-distribution probabilities, so the nucleus cutoff is exact whenever
+    it fits; when a row's nucleus extends past the window (flat/high-temp
+    distributions) or ``top_k > MAX_TOP_K``, a ``lax.cond`` falls back to the
+    exact full-sort path for that step — correct always, fast almost always.
     """
     s, v = logits.shape
     temp = jnp.maximum(temperature, 1e-6)[:, None]
     scaled = logits / temp
     gumbel = jax.random.gumbel(key, (s, v), dtype=jnp.float32)
+    lse = jax.nn.logsumexp(scaled, axis=-1)
 
     # exact unfiltered categorical sample (gumbel-max) and greedy
     sampled_full = jnp.argmax(scaled + gumbel, axis=-1)
@@ -75,19 +79,34 @@ def sample_tokens(
     ranks = jnp.arange(MAX_TOP_K)[None, :]
     keep = jnp.ones((s, MAX_TOP_K), bool)
     keep &= jnp.where(top_k[:, None] > 0, ranks < top_k[:, None], True)
-    probs = jax.nn.softmax(cand_vals, axis=-1)
+    # full-distribution probabilities (not window-renormalized): the nucleus
+    # rule below then matches exact top-p whenever the nucleus fits the window
+    probs = jnp.exp(cand_vals - lse[:, None])
     cum = jnp.cumsum(probs, axis=-1)
     keep &= ((cum - probs) < top_p[:, None]).at[:, 0].set(True)
     cand_gumbel = jnp.take_along_axis(gumbel, cand_idx, axis=-1)
     cand_scores = jnp.where(keep, cand_vals + cand_gumbel, NEG_INF)
     pick = jnp.argmax(cand_scores, axis=-1)
-    sampled_filtered = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
+    sampled_windowed = jnp.take_along_axis(cand_idx, pick[:, None], axis=-1)[:, 0]
+
+    # rows whose nucleus escapes the window need the exact (sorted) path
+    window_short = (top_p < 1.0) & (cum[:, -1] < top_p)
+    bigk = top_k > MAX_TOP_K
+    needs_exact = window_short | bigk
+
+    def exact(_):
+        filtered = apply_top_p(apply_top_k(scaled, top_k), top_p)
+        return jnp.argmax(filtered + gumbel, axis=-1)
+
+    sampled_exact = jax.lax.cond(
+        jnp.any(needs_exact), exact, lambda _: sampled_windowed, operand=None
+    )
+    sampled_filtered = jnp.where(needs_exact, sampled_exact, sampled_windowed)
 
     filtering = (top_k > 0) | (top_p < 1.0)
     sampled = jnp.where(filtering, sampled_filtered, sampled_full)
     tokens = jnp.where(temperature <= 0, greedy, sampled).astype(jnp.int32)
     # logprob under the unfiltered temperature-scaled distribution, computed
     # without materializing log_softmax over [S, V]
-    lse = jax.nn.logsumexp(scaled, axis=-1)
     target = jnp.take_along_axis(scaled, tokens[:, None], axis=-1)[:, 0]
     return tokens, target - lse

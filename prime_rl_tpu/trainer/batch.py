@@ -77,13 +77,28 @@ def pack_rows(samples: list[TrainingSample], seq_len: int) -> list[PackedRow]:
     return rows
 
 
-def balance_rows(rows: list[PackedRow], num_bins: int) -> list[list[PackedRow]]:
+def balance_rows(
+    rows: list[PackedRow], num_bins: int, capacity: int | None = None
+) -> list[list[PackedRow]]:
     """Greedy longest-processing-time assignment by quadratic cost
-    (reference: trainer/utils.py:146 build_bin_cost)."""
+    (reference: trainer/utils.py:146 build_bin_cost).
+
+    ``capacity`` caps rows per bin (the micro-batch row count): assignment
+    always picks the cheapest bin *with space*, so no row is ever silently
+    dropped downstream. Raises if ``num_bins * capacity < len(rows)``.
+    """
+    if capacity is not None and num_bins * capacity < len(rows):
+        raise ValueError(
+            f"{len(rows)} packed rows do not fit in {num_bins} micro-batches "
+            f"of {capacity} rows; grow num_micro_batches or micro_batch_size"
+        )
     bins: list[list[PackedRow]] = [[] for _ in range(num_bins)]
     costs = [0.0] * num_bins
     for row in sorted(rows, key=lambda r: r.cost(), reverse=True):
-        i = int(np.argmin(costs))
+        order = np.argsort(costs, kind="stable")
+        i = next(
+            int(j) for j in order if capacity is None or len(bins[j]) < capacity
+        )
         bins[i].append(row)
         costs[i] += row.cost()
     return bins
@@ -118,8 +133,10 @@ def rows_to_arrays(rows: list[PackedRow], seq_len: int, batch_rows: int) -> Micr
     segment_ids = np.zeros((B, L), np.int32)
     temperatures = np.ones((B, L), np.float32)
 
+    if len(rows) > B:
+        raise ValueError(f"{len(rows)} rows exceed micro-batch capacity {B}")
     row_slots: list[tuple[int, int, TrainingSample]] = []
-    for b, row in enumerate(rows[:B]):
+    for b, row in enumerate(rows):
         cursor = 0
         for seg, s in enumerate(row.samples, start=1):
             n = len(s)
@@ -179,13 +196,26 @@ def prepare_batch(
     """TrainingSamples → one stacked [N, B, L] batch.
 
     ``num_micro_batches=None`` uses the minimum count that fits; a fixed count
-    keeps shapes constant across steps (recommended: set from config).
+    keeps shapes constant across steps so the train step compiles exactly once
+    (recommended: set from config). If the rollouts overflow the pinned count,
+    N grows to the minimum that fits — a recompile, never a dropped sample
+    (reference: trainer/batch.py:576-617 capped bins).
     """
     rows = pack_rows(samples, seq_len)
     rows_per_mb = micro_batch_rows
+    needed = max(1, -(-len(rows) // rows_per_mb))
     if num_micro_batches is None:
-        num_micro_batches = max(1, -(-len(rows) // rows_per_mb))
-    bins = balance_rows(rows, num_micro_batches)
+        num_micro_batches = needed
+    elif needed > num_micro_batches:
+        import warnings
+
+        warnings.warn(
+            f"batch needs {needed} micro-batches > pinned {num_micro_batches}; "
+            "growing (recompile). Tighten the orchestrator's max_batch_tokens.",
+            stacklevel=2,
+        )
+        num_micro_batches = needed
+    bins = balance_rows(rows, num_micro_batches, capacity=rows_per_mb)
     mbs = [rows_to_arrays(b, seq_len, rows_per_mb) for b in bins]
     return stack_micro_batches(mbs)
 

@@ -128,6 +128,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
 
     perf = PerfCounter(spec.flops_per_token(config.batch.seq_len), mesh_info.mesh.size)
     bench = config.bench
+    seen_shapes: set[tuple[int, ...]] = set()
     max_steps = config.max_steps or 10**9
     while progress.step < max_steps:
         t_wait = time.perf_counter()
@@ -143,7 +144,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             if tb is None:
                 break
             batch = prepare_batch(
-                tb.examples, config.batch.seq_len, config.batch.micro_batch_size
+                tb.examples, config.batch.seq_len, config.batch.micro_batch_size,
+                num_micro_batches=config.batch.num_micro_batches,
             )
             counts = token_counts(batch)
             if run_mgr is not None:
@@ -151,6 +153,12 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 state = run.state  # tenant swap: same jit, different pytree
         wait_s = time.perf_counter() - t_wait
 
+        shape_key = tuple(batch.input_ids.shape)
+        if shape_key not in seen_shapes:
+            seen_shapes.add(shape_key)
+            logger.info(
+                f"train step shape {shape_key} (compilation #{len(seen_shapes)})"
+            )
         tokens = int(batch.loss_mask.size)
         batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
         scales = Scales(

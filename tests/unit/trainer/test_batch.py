@@ -77,6 +77,50 @@ def test_prepare_batch_static_shapes():
     assert counts["rl"] == sum((64, 32, 100, 8, 50)) - 5
 
 
+def test_no_sample_drop_property():
+    """tokens_in == tokens_out over randomized length mixes (VERDICT r1 weak #1:
+    LPT balancing overfilled a bin and rows_to_arrays silently truncated)."""
+    rng = np.random.default_rng(0)
+    for trial in range(50):
+        seq_len = int(rng.integers(8, 64))
+        n_samples = int(rng.integers(1, 12))
+        lengths = rng.integers(2, seq_len + 20, n_samples)  # some get truncated
+        samples = [make_sample(int(n)) for n in lengths]
+        mb_rows = int(rng.integers(1, 4))
+        pinned = int(rng.integers(1, 4)) if trial % 2 else None
+        tokens_in = sum(min(int(n), seq_len) for n in lengths)
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            batch = prepare_batch(samples, seq_len, mb_rows, num_micro_batches=pinned)
+        tokens_out = int((batch.segment_ids > 0).sum())
+        assert tokens_out == tokens_in, (trial, lengths, seq_len, mb_rows, pinned)
+
+
+def test_regression_lpt_overflow_bin():
+    """The exact reproduction from VERDICT r1: 4 samples (8,5,5,5) at
+    seq_len=8, micro_batch_rows=2 → all 23 tokens must survive."""
+    samples = [make_sample(n) for n in (8, 5, 5, 5)]
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        batch = prepare_batch(samples, seq_len=8, micro_batch_rows=2, num_micro_batches=2)
+    assert int((batch.segment_ids > 0).sum()) == 23
+
+
+def test_pinned_count_overflow_grows_with_warning():
+    samples = [make_sample(16) for _ in range(6)]
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        batch = prepare_batch(samples, seq_len=16, micro_batch_rows=1, num_micro_batches=2)
+    assert batch.input_ids.shape[0] == 6  # grew to fit, no drops
+    assert any("micro-batches" in str(x.message) for x in w)
+
+
 def test_optional_stream_materialization():
     samples = [make_sample(10, with_weights=True), make_sample(10)]
     batch = prepare_batch(samples, seq_len=32, micro_batch_rows=1, num_micro_batches=2)
