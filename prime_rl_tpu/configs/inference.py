@@ -37,6 +37,18 @@ class ServerConfig(BaseConfig):
     api_key: str | None = None
 
 
+class WeightPlaneConfig(BaseConfig):
+    """Receive per-step policy weights straight from the learner process
+    (no disk): shm arena on the same host, or ZMQ tensor streaming across
+    hosts. The engine's policy_version bumps on apply — pair with the
+    orchestrator's watch="liveness" (transport/weights.py)."""
+
+    mode: Literal["shm", "zmq_stream"] = "shm"
+    host: str = "127.0.0.1"  # zmq_stream: trainer host
+    pub_port: int = 5561
+    rep_port: int = 5562
+
+
 class InferenceConfig(BaseConfig):
     output_dir: str = "outputs"
     model: ModelConfig = ModelConfig()
@@ -52,3 +64,5 @@ class InferenceConfig(BaseConfig):
     seed: int = 0
     # int8 weight-only serving quantization (halves decode weight bandwidth)
     quantization: Literal["int8"] | None = None
+    # disaggregated weight plane subscription (None = HTTP /update_weights only)
+    weight_plane: WeightPlaneConfig | None = None

@@ -101,13 +101,23 @@ class FileSystemWeightBroadcastConfig(BaseConfig):
 
 
 class DeviceWeightBroadcastConfig(BaseConfig):
-    """Direct device-to-device resharding between learner and sampler meshes —
-    the TPU-native replacement for the reference's NCCL/NIXL broadcast
-    (SURVEY.md §2.6). ``colocated`` swaps buffers in-process; ``transfer``
-    uses the JAX cross-host transfer server (multi-process)."""
+    """The disaggregated weight plane — per-step weights reach sampler
+    processes without a disk round-trip (TPU-native replacement for the
+    reference's NCCL/NIXL broadcast, SURVEY.md §2.6):
+
+    - ``colocated``: learner+sampler share one process; in-place device swap.
+    - ``shm``: sampler in its own same-host process; double-buffered POSIX
+      shared-memory arena (transport/weights.py).
+    - ``zmq_stream``: cross-host layerwise tensor streaming over ZMQ/DCN.
+    """
 
     type: Literal["device"] = "device"
-    mode: Literal["colocated", "transfer"] = "colocated"
+    mode: Literal["colocated", "shm", "zmq_stream"] = "colocated"
+    # cast float leaves before transfer (serving computes in bf16 anyway);
+    # the reference quantizes-in-transfer the same way (broadcast/nccl.py:34-68)
+    transfer_dtype: Literal["bfloat16", "float32"] | None = "bfloat16"
+    pub_port: int = 5561  # zmq_stream publish port
+    rep_port: int = 5562  # zmq_stream latest-pull port
 
 
 WeightBroadcastConfig = Annotated[

@@ -63,7 +63,17 @@ def build_server(config: InferenceConfig):
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 
     tokenizer = get_tokenizer(config.tokenizer.name or config.model.name)
-    return InferenceServer(engine, config.model.name, tokenizer)
+    server = InferenceServer(engine, config.model.name, tokenizer)
+    if config.weight_plane is not None:
+        from prime_rl_tpu.sampler.weight_receiver import WeightPlaneReceiver
+        from prime_rl_tpu.transport.weights import resolve_plane_id
+
+        server.weight_receiver = WeightPlaneReceiver(
+            config.weight_plane, resolve_plane_id(config.output_dir), engine
+        )
+        server.weight_receiver.start()
+        logger.info(f"weight plane receiver started (mode={config.weight_plane.mode})")
+    return server
 
 
 def main() -> None:

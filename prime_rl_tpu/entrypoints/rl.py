@@ -81,6 +81,19 @@ def rl(config: RLConfig) -> int:
     config.inference.output_dir = str(output_dir)
     if config.colocated:
         config.orchestrator.watch = "liveness"
+    plane_env: dict[str, str] = {}
+    bcast = config.trainer.broadcast
+    if not config.colocated and getattr(bcast, "mode", None) in ("shm", "zmq_stream"):
+        # disaggregated weight plane: sampler applies weights itself and bumps
+        # its /liveness version — same watcher protocol, no disk on the path
+        config.orchestrator.watch = "liveness"
+        if config.inference.weight_plane is None:
+            from prime_rl_tpu.configs.inference import WeightPlaneConfig
+
+            config.inference.weight_plane = WeightPlaneConfig(
+                mode=bcast.mode, pub_port=bcast.pub_port, rep_port=bcast.rep_port
+            )
+        plane_env["PRIME_RL_WEIGHT_PLANE_ID"] = f"{output_dir}:{os.getpid()}:{time.time():.0f}"
     cfg_dir = output_dir / "configs"
     trainer_toml = _write_subconfig(config.trainer, cfg_dir / "trainer.toml")
     orch_toml = _write_subconfig(config.orchestrator, cfg_dir / "orchestrator.toml")
@@ -104,7 +117,7 @@ def rl(config: RLConfig) -> int:
         else:
             children["inference"] = _spawn(
                 "inference", [py, "-m", "prime_rl_tpu.entrypoints.inference", f"@{inf_toml}"],
-                output_dir,
+                output_dir, env=plane_env,
             )
         for i, es in enumerate(config.env_servers):
             es.output_dir = str(output_dir)
@@ -120,7 +133,7 @@ def rl(config: RLConfig) -> int:
         if not config.colocated:
             children["trainer"] = _spawn(
                 "trainer", [py, "-m", "prime_rl_tpu.entrypoints.trainer", f"@{trainer_toml}"],
-                output_dir,
+                output_dir, env=plane_env,
             )
         print(f"RL run: {len(children)} processes, logs under {output_dir}/logs/")
 

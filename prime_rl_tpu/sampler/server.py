@@ -49,6 +49,7 @@ class InferenceServer:
         self.engine = engine
         self.model_name = model_name
         self.tokenizer = tokenizer
+        self.weight_receiver = None  # set by the entrypoint when a plane is configured
         self.loop_thread = EngineLoop(engine)
         self.app = web.Application(client_max_size=256 * 1024 * 1024)
         self.app.add_routes([

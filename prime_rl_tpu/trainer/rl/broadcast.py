@@ -50,6 +50,77 @@ class ColocatedBroadcast:
             self.engine.resume()
 
 
+def _cast_floats(params: Params, dtype: str | None) -> Params:
+    """Cast float leaves on device before the host get (the reference
+    quantizes-in-transfer the same way: broadcast/nccl.py:34-68)."""
+    if dtype is None:
+        return params
+    import jax
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: x.astype(target) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        params,
+    )
+
+
+class ShmBroadcast:
+    """Same-host disaggregated weight plane: the sampler runs in its OWN
+    process (own chips/devices) and receives per-step weights through a
+    double-buffered shared-memory arena — one device→host get, one host-RAM
+    copy, zero disk (reference: broadcast/nccl.py:197-267; SURVEY.md §2.6).
+    """
+
+    def __init__(self, output_dir: str, transfer_dtype: str | None = "bfloat16"):
+        from prime_rl_tpu.transport.weights import resolve_plane_id, shm_name_for
+
+        self._name = shm_name_for(resolve_plane_id(output_dir))
+        self._writer = None
+        self._dtype = transfer_dtype
+
+    def publish(self, params: Params, version: int) -> None:
+        import jax
+
+        from prime_rl_tpu.transport.weights import (
+            ShmWeightWriter,
+            WeightLayout,
+            flatten_params,
+        )
+
+        host = jax.device_get(_cast_floats(params, self._dtype))
+        if self._writer is None:
+            self._writer = ShmWeightWriter(self._name, WeightLayout.from_params(host))
+        self._writer.publish(flatten_params(host), version)
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._writer.close()
+
+
+class ZmqStreamBroadcast:
+    """Cross-host weight plane: layerwise tensor streaming over ZMQ/DCN
+    (reference: broadcast/nccl.py layerwise streaming; NIXL RDMA analogue)."""
+
+    def __init__(self, pub_port: int, rep_port: int, host: str = "*",
+                 transfer_dtype: str | None = "bfloat16"):
+        from prime_rl_tpu.transport.weights import ZmqStreamWriter
+
+        self._writer = ZmqStreamWriter(pub_port, rep_port, host)
+        self._dtype = transfer_dtype
+
+    def publish(self, params: Params, version: int) -> None:
+        import jax
+
+        from prime_rl_tpu.transport.weights import flatten_params
+
+        host = jax.device_get(_cast_floats(params, self._dtype))
+        self._writer.publish(flatten_params(host), version)
+
+    def close(self) -> None:
+        self._writer.close()
+
+
 class MultiBroadcast:
     def __init__(self, sinks: list):
         self.sinks = sinks
@@ -57,3 +128,20 @@ class MultiBroadcast:
     def publish(self, params: Params, version: int) -> None:
         for s in self.sinks:
             s.publish(params, version)
+
+
+def make_broadcast(config, weight_mgr, output_dir: str):
+    """Build the configured sink (trainer entrypoint path; the colocated
+    entrypoint overrides with ColocatedBroadcast directly)."""
+    if config.type == "device":
+        if config.mode == "shm":
+            return ShmBroadcast(output_dir, config.transfer_dtype)
+        if config.mode == "zmq_stream":
+            return ZmqStreamBroadcast(config.pub_port, config.rep_port,
+                                      transfer_dtype=config.transfer_dtype)
+        raise ValueError(
+            f"broadcast mode {config.mode!r} needs the colocated entrypoint"
+            if config.mode == "colocated"
+            else f"unknown device broadcast mode {config.mode!r}"
+        )
+    return FilesystemBroadcast(weight_mgr)

@@ -109,11 +109,15 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
 
     # startup broadcast: publish the current policy so the sampler starts from
     # trainer weights (reference: rl/train.py:277-288)
-    from prime_rl_tpu.trainer.rl.broadcast import FilesystemBroadcast
+    from prime_rl_tpu.trainer.rl.broadcast import FilesystemBroadcast, make_broadcast
 
-    colocated = weight_sink is not None
     if weight_sink is None:
-        weight_sink = FilesystemBroadcast(weight_mgr)
+        weight_sink = make_broadcast(config.broadcast, weight_mgr, config.output_dir)
+    # non-filesystem planes still snapshot to disk on the weight_ckpt interval
+    # (eval/export/elastic-joiner sync), just not on the per-step hot path
+    snapshot_interval = (
+        None if isinstance(weight_sink, FilesystemBroadcast) else config.weight_ckpt.interval
+    )
     version = progress.step
     weight_sink.publish(publish_params(), version)
     logger.info(f"published initial weights v{version}")
@@ -187,7 +191,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         if bench is None:
             t_pub = time.perf_counter()
             weight_sink.publish(publish_params(), version)
-            if colocated and progress.step % config.weight_ckpt.interval == 0:
+            if snapshot_interval and progress.step % snapshot_interval == 0:
                 weight_mgr.save(publish_params(), version)
             pub_s = time.perf_counter() - t_pub
         else:
@@ -232,5 +236,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         run_mgr.save_all()
     if bench is None:
         ckpt_mgr.save(state, progress)
+    if hasattr(weight_sink, "close"):
+        weight_sink.close()
     monitor.finalize()
     logger.info("trainer done")

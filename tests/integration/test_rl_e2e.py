@@ -114,3 +114,59 @@ def test_rl_end_to_end(tmp_path, free_port):
     # checkpoints + weight snapshots were produced and retained
     assert (out / "weights").exists()
     assert any((out / "checkpoints").glob("step_*")), "no trainer checkpoint"
+
+
+DISAGG_EXTRA = """
+colocated = false
+[trainer.broadcast]
+type = "device"
+mode = "shm"
+"""
+
+
+@pytest.mark.slow
+def test_rl_disaggregated_weight_plane(tmp_path, free_port):
+    """3-process run where weights cross the shm plane, never disk: the
+    sampler's policy_version advances every step while the weights/ dir only
+    sees interval snapshots (VERDICT r1 item #1; reference:
+    broadcast/nccl.py:197-267 behavior)."""
+    out = tmp_path / "run"
+    cfg = tmp_path / "rl.toml"
+    text = CONFIG.format(out=out, port_h=free_port(), port_b=free_port())
+    text = text.replace("[trainer.weight_ckpt]\ninterval = 1", "[trainer.weight_ckpt]\ninterval = 10")
+    text = text.replace("max_steps = 30", "max_steps = 12")
+    cfg.write_text(text + DISAGG_EXTRA)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "prime_rl_tpu.entrypoints.rl", f"@{cfg}"],
+        env=env, cwd=REPO, timeout=720, capture_output=True, text=True,
+    )
+    logs = "\n".join(
+        p.read_text()[-2000:] for p in (out / "logs").glob("*.out") if p.exists()
+    )
+    assert proc.returncode == 0, f"launcher rc={proc.returncode}\n{proc.stdout}\n{logs}"
+    for p in (out / "logs").glob("*.out"):
+        text = p.read_text()
+        assert "Traceback" not in text, f"error in {p.name}:\n{text[-2000:]}"
+
+    # the sampler applied every version through the plane
+    inf_log = (out / "logs" / "inference.log").read_text()
+    applied = [l for l in inf_log.splitlines() if "weight plane: applied v" in l]
+    assert len(applied) >= 10, inf_log[-2000:]
+
+    # per-step publishes never hit disk: only interval snapshots exist
+    snap_steps = sorted(
+        int(p.name.split("_")[1]) for p in (out / "weights").glob("step_*")
+    ) if (out / "weights").exists() else []
+    assert len(snap_steps) <= 2, f"per-step disk snapshots leaked: {snap_steps}"
+
+    # publish latency is host-copy class, not safetensors-write class
+    trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
+    pubs = [r["publish_s"] for r in trows if "publish_s" in r]
+    assert pubs and float(np.median(pubs)) < 0.5, pubs
+
+    # and training still learns through the plane
+    rows = [json.loads(l) for l in open(out / "orchestrator.jsonl")]
+    rewards = [r["reward_mean"] for r in rows if "reward_mean" in r]
+    assert len(rewards) >= 10

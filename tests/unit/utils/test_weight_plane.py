@@ -1,0 +1,164 @@
+"""Disaggregated weight plane tests (transport/weights.py): shm arena
+roundtrip + seqlock semantics, zmq tensor streaming, pytree rebuild."""
+
+import numpy as np
+import pytest
+
+from prime_rl_tpu.transport.weights import (
+    ShmWeightReader,
+    ShmWeightWriter,
+    WeightLayout,
+    ZmqStreamReader,
+    ZmqStreamWriter,
+    flatten_params,
+    shm_name_for,
+    unflatten_params,
+)
+
+
+def make_params(seed=0):
+    rng = np.random.default_rng(seed)
+    import ml_dtypes
+
+    return {
+        "embed": rng.normal(size=(32, 16)).astype(ml_dtypes.bfloat16),
+        "layers": {
+            "wq": rng.normal(size=(2, 16, 16)).astype(np.float32),
+            "wk": rng.normal(size=(2, 16, 8)).astype(np.float32),
+        },
+        "final_norm": rng.normal(size=(16,)).astype(np.float32),
+    }
+
+
+def assert_params_equal(a, b):
+    fa, fb = flatten_params(a), flatten_params(b)
+    assert fa.keys() == fb.keys()
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]), err_msg=k)
+
+
+def test_flatten_roundtrip():
+    p = make_params()
+    assert_params_equal(p, unflatten_params(flatten_params(p)))
+
+
+def test_shm_roundtrip(tmp_path):
+    p = make_params()
+    name = shm_name_for(str(tmp_path))
+    writer = ShmWeightWriter(name, WeightLayout.from_params(p))
+    try:
+        reader = ShmWeightReader(name)
+        assert reader.latest_version() == -1
+
+        writer.publish(flatten_params(p), version=0)
+        got = {}
+        version, ok = reader.read(-1, lambda views: got.update(
+            {k: np.array(v) for k, v in views.items()}))
+        assert ok and version == 0
+        assert_params_equal(p, unflatten_params(got))
+
+        # no re-read of the same version
+        _, ok = reader.read(0, lambda views: None)
+        assert not ok
+
+        # double buffering: v1 lands in the other buffer; reader gets v1
+        p2 = make_params(seed=1)
+        writer.publish(flatten_params(p2), version=1)
+        got2 = {}
+        version, ok = reader.read(0, lambda views: got2.update(
+            {k: np.array(v) for k, v in views.items()}))
+        assert ok and version == 1
+        assert_params_equal(p2, unflatten_params(got2))
+        reader.close()
+    finally:
+        writer.close()
+
+
+def test_shm_seqlock_detects_torn_read(tmp_path):
+    p = make_params()
+    name = shm_name_for(str(tmp_path) + "torn")
+    writer = ShmWeightWriter(name, WeightLayout.from_params(p))
+    try:
+        writer.publish(flatten_params(p), version=0)
+        writer.publish(flatten_params(p), version=1)
+        reader = ShmWeightReader(name)
+
+        def consume(views):
+            # the writer laps us mid-read: v0's buffer gets overwritten by v2
+            writer.publish(flatten_params(make_params(2)), version=2)
+            writer.publish(flatten_params(make_params(3)), version=3)
+
+        # reader targeted v1's buffer; writer rewrote it (v3) during consume
+        version, ok = reader.read(0, consume)
+        assert not ok  # torn read detected and discarded
+        got = {}
+        version, ok = reader.read(0, lambda views: got.update(
+            {k: np.array(v) for k, v in views.items()}))
+        assert ok and version == 3
+        reader.close()
+    finally:
+        writer.close()
+
+
+def test_shm_stale_segment_replaced(tmp_path):
+    from multiprocessing import shared_memory
+
+    p = make_params()
+    name = shm_name_for(str(tmp_path) + "stale")
+    # crashed-run segment left behind (arbitrary junk): a new writer replaces it
+    stale = shared_memory.SharedMemory(name=name, create=True, size=64)
+    stale.buf[:8] = b"garbage!"
+    stale.close()
+    w2 = ShmWeightWriter(name, WeightLayout.from_params(p))
+    try:
+        reader = ShmWeightReader(name)
+        assert reader.latest_version() == -1  # fresh arena, not the stale one
+        reader.close()
+    finally:
+        w2.close()
+
+
+def _free_ports(n):
+    import socket
+
+    socks, ports = [], []
+    for _ in range(n):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        socks.append(s)
+        ports.append(s.getsockname()[1])
+    for s in socks:
+        s.close()
+    return ports
+
+
+def test_zmq_stream_roundtrip():
+    pytest.importorskip("zmq")
+    pub, rep = _free_ports(2)
+    writer = ZmqStreamWriter(pub, rep, host="127.0.0.1")
+    try:
+        p = make_params()
+        writer.publish(flatten_params(p), version=5)
+        reader = ZmqStreamReader("127.0.0.1", pub, rep)
+        # late joiner: pull the latest over REQ/REP
+        got = reader.pull_latest(timeout_ms=5000)
+        assert got is not None
+        version, named = got
+        assert version == 5
+        assert_params_equal(p, unflatten_params(named))
+
+        # push path: SUB receives the next publish
+        import time
+
+        time.sleep(0.3)  # let SUB finish connecting
+        p2 = make_params(seed=9)
+        writer.publish(flatten_params(p2), version=6)
+        deadline = time.time() + 5
+        pushed = None
+        while pushed is None and time.time() < deadline:
+            pushed = reader.poll(timeout_ms=200)
+        assert pushed is not None and pushed[0] == 6
+        assert_params_equal(p2, unflatten_params(pushed[1]))
+        reader.close()
+    finally:
+        writer.close()
