@@ -117,7 +117,6 @@ def test_rl_end_to_end(tmp_path, free_port):
 
 
 DISAGG_EXTRA = """
-colocated = false
 [trainer.broadcast]
 type = "device"
 mode = "shm"
@@ -135,7 +134,8 @@ def test_rl_disaggregated_weight_plane(tmp_path, free_port):
     text = CONFIG.format(out=out, port_h=free_port(), port_b=free_port())
     text = text.replace("[trainer.weight_ckpt]\ninterval = 1", "[trainer.weight_ckpt]\ninterval = 10")
     text = text.replace("max_steps = 30", "max_steps = 12")
-    cfg.write_text(text + DISAGG_EXTRA)
+    # top-level key must precede the first [section]
+    cfg.write_text("colocated = false\n" + text + DISAGG_EXTRA)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
