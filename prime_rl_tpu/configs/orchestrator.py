@@ -113,6 +113,9 @@ class OrchestratorConfig(BaseConfig):
     target_lag: int = 1
     max_off_policy_steps: int = 8
     max_inflight_episodes: int = 64
+    # eval has its own permit pool so an eval epoch never starves train
+    # dispatch (reference: dispatcher.py PREFER_* permit policies)
+    max_inflight_eval_episodes: int = 32
     max_steps: int | None = None
     max_empty_batches: int = 10
 

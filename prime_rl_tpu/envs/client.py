@@ -78,6 +78,15 @@ class InferenceClient:
         )
         return result.prompt_logprobs or []
 
+    async def abort(self, request_id: str) -> bool:
+        """Cancel an in-flight request (off-policy cancel path;
+        reference: dispatcher.py:272-303 → vLLM abort)."""
+        r = await self._client.post(
+            f"{self.base_url}/abort", json={"request_id": request_id}, timeout=10
+        )
+        r.raise_for_status()
+        return r.json().get("status") == "ok"
+
     async def update_weights(self, weight_dir: str, version: int) -> None:
         r = await self._client.post(
             f"{self.base_url}/update_weights",

@@ -28,6 +28,14 @@ class CacheConfig:
     page_size: int = 64
     max_slots: int = 32
     max_seq_len: int = 4096
+    # prefix caching: reuse full prompt pages across requests (group_size
+    # rollouts of one task re-serve the same prompt — reference leans on
+    # vLLM prefix caching, dispatcher.py:437-441)
+    enable_prefix_cache: bool = True
+    # incremental prefill chunk (page multiple): prompts longer than the
+    # largest bucket — or with a cached prefix — prefill in chunks of this
+    # size instead of being rejected
+    prefill_chunk: int = 1024
 
     @property
     def pages_per_slot(self) -> int:
@@ -58,6 +66,93 @@ class KVPool:
         return 2 * per * len(self.k)
 
 
+def hash_pages(tokens: list[int], page_size: int, salt: object = None) -> list[int]:
+    """Chained 64-bit hashes of each FULL page of ``tokens``: page i's hash
+    commits to every token before it and the salt, so a chain-prefix match
+    means a token-prefix match (vLLM block hashing; reference salts by policy
+    version at dispatcher.py:437-441 — here the engine flushes on weight
+    update, and per-request cache_salt adds isolation on top)."""
+    import hashlib
+
+    out: list[int] = []
+    prev = repr(salt).encode()
+    for i in range(len(tokens) // page_size):
+        page = tokens[i * page_size : (i + 1) * page_size]
+        h = hashlib.blake2b(prev + np.asarray(page, np.int64).tobytes(), digest_size=8)
+        prev = h.digest()
+        out.append(int.from_bytes(prev, "little"))
+    return out
+
+
+@dataclass
+class _CacheEntry:
+    page: int
+    refs: int = 0
+    tick: int = 0
+
+
+class PrefixCache:
+    """Page-hash → KV page reuse across requests (the vLLM prefix-cache
+    analogue). Pages live here either *shared* (refs > 0: some live slot's
+    page table points at them) or *idle* (refs == 0: evictable LRU)."""
+
+    def __init__(self):
+        self.entries: dict[int, _CacheEntry] = {}
+        self._tick = 0
+        self.hits_tokens = 0
+        self.misses_tokens = 0
+
+    def lookup(self, hashes: list[int]) -> list[int]:
+        """Longest chain of cached pages matching the hash chain; increfs."""
+        pages = []
+        self._tick += 1
+        for h in hashes:
+            e = self.entries.get(h)
+            if e is None:
+                break
+            e.refs += 1
+            e.tick = self._tick
+            pages.append(e.page)
+        return pages
+
+    def decref(self, h: int) -> None:
+        e = self.entries.get(h)
+        if e is not None:
+            e.refs -= 1
+
+    def insert(self, h: int, page: int) -> bool:
+        """Donate an idle page under hash ``h``; False if already present
+        (caller frees the duplicate page)."""
+        if h in self.entries:
+            return False
+        self._tick += 1
+        self.entries[h] = _CacheEntry(page, refs=0, tick=self._tick)
+        return True
+
+    def evict(self, need: int) -> list[int]:
+        """Free up to ``need`` idle pages, least-recently-used first."""
+        idle = sorted(
+            ((h, e) for h, e in self.entries.items() if e.refs <= 0),
+            key=lambda kv: kv[1].tick,
+        )
+        out = []
+        for h, e in idle[:need]:
+            del self.entries[h]
+            out.append(e.page)
+        return out
+
+    def flush(self) -> list[int]:
+        """Drop every idle entry (weight update: cached KV is stale). Shared
+        entries stay mapped until their slots release but are unlinked from
+        the hash space so no new request can match them."""
+        pages = [e.page for e in self.entries.values() if e.refs <= 0]
+        survivors = [e for e in self.entries.values() if e.refs > 0]
+        # unlink survivors from lookup by moving them to unreachable keys
+        # (blake hashes are non-negative; ~i is always negative)
+        self.entries = {~i: e for i, e in enumerate(survivors)}
+        return pages
+
+
 class PageAllocator:
     """Host free-list; page 0 reserved as the null page."""
 
@@ -73,14 +168,20 @@ class PageAllocator:
     def can_fit(self, num_tokens: int) -> bool:
         return len(self.free) >= -(-num_tokens // self.config.page_size)
 
+    def allocate_n(self, slot: int, n_pages: int) -> list[int]:
+        """Append exactly ``n_pages`` owned pages to ``slot``."""
+        if n_pages > len(self.free):
+            raise MemoryError(f"KV pool exhausted: need {n_pages}, free {len(self.free)}")
+        pages = self.slot_pages.setdefault(slot, [])
+        for _ in range(n_pages):
+            pages.append(self.free.pop())
+        return pages
+
     def allocate(self, slot: int, num_tokens: int) -> list[int]:
         """Ensure ``slot`` has pages covering num_tokens; returns full list."""
         pages = self.slot_pages.setdefault(slot, [])
         need = -(-num_tokens // self.config.page_size) - len(pages)
-        if need > len(self.free):
-            raise MemoryError(f"KV pool exhausted: need {need}, free {len(self.free)}")
-        for _ in range(max(0, need)):
-            pages.append(self.free.pop())
+        self.allocate_n(slot, max(0, need))
         return pages
 
     def release(self, slot: int) -> None:
@@ -88,41 +189,84 @@ class PageAllocator:
         self.free.extend(reversed(pages))
 
 
-class SlotTable:
-    """Host mirror of the device page table + lengths for all slots."""
+@dataclass
+class _SlotMeta:
+    shared_hashes: list[int]  # cache hashes this slot holds refs on
+    donate_hashes: list[int]  # hashes of own full prompt pages (cacheable)
+    epoch: int
 
-    def __init__(self, config: CacheConfig):
+
+class SlotTable:
+    """Host mirror of the device page table + lengths for all slots, with
+    prefix-cache-aware page accounting: a slot's page-table row is
+    ``[shared cache pages..., owned pages...]`` and released prompt pages are
+    donated back to the cache instead of freed (vLLM block-manager shape)."""
+
+    def __init__(self, config: CacheConfig, enable_prefix_cache: bool = True):
         self.config = config
         self.page_table = np.zeros((config.max_slots, config.pages_per_slot), np.int32)
         self.lengths = np.zeros((config.max_slots,), np.int32)
         self.free_slots: list[int] = list(range(config.max_slots - 1, -1, -1))
         self.alloc = PageAllocator(config)
+        self.cache = PrefixCache() if enable_prefix_cache else None
+        self.epoch = 0
+        self._meta: dict[int, _SlotMeta] = {}
 
-    def acquire(self, num_tokens: int) -> int | None:
-        """Find a slot + pages for a prompt of ``num_tokens``; None if full."""
-        if not self.free_slots or not self.alloc.can_fit(num_tokens):
+    def _reclaim(self, need_pages: int) -> None:
+        """Evict idle cache pages back into the free list if short."""
+        short = need_pages - self.alloc.num_free
+        if short > 0 and self.cache is not None:
+            self.alloc.free.extend(self.cache.evict(short))
+
+    def acquire(self, num_tokens: int, prompt_hashes: list[int] | None = None
+                ) -> tuple[int, int] | None:
+        """Slot + pages for ``num_tokens``, reusing the longest cached chain
+        of ``prompt_hashes`` (full prompt pages, salt-chained). Returns
+        (slot, shared_page_count) or None if the pool can't fit it now."""
+        hashes = list(prompt_hashes or ())
+        if not self.free_slots:
+            return None
+        shared_pages = self.cache.lookup(hashes) if self.cache is not None else []
+        n_shared = len(shared_pages)
+        total_pages = -(-num_tokens // self.config.page_size)
+        need = total_pages - n_shared
+        self._reclaim(need)
+        if need > self.alloc.num_free:
+            if self.cache is not None:
+                for h in hashes[:n_shared]:
+                    self.cache.decref(h)
             return None
         slot = self.free_slots.pop()
-        pages = self.alloc.allocate(slot, num_tokens)
+        own = self.alloc.allocate_n(slot, need)
+        pages = shared_pages + own
         self.page_table[slot, : len(pages)] = pages
         self.page_table[slot, len(pages):] = 0
         self.lengths[slot] = num_tokens
-        return slot
-
-    def extend(self, slot: int, new_len: int) -> bool:
-        """Grow a slot to ``new_len`` tokens; False if out of pages."""
-        if new_len > self.config.max_seq_len:
-            return False
-        try:
-            pages = self.alloc.allocate(slot, new_len)
-        except MemoryError:
-            return False
-        self.page_table[slot, : len(pages)] = pages
-        self.lengths[slot] = new_len
-        return True
+        self._meta[slot] = _SlotMeta(hashes[:n_shared], hashes[n_shared:], self.epoch)
+        return slot, n_shared
 
     def release(self, slot: int) -> None:
-        self.alloc.release(slot)
+        meta = self._meta.pop(slot, None)
+        own = self.alloc.slot_pages.pop(slot, [])
+        free_pages = own
+        if meta is not None and self.cache is not None:
+            for h in meta.shared_hashes:
+                self.cache.decref(h)
+            if meta.epoch == self.epoch:
+                # donate full prompt pages (their KV matches current weights);
+                # duplicates (another slot donated the same prefix) are freed
+                free_pages = [
+                    p for h, p in zip(meta.donate_hashes, own)
+                    if not self.cache.insert(h, p)
+                ] + own[len(meta.donate_hashes):]
+        self.alloc.free.extend(reversed(free_pages))
         self.page_table[slot] = 0
         self.lengths[slot] = 0
         self.free_slots.append(slot)
+
+    def flush_cache(self) -> None:
+        """Weight update: cached KV is stale — drop idle entries, fence
+        donations from slots prefilled under the old weights."""
+        self.epoch += 1
+        if self.cache is not None:
+            self.alloc.free.extend(self.cache.flush())

@@ -50,6 +50,10 @@ class SamplingParams:
     prompt_logprobs: bool = False
     seed: int | None = None
     ignore_eos: bool = False  # benchmarking: always generate max_tokens
+    # extra prefix-cache isolation domain (the engine already flushes the
+    # cache on every weight update; reference salts by policy version at
+    # dispatcher.py:437-441)
+    cache_salt: str | None = None
 
 
 @dataclass
@@ -69,6 +73,8 @@ class _Request:
     future: Future
     # streaming: called from the engine thread per sampled token
     on_token: "callable | None" = None
+    request_id: str | None = None
+    aborted: bool = False
 
 
 @dataclass
@@ -123,12 +129,21 @@ class Engine:
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
-        self.slots = SlotTable(self.config)
+        self.slots = SlotTable(self.config, enable_prefix_cache=self.config.enable_prefix_cache)
         self.pending: deque[_Request] = deque()
         self.active: dict[int, _Active] = {}
         self.paused = False
         self.policy_version = -1
         self._lock = threading.Lock()
+        self._by_id: dict[str, _Request] = {}
+        self._hol_strikes = 0
+        self.stats = {
+            "prefill_tokens_computed": 0,
+            "prefill_tokens_cached": 0,
+            "requests_admitted": 0,
+            "requests_aborted": 0,
+            "requests_rejected": 0,
+        }
         self._prefill_attn_impl = prefill_attn_impl
         self._decode_attn_impl = decode_attn_impl
         ps = self.config.page_size
@@ -159,6 +174,8 @@ class Engine:
             lambda active, slot: active.at[slot].set(False), donate_argnums=(0,)
         )
         self._prefill_fns: dict[tuple[int, bool], any] = {}
+        self._chunk_fns: dict[int, any] = {}
+        self._sample_hidden_fn = None
 
     # -- jitted programs ----------------------------------------------------
 
@@ -216,14 +233,57 @@ class Engine:
             fn = self._prefill_fns[(lpad, want_plp)] = prefill_fn
         return fn
 
+    def _chunk_fn(self, c: int):
+        fn = self._chunk_fns.get(c)
+        if fn is None:
+            spec, dtype = self.spec, self.compute_dtype
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def chunk_fn(params, k_pool, v_pool, ids, offset, valid, pages_chunk, page_row):
+                return smodel.prefill_chunk(
+                    params, spec, k_pool, v_pool, ids, offset, valid,
+                    pages_chunk, page_row, compute_dtype=dtype,
+                )
+
+            fn = self._chunk_fns[c] = chunk_fn
+        return fn
+
+    def _sample_hidden(self, hidden, temp, topk, topp, key):
+        if self._sample_hidden_fn is None:
+            spec, dtype = self.spec, self.compute_dtype
+
+            @jax.jit
+            def sample_hidden(params, hidden, temp, topk, topp, key):
+                logits = smodel.logits_from_hidden(params, spec, hidden[None], dtype)
+                tok, lp = sample_tokens(logits, temp, topk, topp, key)
+                return tok[0], lp[0]
+
+            self._sample_hidden_fn = sample_hidden
+        return self._sample_hidden_fn(self.params, hidden, temp, topk, topp, key)
+
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt: list[int], params: SamplingParams | None = None,
-               on_token=None) -> Future:
-        req = _Request(list(prompt), params or SamplingParams(), Future(), on_token)
+               on_token=None, request_id: str | None = None) -> Future:
+        req = _Request(list(prompt), params or SamplingParams(), Future(), on_token,
+                       request_id=request_id)
         with self._lock:
             self.pending.append(req)
+            if request_id is not None:
+                self._by_id[request_id] = req
         return req.future
+
+    def abort(self, request_id: str) -> bool:
+        """Cancel a request (client disconnect / orchestrator off-policy
+        cancel, reference: dispatcher.py:272-303). Thread-safe: only flags —
+        the engine loop finalizes with reason "aborted" on its next step."""
+        with self._lock:
+            req = self._by_id.pop(request_id, None)
+        if req is None:
+            return False
+        req.aborted = True
+        self.stats["requests_aborted"] += 1
+        return True
 
     def has_work(self) -> bool:
         return bool(self.pending or self.active or self._inflight)
@@ -247,54 +307,133 @@ class Engine:
         boundary across a batch of requests)."""
         self._drain(force=True)  # complete steps sampled under the old policy
         self.params = self._prepare_params(new_params)
+        # cached prefix KV was computed under the old weights — flush (the
+        # version-salt analogue of reference dispatcher.py:437-441)
+        self.slots.flush_cache()
         if version is not None:
             self.policy_version = version
 
     # -- scheduler ----------------------------------------------------------
 
+    ADMIT_WINDOW = 16  # skip-over scan depth over the pending queue
+    HOL_MAX_STRIKES = 256  # anti-starvation: stop skipping a stuck head
+
     def step(self) -> bool:
-        """One engine iteration: admit a prefill if possible, else dispatch a
-        decode step (pipelined), draining completed outputs opportunistically.
+        """One engine iteration: admit prefills (skip-over, not FIFO-blocked),
+        dispatch a pipelined decode step, drain completed outputs.
         Returns True if any work was done."""
         if self.paused:
             return False
         did = False
-        # admit every pending request that fits before decoding — prefills in
-        # a row pipeline back-to-back on device
-        while self.pending:
-            req = self.pending[0]
-            n = max(len(req.prompt), 1)
-            try:
-                lpad = _bucket(n, self.buckets)
-            except ValueError as e:
-                with self._lock:
-                    self.pending.popleft()
-                req.future.set_exception(e)
-                continue
-            # pre-allocate pages for the whole request so the page table never
-            # changes during decode (no mid-stream host->device table pushes)
-            want = min(max(lpad, n + req.params.max_tokens + 1), self.config.max_seq_len)
-            slot = self.slots.acquire(want)
-            if slot is not None:
-                with self._lock:
-                    self.pending.popleft()
-                self._admit(req, slot, lpad, n)
+        # finalize aborts flagged from other threads
+        for a in list(self.active.values()):
+            if not a.done and a.req.aborted:
+                self._finish(a, "aborted")
                 did = True
-            elif not self.active and not self._inflight:
-                with self._lock:
-                    self.pending.popleft()
-                req.future.set_exception(
-                    MemoryError(f"prompt of {len(req.prompt)} tokens cannot fit in KV pool")
-                )
-                return True
-            else:
-                break
+        did |= self._admit_pending()
         live = any(not a.done for a in self.active.values())
         if live and len(self._inflight) < self.LOOKAHEAD:
             self._dispatch_decode()
             did = True
         self._drain(force=not did)
         return did or bool(self._inflight)
+
+    def _reject(self, req: _Request, exc: Exception) -> None:
+        with self._lock:
+            try:
+                self.pending.remove(req)
+            except ValueError:
+                pass
+            if req.request_id is not None:
+                self._by_id.pop(req.request_id, None)
+        self.stats["requests_rejected"] += 1
+        if not req.future.done():
+            req.future.set_exception(exc)
+
+    def _admit_pending(self) -> bool:
+        """Admit every pending request that fits right now. The head never
+        hard-blocks the queue: smaller requests behind it are admitted
+        (skip-over) until the head has been passed over HOL_MAX_STRIKES
+        times, after which admission waits for it (no starvation)."""
+        any_admitted = False
+        progress = True
+        while progress and self.pending:
+            progress = False
+            with self._lock:
+                window = list(self.pending)[: self.ADMIT_WINDOW]
+            for i, req in enumerate(window):
+                if req.aborted:
+                    with self._lock:
+                        try:
+                            self.pending.remove(req)
+                        except ValueError:
+                            pass
+                    if not req.future.done():
+                        req.future.set_result(GenerationResult(
+                            [], [], "aborted", len(req.prompt),
+                            policy_version=self.policy_version))
+                    progress = True
+                    break
+                n = max(len(req.prompt), 1)
+                # requests that can NEVER fit fail fast instead of wedging
+                total_pool_tokens = (self.config.num_pages - 1) * self.config.page_size
+                if n + 1 > self.config.max_seq_len or n + 1 > total_pool_tokens:
+                    self._reject(req, MemoryError(
+                        f"prompt of {n} tokens cannot fit "
+                        f"(max_seq_len={self.config.max_seq_len}, pool={total_pool_tokens})"))
+                    progress = True
+                    break
+                if req.params.prompt_logprobs and n > self.buckets[-1]:
+                    self._reject(req, ValueError(
+                        f"prompt_logprobs needs a single-shot prefill; prompt of {n} "
+                        f"tokens exceeds the largest bucket {self.buckets[-1]}"))
+                    progress = True
+                    break
+                if i > 0 and self._hol_strikes > self.HOL_MAX_STRIKES:
+                    break  # head has waited long enough: stop skipping it
+                if self._try_admit(req):
+                    with self._lock:
+                        try:
+                            self.pending.remove(req)
+                        except ValueError:
+                            pass
+                    if i == 0:
+                        self._hol_strikes = 0
+                    any_admitted = True
+                    progress = True
+                    break
+                if i == 0:
+                    self._hol_strikes += 1
+        return any_admitted
+
+    def _try_admit(self, req: _Request) -> bool:
+        """Reserve a slot + pages (reusing any cached prefix) and prefill."""
+        from prime_rl_tpu.sampler.cache import hash_pages
+
+        sp = req.params
+        n = max(len(req.prompt), 1)
+        ps = self.config.page_size
+        hashes: list[int] = []
+        if self.slots.cache is not None and not sp.prompt_logprobs:
+            # shareable: full pages strictly before the last prompt token
+            # (at least one token is always computed → last_hidden exists)
+            n_shareable = ((n - 1) // ps) * ps
+            hashes = hash_pages(req.prompt[:n_shareable], ps, salt=sp.cache_salt)
+        # pre-allocate pages for the whole request so the page table never
+        # changes during decode (no mid-stream host->device table pushes)
+        got = self.slots.acquire(self._acquire_want(req, n), hashes)
+        if got is None:
+            return False
+        slot, n_shared = got
+        self.stats["requests_admitted"] += 1
+        self.stats["prefill_tokens_cached"] += n_shared * ps
+        self._admit(req, slot, n, n_shared)
+        return True
+
+    def _acquire_want(self, req: _Request, n: int) -> int:
+        """Token span to reserve pages for: whole request + single-shot pad."""
+        lpad = _bucket(n, self.buckets) if n <= self.buckets[-1] else 0
+        return min(max(lpad, n + req.params.max_tokens + 1), self.config.max_seq_len)
 
     def run_until_idle(self) -> None:
         while self.has_work():
@@ -313,29 +452,60 @@ class Engine:
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self, req: _Request, slot: int, lpad: int, n: int) -> None:
+    def _admit(self, req: _Request, slot: int, n: int, n_shared: int = 0) -> None:
         sp = req.params
-        ids = np.zeros((1, lpad), np.int32)
-        ids[0, :n] = req.prompt
-        pages = np.asarray(
-            self.slots.alloc.slot_pages[slot][: lpad // self.config.page_size], np.int32
-        )
+        ps = self.config.page_size
+        shared_tokens = n_shared * ps
         self.slots.lengths[slot] = n
         self._shadow_lengths[slot] = n
         self._d_table = jnp.asarray(self.slots.page_table)
+        self.stats["prefill_tokens_computed"] += n - shared_tokens
         seed = sp.seed if sp.seed is not None else (self._dispatch_seq + slot + 1)
-        fn = self._prefill_fn(lpad, sp.prompt_logprobs)
-        self.k_pool, self.v_pool, tok, lp, plp = fn(
-            self.params, self.k_pool, self.v_pool,
-            jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
-            jnp.asarray([sp.temperature], jnp.float32),
-            jnp.asarray([sp.top_k], jnp.int32),
-            jnp.asarray([sp.top_p], jnp.float32),
-            jax.random.key(seed),
-        )
+        key = jax.random.key(seed)
+        temp = jnp.asarray([sp.temperature], jnp.float32)
+        topk = jnp.asarray([sp.top_k], jnp.int32)
+        topp = jnp.asarray([sp.top_p], jnp.float32)
+        plp = None
+        if shared_tokens == 0 and n <= self.buckets[-1]:
+            # fused single-shot prefill (flash attention over the bucket)
+            lpad = _bucket(n, self.buckets)
+            ids = np.zeros((1, lpad), np.int32)
+            ids[0, :n] = req.prompt
+            pages = np.asarray(
+                self.slots.page_table[slot][: lpad // ps], np.int32
+            )
+            fn = self._prefill_fn(lpad, sp.prompt_logprobs)
+            self.k_pool, self.v_pool, tok, lp, plp = fn(
+                self.params, self.k_pool, self.v_pool,
+                jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
+                temp, topk, topp, key,
+            )
+        else:
+            # incremental prefill: skip the cached prefix, process the rest
+            # in page-aligned chunks attending to the full paged history
+            c = min(self.config.prefill_chunk, self.config.max_seq_len)
+            c = max(ps, (c // ps) * ps)
+            row = self.slots.page_table[slot]
+            row_dev = jnp.asarray(row)
+            n_chunk_pages = c // ps
+            last_hidden = None
+            for off in range(shared_tokens, n, c):
+                valid = min(c, n - off)
+                ids = np.zeros((1, c), np.int32)
+                ids[0, :valid] = req.prompt[off : off + valid]
+                pchunk = np.zeros((n_chunk_pages,), np.int32)
+                seg = row[off // ps : off // ps + n_chunk_pages]
+                pchunk[: len(seg)] = seg
+                fn = self._chunk_fn(c)
+                self.k_pool, self.v_pool, last_hidden = fn(
+                    self.params, self.k_pool, self.v_pool,
+                    jnp.asarray(ids), jnp.int32(off), jnp.int32(valid),
+                    jnp.asarray(pchunk), row_dev,
+                )
+            tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
-        if sp.prompt_logprobs:
+        if sp.prompt_logprobs and plp is not None:
             active.prompt_logprobs_handle = plp
         self.active[slot] = active
         # seed device state (async; ordering preserved by dispatch stream)
@@ -436,6 +606,9 @@ class Engine:
         if a.done:
             return
         a.done = True
+        if a.req.request_id is not None:
+            with self._lock:
+                self._by_id.pop(a.req.request_id, None)
         self._fetch_first_token(a)
         plp = None
         if a.prompt_logprobs_handle is not None:

@@ -187,6 +187,93 @@ def prefill(
     return k_pool, v_pool, last_hidden, prompt_logprobs
 
 
+def _chunk_attention_xla(q, k_l, v_l, q_pos, page_row, valid_hi, window=0, sinks=None):
+    """Chunk queries against the slot's full paged history (already written,
+    including this chunk). q: [C, NH, HD]; page_row: [P] this slot's pages;
+    q_pos: [C] global positions; valid_hi: highest valid global pos + 1.
+    Causal over global positions (pos_k <= pos_q)."""
+    c, nh, hd = q.shape
+    nkv, _, ps, _ = k_l.shape
+    p = page_row.shape[0]
+    group = nh // nkv
+    k_g = jnp.take(k_l, page_row, axis=1).reshape(nkv, p * ps, hd)
+    v_g = jnp.take(v_l, page_row, axis=1).reshape(nkv, p * ps, hd)
+    qf = q.reshape(c, nkv, group, hd).astype(jnp.float32)
+    scores = jnp.einsum("ckgd,ktd->ckgt", qf, k_g.astype(jnp.float32)) * (hd ** -0.5)
+    pos_k = jnp.arange(p * ps)[None, :]  # flat index == position (contiguous map)
+    mask = (pos_k <= q_pos[:, None]) & (pos_k < valid_hi)
+    if window and window > 0:
+        mask = mask & (pos_k > (q_pos[:, None] - window))
+    scores = jnp.where(mask[:, None, None, :], scores, -1e30)
+    if sinks is not None:
+        sf = sinks.astype(jnp.float32).reshape(nkv, group)[None, :, :, None]
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sf)
+        pexp = jnp.exp(scores - m)
+        probs = pexp / (jnp.sum(pexp, axis=-1, keepdims=True) + jnp.exp(sf - m))
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("ckgt,ktd->ckgd", probs, v_g.astype(jnp.float32))
+    return out.reshape(c, nh, hd)
+
+
+def prefill_chunk(
+    params: Params,
+    spec: ModelSpec,
+    k_pool: list[jax.Array],
+    v_pool: list[jax.Array],
+    input_ids: jax.Array,  # [1, C] int32: this chunk's tokens (C page-multiple)
+    offset: jax.Array,  # i32 scalar: global position of the chunk start (page-aligned)
+    valid: jax.Array,  # i32 scalar: true tokens in this chunk (<= C)
+    pages_chunk: jax.Array,  # [C // page_size] int32: pages receiving this chunk's KV
+    page_row: jax.Array,  # [P] int32: the slot's FULL page-table row
+    *,
+    compute_dtype=jnp.bfloat16,
+):
+    """One chunk of an incremental prefill: computes K/V for positions
+    [offset, offset+C), writes them into the slot's pages, and attends over
+    the whole cached history INCLUDING the shared prefix-cache pages.
+
+    Powers both chunked prefill of long prompts and prefix-cache hits (the
+    cached prefix is simply never recomputed — vLLM semantics per SURVEY
+    §2.4; reference relies on vLLM's chunked prefill + prefix caching).
+    Returns (k_pool, v_pool, last_hidden [D]) at local position valid-1.
+    """
+    _, c = input_ids.shape
+    page_size = k_pool[0].shape[2]
+    n_pages = c // page_size
+    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    positions = offset + jnp.arange(c, dtype=jnp.int32)[None, :]  # [1, C]
+    q_pos = positions[0]
+    valid_hi = offset + valid
+
+    embed = params["embed"].astype(compute_dtype)
+    h = jnp.take(embed, input_ids, axis=0)
+
+    from prime_rl_tpu.models.qwen3 import layer_windows_list
+
+    windows = layer_windows_list(spec)
+    k_out, v_out = [], []
+    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
+        lp = _cast_layer(lp, compute_dtype)
+        x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        k_l = _write_pages(k_l, k_w.astype(k_l.dtype), pages_chunk)
+        v_l = _write_pages(v_l, v_w.astype(v_l.dtype), pages_chunk)
+        o = _chunk_attention_xla(
+            q[0].astype(compute_dtype), k_l, v_l, q_pos, page_row, valid_hi,
+            window=win, sinks=lp.get("sink"),
+        )
+        h = h + _mm(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"])
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
+        k_out.append(k_l)
+        v_out.append(v_l)
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    last_hidden = h[0, jnp.maximum(valid - 1, 0)]
+    return k_out, v_out, last_hidden
+
+
 def _write_pages(pool: jax.Array, new_pages: jax.Array, pages: jax.Array) -> jax.Array:
     """In-place page writes: pool [NKV, NP, PS, HD], new_pages [NKV, n, PS, HD]
     placed at page indices ``pages [n]``."""

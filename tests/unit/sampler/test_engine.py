@@ -171,5 +171,104 @@ def test_oversized_prompt_fails_cleanly(setup):
     spec, params, engine = setup
     fut = engine.submit(list(range(1, 1000)), SamplingParams(max_tokens=2))
     engine.run_until_idle()
-    with pytest.raises(ValueError):
+    with pytest.raises(MemoryError):  # 999 tokens > max_seq_len: can never fit
         fut.result(timeout=5)
+
+
+def test_chunked_prefill_parity(setup):
+    """A prompt longer than the largest bucket prefills in chunks and still
+    matches the oracle greedy decode (VERDICT r1 weak #5: hard-reject gone)."""
+    spec, params, _ = setup
+    cache_cfg = CacheConfig(num_pages=64, page_size=16, max_slots=2,
+                            max_seq_len=256, prefill_chunk=64)
+    engine = Engine(params, spec, cache_cfg, compute_dtype=jnp.float32)
+    engine.buckets = [64]  # cap single-shot prefill so 160 tokens must chunk
+    rng = np.random.default_rng(11)
+    prompt = [int(x) for x in rng.integers(1, 100, 160)]
+    want = naive_greedy(params, spec, prompt, 8)
+    got = engine.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    assert got.token_ids == want
+
+
+def test_prefix_cache_reuse_and_parity(setup):
+    """Group-style workload: same long prompt prefix re-served — cached pages
+    skip recompute, outputs stay exact (VERDICT r1 item #3)."""
+    spec, params, engine = setup
+    rng = np.random.default_rng(13)
+    base = [int(x) for x in rng.integers(1, 100, 48)]  # 3 full 16-token pages
+    computed0 = engine.stats["prefill_tokens_computed"]
+    first = engine.generate([base], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    computed1 = engine.stats["prefill_tokens_computed"]
+    cached0 = engine.stats["prefill_tokens_cached"]
+    second = engine.generate([base], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    cached1 = engine.stats["prefill_tokens_cached"]
+    computed2 = engine.stats["prefill_tokens_computed"]
+    assert second.token_ids == first.token_ids == naive_greedy(params, spec, base, 4)
+    # first run computed everything; second reused the 2 shareable full pages
+    assert cached1 - cached0 >= 32
+    assert computed2 - computed1 <= (computed1 - computed0) - 32
+
+    # divergent suffix after a shared prefix also stays exact
+    variant = base[:32] + [int(x) for x in rng.integers(1, 100, 10)]
+    got = engine.generate([variant], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    assert got.token_ids == naive_greedy(params, spec, variant, 4)
+
+
+def test_cache_salt_isolates(setup):
+    spec, params, engine = setup
+    prompt = [int(x) for x in np.random.default_rng(17).integers(1, 100, 48)]
+    engine.generate([prompt], SamplingParams(max_tokens=2, temperature=0.0, cache_salt="a"))
+    c0 = engine.stats["prefill_tokens_cached"]
+    engine.generate([prompt], SamplingParams(max_tokens=2, temperature=0.0, cache_salt="b"))
+    assert engine.stats["prefill_tokens_cached"] == c0  # different salt: no hit
+
+
+def test_weight_update_flushes_prefix_cache(setup):
+    spec, params, engine = setup
+    prompt = [int(x) for x in np.random.default_rng(19).integers(1, 100, 48)]
+    engine.generate([prompt], SamplingParams(max_tokens=2, temperature=0.0))
+    new_params = jax.tree.map(lambda x: x * 1.01, params)
+    engine.update_params(new_params, version=100)
+    c0 = engine.stats["prefill_tokens_cached"]
+    got = engine.generate([prompt], SamplingParams(max_tokens=4, temperature=0.0))[0]
+    assert engine.stats["prefill_tokens_cached"] == c0  # stale KV never reused
+    assert got.token_ids == naive_greedy(new_params, spec, prompt, 4)
+    engine.update_params(params, version=101)  # restore for other tests
+
+
+def test_skip_over_admission(setup):
+    """A head request that doesn't fit right now must not block smaller ones
+    behind it (VERDICT r1 weak #5 head-of-line blocking)."""
+    spec, params, engine = setup
+    # fill the pool: 3 long-running requests eat most pages
+    hogs = [engine.submit([7] * 100, SamplingParams(max_tokens=100, temperature=0.0,
+                                                    ignore_eos=True)) for _ in range(3)]
+    for _ in range(4):
+        engine.step()
+    # head: wants more pages than remain; behind it: a tiny request
+    big = engine.submit([9] * 200, SamplingParams(max_tokens=50, temperature=0.0))
+    small = engine.submit([5, 6, 7], SamplingParams(max_tokens=2, temperature=0.0))
+    for _ in range(200):
+        engine.step()
+        if small.done():
+            break
+    assert small.done(), "small request starved behind a blocked head"
+    engine.run_until_idle()
+    assert big.done() and all(h.done() for h in hogs)
+
+
+def test_abort_pending_and_active(setup):
+    spec, params, engine = setup
+    engine.run_until_idle()
+    active_fut = engine.submit([3] * 20, SamplingParams(max_tokens=200, temperature=0.0,
+                                                        ignore_eos=True), request_id="act")
+    for _ in range(3):
+        engine.step()
+    # a pending request stuck behind pool pressure
+    pend_fut = engine.submit([4] * 10, SamplingParams(max_tokens=5), request_id="pend")
+    assert engine.abort("act")
+    assert engine.abort("pend")
+    assert not engine.abort("nonexistent")
+    engine.run_until_idle()
+    assert active_fut.result(timeout=5).finish_reason == "aborted"
+    assert pend_fut.result(timeout=5).finish_reason == "aborted"
