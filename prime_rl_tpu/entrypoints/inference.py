@@ -11,7 +11,6 @@ def build_server(config: InferenceConfig):
     import jax
     import jax.numpy as jnp
 
-    from prime_rl_tpu.models import qwen3
     from prime_rl_tpu.models.base import get_spec
     from prime_rl_tpu.sampler.cache import CacheConfig
     from prime_rl_tpu.sampler.engine import Engine
@@ -25,7 +24,9 @@ def build_server(config: InferenceConfig):
     spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
 
     if config.model.debug.random_init:
-        params = qwen3.init_params(spec, jax.random.key(config.seed), dtype=jnp.bfloat16)
+        from prime_rl_tpu.models import get_family
+
+        params = get_family(spec).init(spec, jax.random.key(config.seed), dtype=jnp.bfloat16)
     else:
         from pathlib import Path
 

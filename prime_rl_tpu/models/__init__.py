@@ -55,6 +55,8 @@ def get_family(spec: ModelSpec) -> Family:
         # lazy-load optional families
         if spec.family == "qwen3_moe":
             from prime_rl_tpu.models import qwen3_moe  # noqa: F401
+        if spec.family == "gpt_oss":
+            from prime_rl_tpu.models import gpt_oss  # noqa: F401
         if spec.family not in FAMILIES:
             raise ValueError(f"unknown model family {spec.family!r}")
     return FAMILIES[spec.family]

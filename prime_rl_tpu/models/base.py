@@ -63,6 +63,23 @@ class ModelSpec:
     # Gemma-style final-logit softcap: logits = cap * tanh(logits / cap).
     # 0 disables (reference: models/layers/lm_head_gemma.py).
     final_logit_softcap: float = 0.0
+    # gpt-oss axes (reference: trainer/models/gpt_oss/modeling_gpt_oss.py):
+    attn_bias: bool = False  # q/k/v/o projection biases
+    # clamped-GLU expert activation: (clip(up)+1) * g*sigmoid(alpha*g),
+    # g = min(gate, limit). alpha 0 = standard SwiGLU.
+    swiglu_alpha: float = 0.0
+    swiglu_limit: float = 0.0
+    expert_bias: bool = False  # per-expert gate/up/down biases
+    router_bias: bool = False
+    # routing style: softmax over the top-k LOGITS (gpt-oss) instead of
+    # softmax over all experts then top-k (qwen3-moe)
+    router_softmax_topk: bool = False
+    # YaRN rope scaling (gpt-oss 131k; 0 factor = off)
+    rope_yarn_factor: float = 0.0
+    rope_yarn_orig_max: int = 0
+    rope_yarn_beta_fast: float = 32.0
+    rope_yarn_beta_slow: float = 1.0
+    rope_yarn_truncate: bool = True
 
     @property
     def is_moe(self) -> bool:
@@ -158,6 +175,28 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         rms_eps=1e-5, tie_embeddings=False, qk_norm=False, max_position_embeddings=131072,
         eos_token_id=128001, pad_token_id=128001,
     ),
+    "openai/gpt-oss-20b": ModelSpec(
+        family="gpt_oss", vocab_size=201088, hidden_size=2880, num_layers=24,
+        num_heads=64, num_kv_heads=8, head_dim=64, intermediate_size=2880,
+        rope_theta=150000.0, rms_eps=1e-5, tie_embeddings=False, qk_norm=False,
+        max_position_embeddings=131072, eos_token_id=200002, pad_token_id=199999,
+        num_experts=32, num_experts_per_tok=4, moe_intermediate_size=2880,
+        sliding_window=128, sliding_window_pattern=2, attn_sinks=True,
+        attn_bias=True, swiglu_alpha=1.702, swiglu_limit=7.0,
+        expert_bias=True, router_bias=True, router_softmax_topk=True,
+        rope_yarn_factor=32.0, rope_yarn_orig_max=4096, rope_yarn_truncate=False,
+    ),
+    "openai/gpt-oss-120b": ModelSpec(
+        family="gpt_oss", vocab_size=201088, hidden_size=2880, num_layers=36,
+        num_heads=64, num_kv_heads=8, head_dim=64, intermediate_size=2880,
+        rope_theta=150000.0, rms_eps=1e-5, tie_embeddings=False, qk_norm=False,
+        max_position_embeddings=131072, eos_token_id=200002, pad_token_id=199999,
+        num_experts=128, num_experts_per_tok=4, moe_intermediate_size=2880,
+        sliding_window=128, sliding_window_pattern=2, attn_sinks=True,
+        attn_bias=True, swiglu_alpha=1.702, swiglu_limit=7.0,
+        expert_bias=True, router_bias=True, router_softmax_topk=True,
+        rope_yarn_factor=32.0, rope_yarn_orig_max=4096, rope_yarn_truncate=False,
+    ),
     # ByteTokenizer-compatible tiny model for the offline sync-GRPO debug loop
     # (vocab 512 covers the 260-token byte vocab; eos = <|im_end|> = 258)
     "debug": ModelSpec(
@@ -213,7 +252,9 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
 
 def spec_from_hf_config(cfg: dict) -> ModelSpec:
     arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
-    if "qwen3moe" in arch.replace("_", ""):
+    if "gptoss" in arch.replace("_", ""):
+        family = "gpt_oss"
+    elif "qwen3moe" in arch.replace("_", ""):
         family = "qwen3_moe"
     elif "qwen3" in arch:
         family = "qwen3"
@@ -222,7 +263,25 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
     else:
         raise ValueError(f"unsupported architecture {arch}")
     head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
-    return ModelSpec(
+    extra: dict = {}
+    if family == "gpt_oss":
+        rs = cfg.get("rope_scaling") or {}
+        lt = cfg.get("layer_types") or []
+        extra = dict(
+            num_experts=cfg.get("num_local_experts", 0) or 0,
+            moe_intermediate_size=cfg["intermediate_size"],
+            sliding_window=cfg.get("sliding_window", 0) or 0,
+            sliding_window_pattern=2 if "full_attention" in lt or not lt else 1,
+            attn_sinks=True, attn_bias=cfg.get("attention_bias", True),
+            swiglu_alpha=1.702, swiglu_limit=7.0,
+            expert_bias=True, router_bias=True, router_softmax_topk=True,
+            rope_yarn_factor=float(rs.get("factor", 0.0) or 0.0),
+            rope_yarn_orig_max=int(rs.get("original_max_position_embeddings", 0) or 0),
+            rope_yarn_beta_fast=float(rs.get("beta_fast", 32.0) or 32.0),
+            rope_yarn_beta_slow=float(rs.get("beta_slow", 1.0) or 1.0),
+            rope_yarn_truncate=bool(rs.get("truncate", True)),
+        )
+    kw = dict(
         family=family,
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -243,6 +302,8 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         moe_intermediate_size=cfg.get("moe_intermediate_size", 0) or 0,
         norm_topk_prob=cfg.get("norm_topk_prob", True),
     )
+    kw.update(extra)
+    return ModelSpec(**kw)
 
 
 # ---------------------------------------------------------------------------
@@ -270,6 +331,16 @@ PARAM_SPECS: dict[str, P] = {
     "layers.expert_gate": P(None, "expert", "fsdp", "tensor"),
     "layers.expert_up": P(None, "expert", "fsdp", "tensor"),
     "layers.expert_down": P(None, "expert", "tensor", "fsdp"),
+    # gpt-oss extras: sinks / biases are tiny — replicate
+    "layers.sink": P(None),
+    "layers.q_bias": P(None),
+    "layers.k_bias": P(None),
+    "layers.v_bias": P(None),
+    "layers.o_bias": P(None),
+    "layers.router_bias": P(None),
+    "layers.expert_gate_bias": P(None, "expert", "tensor"),
+    "layers.expert_up_bias": P(None, "expert", "tensor"),
+    "layers.expert_down_bias": P(None, "expert", None),
 }
 
 

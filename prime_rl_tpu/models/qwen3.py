@@ -24,6 +24,21 @@ from prime_rl_tpu.ops.attention import attention
 from prime_rl_tpu.ops.layers import apply_rope, rms_norm, rope_frequencies, swiglu
 
 
+def rope_setup(spec: ModelSpec) -> tuple[jax.Array, float]:
+    """(inv_freq, cos/sin scaling) from the spec — plain RoPE or YaRN
+    (gpt-oss 131k; reference: modeling_gpt_oss.py rope init)."""
+    if spec.rope_yarn_factor and spec.rope_yarn_factor > 1.0:
+        from prime_rl_tpu.ops.layers import yarn_rope_parameters
+
+        return yarn_rope_parameters(
+            spec.head_dim, spec.rope_theta, spec.rope_yarn_factor,
+            spec.rope_yarn_orig_max or spec.max_position_embeddings,
+            spec.rope_yarn_beta_fast, spec.rope_yarn_beta_slow,
+            spec.rope_yarn_truncate,
+        )
+    return rope_frequencies(spec.head_dim, spec.rope_theta), 1.0
+
+
 def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     """Random init (trunc-normal 0.02, HF-style) on host or under jit."""
     k_embed, k_layers, k_head = jax.random.split(key, 3)
@@ -50,6 +65,11 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
         layers["k_norm"] = jnp.ones((nl, spec.head_dim), dtype)
     if spec.attn_sinks:
         layers["sink"] = jnp.zeros((nl, spec.num_heads), dtype)
+    if spec.attn_bias:
+        layers["q_bias"] = jnp.zeros((nl, spec.q_dim), dtype)
+        layers["k_bias"] = jnp.zeros((nl, spec.kv_dim), dtype)
+        layers["v_bias"] = jnp.zeros((nl, spec.kv_dim), dtype)
+        layers["o_bias"] = jnp.zeros((nl, d), dtype)
     params: Params = {
         "embed": w(k_embed, spec.vocab_size, d),
         "layers": layers,
@@ -82,19 +102,29 @@ def _attn_block(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     window: "jax.Array | int" = 0,
+    rope_scaling: float = 1.0,
 ) -> jax.Array:
     from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
+    def bias(t, name, heads):
+        bb = lp.get(name)
+        if bb is None:
+            return t
+        return t + bb.astype(t.dtype).reshape(1, 1, heads, spec.head_dim)
 
     b, l, d = h.shape
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
     q = _p(x, lp["q"], lora, "q", lora_scale).reshape(b, l, spec.num_heads, spec.head_dim)
     k = _p(x, lp["k"], lora, "k", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
     v = _p(x, lp["v"], lora, "v", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    q = bias(q, "q_bias", spec.num_heads)
+    k = bias(k, "k_bias", spec.num_kv_heads)
+    v = bias(v, "v_bias", spec.num_kv_heads)
     if spec.qk_norm:
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
-    q = apply_rope(q, position_ids, inv_freq)
-    k = apply_rope(k, position_ids, inv_freq)
+    q = apply_rope(q, position_ids, inv_freq, rope_scaling)
+    k = apply_rope(k, position_ids, inv_freq, rope_scaling)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                   block_q=block_q, block_kv=block_kv, mesh=mesh, cp_style=cp_style,
                   window=window, sinks=lp.get("sink"))
@@ -102,7 +132,10 @@ def _attn_block(
     # backward never re-runs the O(L^2) kernel (memory: [B, L, H*D] per layer)
     from jax.ad_checkpoint import checkpoint_name as _ckname
     o = _ckname(o, "attn_out")
-    return h + _p(o.reshape(b, l, spec.q_dim), lp["o"], lora, "o", lora_scale)
+    proj = _p(o.reshape(b, l, spec.q_dim), lp["o"], lora, "o", lora_scale)
+    if lp.get("o_bias") is not None:
+        proj = proj + lp["o_bias"].astype(proj.dtype)
+    return h + proj
 
 
 def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec,
@@ -136,76 +169,96 @@ def forward(
     ``mesh`` with a context axis > 1 enables Ulysses CP in attention.
     ``lora`` is an adapter pytree (models/lora.py) scanned alongside the
     base layers."""
-    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    inv_freq, rope_scaling = rope_setup(spec)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
-    # CRITICAL: only thread per-layer windows through the scan when some
-    # layer is actually windowed — a traced window forces the full-matrix
-    # attention path ([B,H,L,L] materialization) even for window=0
+    # windows stay STATIC python ints all the way into the flash kernel (a
+    # traced window forces the masked full-matrix path — ADVICE r1). Layer
+    # patterns like gpt-oss/gemma alternation are periodic: scan over
+    # super-blocks of one period, unrolling the period inside the body so
+    # each layer's window is a compile-time constant.
     win_list = layer_windows_list(spec)
-    windows = layer_windows(spec) if any(win_list) else None
 
     def _block_impl(h: jax.Array, lp: dict[str, jax.Array], ll: dict | None,
-                    window) -> jax.Array:
+                    window: int) -> jax.Array:
         lp = {k: (v.astype(compute_dtype) if v.ndim >= 2 else v) for k, v in lp.items()}
         h = _attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
                         attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style,
-                        window)
+                        window, rope_scaling)
         h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
 
-    if windows is None:
-        # window closed over as a STATIC 0: passing it as an argument through
-        # jax.checkpoint would trace it and force the masked full-matrix
-        # attention path
-        def block(h, lp, ll):
-            return _block_impl(h, lp, ll, 0)
-    else:
-        block = _block_impl
+    def wrap_remat(fn):
+        if remat == "full":
+            return jax.checkpoint(fn, prevent_cse=False)
+        if remat == "save_attn":
+            # full remat EXCEPT the attention kernel's outputs (out + lse):
+            # trades ~[B,L,H*D]/layer of HBM for skipping the O(L^2) forward
+            # recompute
+            return jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse"),
+                prevent_cse=False,
+            )
+        if remat == "offload_attn":
+            # like save_attn but the kernel outputs park in HOST memory
+            # between passes — the long-context lever (reference analogue:
+            # utils/act_offloading.py stream-overlapped CPU offload)
+            return jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.save_and_offload_only_these_names(
+                    names_which_can_be_saved=[],
+                    names_which_can_be_offloaded=["attn_out", "attn_lse"],
+                    offload_src="device",
+                    offload_dst="pinned_host",
+                ),
+                prevent_cse=False,
+            )
+        if remat == "selective":
+            return jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+                prevent_cse=False,
+            )
+        return fn
 
-    if remat == "full":
-        block = jax.checkpoint(block, prevent_cse=False)
-    elif remat == "save_attn":
-        # full remat EXCEPT the attention kernel's outputs (out + lse): trades
-        # ~[B,L,H*D]/layer of HBM for skipping the O(L^2) forward recompute
-        block = jax.checkpoint(
-            block,
-            policy=jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse"),
-            prevent_cse=False,
-        )
-    elif remat == "offload_attn":
-        # like save_attn but the kernel outputs park in HOST memory between
-        # passes — the long-context lever (reference analogue:
-        # utils/act_offloading.py stream-overlapped CPU offload)
-        block = jax.checkpoint(
-            block,
-            policy=jax.checkpoint_policies.save_and_offload_only_these_names(
-                names_which_can_be_saved=[],
-                names_which_can_be_offloaded=["attn_out", "attn_lse"],
-                offload_src="device",
-                offload_dst="pinned_host",
-            ),
-            prevent_cse=False,
-        )
-    elif remat == "selective":
-        block = jax.checkpoint(
-            block,
-            policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
-            prevent_cse=False,
-        )
+    nl = spec.num_layers
+    # smallest period of the window pattern that divides num_layers
+    period = next(
+        p for p in range(1, nl + 1)
+        if nl % p == 0 and all(win_list[i] == win_list[i % p] for i in range(nl))
+    )
 
-    if lora is None and windows is None:
-        h, _ = jax.lax.scan(lambda h, lp: (block(h, lp, None), None),
-                            h, params["layers"])
-    elif lora is None:
-        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], None, xs[1]), None),
-                            h, (params["layers"], windows))
-    elif windows is None:
-        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1]), None),
-                            h, (params["layers"], lora["layers"]))
+    if period == 1:
+        block = wrap_remat(functools.partial(_block_impl, window=win_list[0]))
+        if lora is None:
+            h, _ = jax.lax.scan(lambda h, lp: (block(h, lp, None), None),
+                                h, params["layers"])
+        else:
+            h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1]), None),
+                                h, (params["layers"], lora["layers"]))
     else:
-        h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1], xs[2]), None),
-                            h, (params["layers"], lora["layers"], windows))
+        blocks = [wrap_remat(functools.partial(_block_impl, window=w))
+                  for w in win_list[:period]]
+
+        def regroup(leaf):
+            return leaf.reshape((nl // period, period) + leaf.shape[1:])
+
+        layers_g = jax.tree.map(regroup, params["layers"])
+        lora_g = jax.tree.map(regroup, lora["layers"]) if lora is not None else None
+
+        def super_block(h, xs):
+            lp_g, ll_g = xs if lora is not None else (xs, None)
+            for i in range(period):
+                lp_i = jax.tree.map(lambda x: x[i], lp_g)
+                ll_i = jax.tree.map(lambda x: x[i], ll_g) if lora is not None else None
+                h = blocks[i](h, lp_i, ll_i)
+            return h, None
+
+        h, _ = jax.lax.scan(
+            super_block, h,
+            layers_g if lora is None else (layers_g, lora_g),
+        )
     return rms_norm(h, params["final_norm"], spec.rms_eps)
 
 

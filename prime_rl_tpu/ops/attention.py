@@ -109,19 +109,22 @@ def attention(
 
     With a ``mesh`` whose ``cp_axis`` degree > 1, runs context parallelism:
     ``ulysses`` (all-to-all heads↔seq) or ``ring`` (rotating KV blocks);
-    otherwise a single-program kernel under GSPMD. Sliding windows and
-    attention sinks currently route through the XLA kernel."""
-    windowed = sinks is not None or (isinstance(window, int) and window > 0) or (
-        not isinstance(window, int)
-    )
+    otherwise a single-program kernel under GSPMD.
+
+    Static int ``window`` and ``sinks`` run INSIDE the flash kernel (banded
+    grid, sink folded into the online softmax) — models keep windows static
+    by grouping layers (models/qwen3.py forward). A traced window is the
+    only case that still falls back to the masked XLA kernel."""
+    static_window = isinstance(window, int)
     if impl == "auto":
-        impl = ("pallas" if q.shape[1] >= 512 and not windowed
+        impl = ("pallas" if q.shape[1] >= 512 and static_window
                 and jax.default_backend() not in ("cpu",) else "xla")
-    if windowed:
+    if not static_window:
+        # traced window (legacy scan path): full-matrix mask is the only option
         return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal,
                              scale=scale, window=window, sinks=sinks)
     if mesh is not None and mesh.shape.get(cp_axis, 1) > 1:
-        if cp_style == "ring":
+        if cp_style == "ring" and window == 0 and sinks is None:
             from prime_rl_tpu.ops.ring_attention import ring_attention
 
             return ring_attention(q, k, v, segment_ids, mesh, axis=cp_axis, causal=causal)
@@ -130,14 +133,17 @@ def attention(
         return ulysses_attention(
             q, k, v, segment_ids, mesh, axis=cp_axis, causal=causal,
             impl=impl, block_q=block_q, block_kv=block_kv,
+            window=window, sinks=sinks,
         )
     if impl == "pallas":
         from prime_rl_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(
-            q, k, v, segment_ids, causal=causal, scale=scale, block_q=block_q, block_kv=block_kv
+            q, k, v, segment_ids, causal=causal, scale=scale,
+            block_q=block_q, block_kv=block_kv, window=window, sinks=sinks,
         )
-    return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal, scale=scale)
+    return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal, scale=scale,
+                         window=window, sinks=sinks)
 
 
 def make_segment_ids(seq_lens: list[int], total_len: int) -> jax.Array:

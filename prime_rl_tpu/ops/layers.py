@@ -21,16 +21,56 @@ def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jax.Array:
     return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
 
 
+def yarn_rope_parameters(
+    head_dim: int,
+    theta: float,
+    factor: float,
+    original_max_pos: int,
+    beta_fast: float = 32.0,
+    beta_slow: float = 1.0,
+    truncate: bool = True,
+) -> tuple[jax.Array, float]:
+    """YaRN-scaled inverse frequencies + cos/sin attention factor
+    (paper 2309.00071; matches HF _compute_yarn_parameters — the gpt-oss
+    131k context recipe, reference: gpt_oss/modeling_gpt_oss.py rope init)."""
+    import math
+
+    dim = head_dim
+    pos_freqs = theta ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim)
+    inv_extrapolation = 1.0 / pos_freqs
+    inv_interpolation = 1.0 / (factor * pos_freqs)
+
+    def correction_dim(num_rot):
+        return (dim * math.log(original_max_pos / (num_rot * 2 * math.pi))) / (
+            2 * math.log(theta))
+
+    low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+    if truncate:
+        low, high = math.floor(low), math.ceil(high)
+    low, high = max(low, 0), min(high, dim - 1)
+    if low == high:
+        high += 0.001
+    ramp = jnp.clip(
+        (jnp.arange(dim // 2, dtype=jnp.float32) - low) / (high - low), 0, 1
+    )
+    extrapolation_factor = 1.0 - ramp
+    inv_freq = (inv_interpolation * (1 - extrapolation_factor)
+                + inv_extrapolation * extrapolation_factor)
+    attention_factor = 0.1 * math.log(factor) + 1.0 if factor > 1 else 1.0
+    return inv_freq, attention_factor
+
+
 def apply_rope(
     x: jax.Array,  # [B, L, N, HD]
     position_ids: jax.Array,  # [B, L] int32
     inv_freq: jax.Array,  # [HD//2]
+    scaling: float = 1.0,  # YaRN attention factor on cos/sin
 ) -> jax.Array:
     """Rotary embedding, half-split layout (HF convention: rotate_half)."""
     dtype = x.dtype
     angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B, L, HD//2]
-    cos = jnp.cos(angles)[:, :, None, :]  # [B, L, 1, HD//2]
-    sin = jnp.sin(angles)[:, :, None, :]
+    cos = jnp.cos(angles)[:, :, None, :] * scaling  # [B, L, 1, HD//2]
+    sin = jnp.sin(angles)[:, :, None, :] * scaling
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(dtype)
@@ -38,3 +78,11 @@ def apply_rope(
 
 def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
     return jax.nn.silu(gate) * up
+
+
+def clamped_glu(gate: jax.Array, up: jax.Array, alpha: float, limit: float) -> jax.Array:
+    """gpt-oss expert activation: clamp both branches, gated sigmoid(alpha·g)
+    with a +1 on the linear branch (reference: gpt_oss GptOssExperts.forward)."""
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    return (up + 1.0) * (gate * jax.nn.sigmoid(alpha * gate))

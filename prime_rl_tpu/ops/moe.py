@@ -32,12 +32,22 @@ def route_topk(
     router_w: jax.Array,  # [D, E]
     top_k: int,
     norm_topk_prob: bool = True,
+    router_b: jax.Array | None = None,  # [E]
+    softmax_topk: bool = False,  # gpt-oss: softmax over the top-k LOGITS
 ) -> RouterOutput:
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))  # [T, E]
+    if router_b is not None:
+        logits = logits + router_b.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    weights, expert_ids = jax.lax.top_k(probs, top_k)  # [T, K]
-    if norm_topk_prob:
-        weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    if softmax_topk:
+        # gpt-oss routing (reference: gpt_oss GptOssTopKRouter): top-k on the
+        # raw logits, softmax over just those k values
+        top_vals, expert_ids = jax.lax.top_k(logits, top_k)  # [T, K]
+        weights = jax.nn.softmax(top_vals, axis=-1)
+    else:
+        weights, expert_ids = jax.lax.top_k(probs, top_k)  # [T, K]
+        if norm_topk_prob:
+            weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
     e = router_w.shape[1]
     # Switch-style load-balance aux: E * sum_e f_e * p_e
     counts = jnp.zeros((e,), jnp.float32).at[expert_ids.reshape(-1)].add(1.0)
@@ -56,6 +66,14 @@ def moe_mlp(
     w_down: jax.Array,  # [E, M, D]
     top_k: int,
     norm_topk_prob: bool = True,
+    *,
+    router_b: jax.Array | None = None,  # [E]
+    b_gate: jax.Array | None = None,  # [E, M] per-expert biases (gpt-oss)
+    b_up: jax.Array | None = None,  # [E, M]
+    b_down: jax.Array | None = None,  # [E, D]
+    softmax_topk: bool = False,
+    activation_alpha: float = 0.0,  # >0: gpt-oss clamped-GLU
+    activation_limit: float = 0.0,
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -66,18 +84,31 @@ def moe_mlp(
     """
     t, d = x.shape
     e = router_w.shape[1]
-    routing = route_topk(x, router_w, top_k, norm_topk_prob)
+    routing = route_topk(x, router_w, top_k, norm_topk_prob,
+                         router_b=router_b, softmax_topk=softmax_topk)
 
     flat_experts = routing.expert_ids.reshape(-1)  # [T*K]
     order = jnp.argsort(flat_experts)  # stable ascending by expert
     token_idx = order // top_k  # source token of each sorted slot
     group_sizes = jnp.zeros((e,), jnp.int32).at[flat_experts].add(1)
 
+    sorted_experts = jnp.take(flat_experts, order)  # expert id of each sorted slot
     xs = jnp.take(x, token_idx, axis=0)  # [T*K, D] sorted by expert
     gate = jax.lax.ragged_dot(xs, w_gate, group_sizes, preferred_element_type=jnp.float32)
     up = jax.lax.ragged_dot(xs, w_up, group_sizes, preferred_element_type=jnp.float32)
-    h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
+    if b_gate is not None:
+        gate = gate + jnp.take(b_gate.astype(jnp.float32), sorted_experts, axis=0)
+    if b_up is not None:
+        up = up + jnp.take(b_up.astype(jnp.float32), sorted_experts, axis=0)
+    if activation_alpha > 0:
+        from prime_rl_tpu.ops.layers import clamped_glu
+
+        h = clamped_glu(gate, up, activation_alpha, activation_limit).astype(x.dtype)
+    else:
+        h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
     out_sorted = jax.lax.ragged_dot(h, w_down, group_sizes, preferred_element_type=jnp.float32)
+    if b_down is not None:
+        out_sorted = out_sorted + jnp.take(b_down.astype(jnp.float32), sorted_experts, axis=0)
 
     w_flat = jnp.take(routing.weights.reshape(-1), order)  # combine weight per sorted slot
     contrib = out_sorted * w_flat[:, None]  # [T*K, D] f32

@@ -24,13 +24,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 from prime_rl_tpu.ops.attention import repeat_kv, xla_attention
 
 
-def _local_attention(q, k, v, segment_ids, causal, impl, block_q, block_kv):
+def _local_attention(q, k, v, segment_ids, causal, impl, block_q, block_kv,
+                     window=0, sinks=None):
     if impl == "pallas":
         from prime_rl_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, segment_ids, causal=causal,
-                               block_q=block_q, block_kv=block_kv)
-    return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal)
+                               block_q=block_q, block_kv=block_kv,
+                               window=window, sinks=sinks)
+    return xla_attention(q, k, v, segment_ids, segment_ids, causal=causal,
+                         window=window, sinks=sinks)
 
 
 def ulysses_attention(
@@ -45,10 +48,13 @@ def ulysses_attention(
     impl: str = "xla",
     block_q: int = 512,
     block_kv: int = 512,
+    window: int = 0,  # static sliding window (0 = full)
+    sinks: jax.Array | None = None,  # [NH] sink logits, sliced per head group
 ) -> jax.Array:
     cp = mesh.shape[axis]
     if cp == 1:
-        return _local_attention(q, k, v, segment_ids, causal, impl, block_q, block_kv)
+        return _local_attention(q, k, v, segment_ids, causal, impl, block_q, block_kv,
+                                window=window, sinks=sinks)
 
     b, l, nh, hd = q.shape
     nkv = k.shape[2]
@@ -63,7 +69,7 @@ def ulysses_attention(
     qspec = P(batch_axes, axis, None, None)
     sspec = P(batch_axes, axis)
 
-    def body(q_l, k_l, v_l, seg_l):
+    def body(q_l, k_l, v_l, seg_l, sinks_l):
         # local: [B', Lc, NH, HD]
         k_l = repeat_kv(k_l, kv_rep)
         v_l = repeat_kv(v_l, kv_rep)
@@ -72,13 +78,23 @@ def ulysses_attention(
         k_g = jax.lax.all_to_all(k_l, axis, split_axis=2, concat_axis=1, tiled=True)
         v_g = jax.lax.all_to_all(v_l, axis, split_axis=2, concat_axis=1, tiled=True)
         seg_g = jax.lax.all_gather(seg_l, axis, axis=1, tiled=True)  # [B', L]
-        o_g = _local_attention(q_g, k_g, v_g, seg_g, causal, impl, block_q, block_kv)
+        o_g = _local_attention(q_g, k_g, v_g, seg_g, causal, impl, block_q, block_kv,
+                               window=window,
+                               sinks=None if sinks is None else sinks_l)
         # seq -> heads
         return jax.lax.all_to_all(o_g, axis, split_axis=1, concat_axis=2, tiled=True)
 
+    # sinks shard over the context axis exactly like the all-to-all splits
+    # query heads: contiguous head blocks per device
+    if sinks is None:
+        sinks_in = jnp.zeros((cp,), jnp.float32)  # placeholder, unused
+        sinks_spec = P(axis)
+    else:
+        sinks_in = sinks
+        sinks_spec = P(axis)
     return jax.shard_map(
         body, mesh=mesh,
-        in_specs=(qspec, qspec, qspec, sspec),
+        in_specs=(qspec, qspec, qspec, sspec, sinks_spec),
         out_specs=qspec,
         check_vma=False,
-    )(q, k, v, segment_ids)
+    )(q, k, v, segment_ids, sinks_in)

@@ -39,17 +39,22 @@ def _mm(x: jax.Array, w) -> jax.Array:
     return jnp.dot(x, w)
 
 
-def _qkv(x, lp, spec, positions, inv_freq):
-    """Shared q/k/v projection + qk-norm + rope. x: [B, T, D]."""
+def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0):
+    """Shared q/k/v projection (+ optional biases) + qk-norm + rope.
+    x: [B, T, D]."""
     b, t, _ = x.shape
     q = _mm(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
     k = _mm(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
     v = _mm(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    if lp.get("q_bias") is not None:
+        q = q + lp["q_bias"].astype(q.dtype).reshape(1, 1, spec.num_heads, spec.head_dim)
+        k = k + lp["k_bias"].astype(k.dtype).reshape(1, 1, spec.num_kv_heads, spec.head_dim)
+        v = v + lp["v_bias"].astype(v.dtype).reshape(1, 1, spec.num_kv_heads, spec.head_dim)
     if spec.qk_norm:
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
-    q = apply_rope(q, positions, inv_freq)
-    k = apply_rope(k, positions, inv_freq)
+    q = apply_rope(q, positions, inv_freq, rope_scaling)
+    k = apply_rope(k, positions, inv_freq, rope_scaling)
     return q, k, v
 
 
@@ -63,9 +68,19 @@ def _mlp(x, lp, spec):
             x.reshape(b * t, d), lp["router"],
             lp["expert_gate"], lp["expert_up"], lp["expert_down"],
             spec.num_experts_per_tok, spec.norm_topk_prob,
+            router_b=lp.get("router_bias"),
+            b_gate=lp.get("expert_gate_bias"), b_up=lp.get("expert_up_bias"),
+            b_down=lp.get("expert_down_bias"),
+            softmax_topk=spec.router_softmax_topk,
+            activation_alpha=spec.swiglu_alpha, activation_limit=spec.swiglu_limit,
         )
         return out.reshape(b, t, d)
     return _mm(swiglu(_mm(x, lp["gate"]), _mm(x, lp["up"])), lp["down"])
+
+
+def _obias(lp: dict, dtype):
+    b = lp.get("o_bias")
+    return 0.0 if b is None else b.astype(dtype)
 
 
 def _cast_layer(lp: dict, dtype) -> dict:
@@ -106,6 +121,12 @@ def quantize_params(params: Params, spec: ModelSpec) -> Params:
 # Prefill
 # ---------------------------------------------------------------------------
 
+def _rope(spec: ModelSpec):
+    from prime_rl_tpu.models.qwen3 import rope_setup
+
+    return rope_setup(spec)
+
+
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
     """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
     per-layer dicts). The serving forward unrolls the layer loop in Python so
@@ -142,7 +163,7 @@ def prefill(
     _, lpad = input_ids.shape
     page_size = k_pool[0].shape[2]
     n_pages = lpad // page_size
-    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    inv_freq, rope_scaling = _rope(spec)
     positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (1, lpad))
     segment_ids = (positions < length).astype(jnp.int32)
 
@@ -156,10 +177,10 @@ def prefill(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                       window=win, sinks=lp.get("sink"))
-        h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"])
+        h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"]) + _obias(lp, h.dtype)
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         # scatter K/V into this slot's pages. dynamic_update_slice per page
         # (NOT .at[].set with an index array) — XLA lowers dus-in-loop as an
@@ -241,7 +262,7 @@ def prefill_chunk(
     _, c = input_ids.shape
     page_size = k_pool[0].shape[2]
     n_pages = c // page_size
-    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    inv_freq, rope_scaling = _rope(spec)
     positions = offset + jnp.arange(c, dtype=jnp.int32)[None, :]  # [1, C]
     q_pos = positions[0]
     valid_hi = offset + valid
@@ -256,7 +277,7 @@ def prefill_chunk(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         k_l = _write_pages(k_l, k_w.astype(k_l.dtype), pages_chunk)
@@ -265,7 +286,7 @@ def prefill_chunk(
             q[0].astype(compute_dtype), k_l, v_l, q_pos, page_row, valid_hi,
             window=win, sinks=lp.get("sink"),
         )
-        h = h + _mm(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"])
+        h = h + _mm(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"]) + _obias(lp, h.dtype)
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         k_out.append(k_l)
         v_out.append(v_l)
@@ -379,7 +400,7 @@ def decode(
         attn_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     s = tokens.shape[0]
     page_size = k_pool[0].shape[2]
-    inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
+    inv_freq, rope_scaling = _rope(spec)
     positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
 
     embed = params["embed"].astype(compute_dtype)
@@ -396,7 +417,7 @@ def decode(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
         # write the new token's K/V in place (see _write_tokens)
         k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
         v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
@@ -404,7 +425,7 @@ def decode(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl,
             window=win, sinks=lp.get("sink"),
         )  # [S, NH, HD]
-        h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
+        h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"]) + _obias(lp, h.dtype)
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
         k_out.append(k_l)
         v_out.append(v_l)
