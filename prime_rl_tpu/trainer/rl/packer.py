@@ -70,12 +70,18 @@ def row_to_wire(row, seq_len: int) -> MicroBatch:
     )
 
 
-def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1) -> MicroBatchArrays:
-    """Wire rows -> stacked [N, B, L] arrays (+ derived segment ids)."""
+def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1,
+                   num_micro_batches: int | None = None) -> MicroBatchArrays:
+    """Wire rows -> stacked [N, B, L] arrays (+ derived segment ids).
+    ``num_micro_batches`` pins N (pad with empty rows; grow if overfull) so
+    the train step compiles once across steps."""
     L = len(mbs[0].input_ids)
     B = rows_per_micro_batch
-    pad = (-len(mbs)) % B
-    rows = list(mbs) + [None] * pad
+    rows = list(mbs)
+    if num_micro_batches is not None:
+        rows += [None] * max(0, num_micro_batches * B - len(rows))
+    pad = (-len(rows)) % B
+    rows = rows + [None] * pad
     n = len(rows) // B
 
     def seg_ids(mb: MicroBatch | None) -> np.ndarray:
@@ -153,6 +159,25 @@ class Packer:
                 )
                 os._exit(1)
 
+    @staticmethod
+    def global_counts(per_rank: list[list[MicroBatch]]) -> dict[str, int]:
+        """Per-component GLOBAL token counts over every rank's rows — shipped
+        with each rank's feed so no cross-process reduction is needed for
+        the loss Scales (reference: rl/train.py:312-334 all-reduce)."""
+        rl = ce = rk = 0
+        for mbs in per_rank:
+            for mb in mbs:
+                mask = np.asarray(mb.loss_mask, bool)
+                if mb.rl_weights is None:
+                    rl += int(mask.sum())
+                else:
+                    rl += int((mask & (np.asarray(mb.rl_weights) != 0)).sum())
+                if mb.ce_weights is not None:
+                    ce += int((np.asarray(mb.ce_weights) != 0).sum())
+                if mb.ref_kl_weights is not None:
+                    rk += int((np.asarray(mb.ref_kl_weights) != 0).sum())
+        return {"rl": rl, "ce": ce, "ref_kl": rk}
+
     def pack(self, batch: TrainingBatch) -> list[list[MicroBatch]]:
         rows = pack_rows(batch.examples, self.seq_len)
         bins = balance_rows(rows, self.num_ranks)
@@ -161,12 +186,23 @@ class Packer:
         width = max(len(b) for b in bins) if bins else 0
         from prime_rl_tpu.trainer.batch import PackedRow
 
-        return [
+        per_rank = [
             [row_to_wire(r, self.seq_len) for r in b] + [
                 row_to_wire(PackedRow(samples=[]), self.seq_len)
             ] * (width - len(b))
             for b in bins
         ]
+        # uniform optional-stream presence across ranks (all-ranks-same-
+        # program: one rank materializing ce_weights while another sees None
+        # would compile different step programs)
+        optional = ("ref_logprobs", "rl_weights", "ce_weights", "ref_kl_weights")
+        for name in optional:
+            if any(getattr(mb, name) is not None for mbs in per_rank for mb in mbs):
+                for mbs in per_rank:
+                    for mb in mbs:
+                        if getattr(mb, name) is None:
+                            setattr(mb, name, np.zeros(self.seq_len, np.float32))
+        return per_rank
 
     def run(self, max_batches: int | None = None) -> None:
         self._watchdog.start()
@@ -177,7 +213,7 @@ class Packer:
             if batch is None:
                 continue
             per_rank = self.pack(batch)
-            self.sender.send(batch.step, per_rank)
+            self.sender.send(batch.step, per_rank, counts=self.global_counts(per_rank))
             self._last_progress = time.monotonic()
             seen += 1
             logger.debug(f"packer: step {batch.step} -> {len(per_rank)} ranks x {len(per_rank[0])} rows")

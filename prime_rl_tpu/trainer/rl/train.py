@@ -36,8 +36,12 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     """``weight_sink``: WeightBroadcastSink override (trainer/rl/broadcast.py).
     None = filesystem broadcast (snapshot per step); the colocated entrypoint
     passes a ColocatedBroadcast that swaps the live engine's params."""
+    world = jax.process_count()
+    rank = jax.process_index()
+    is_main = rank == 0
     setup_logger(config.log.level, config.log.json_logs,
-                 logs_dir(config.output_dir) / "trainer.log")
+                 logs_dir(config.output_dir) / (
+                     "trainer.log" if world == 1 else f"trainer_rank{rank}.log"))
     logger = get_logger()
     mesh_info = build_mesh(config.mesh)
     spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
@@ -97,11 +101,37 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
 
     fake_loader = None
     receiver = None
+    mb_receiver = None
+    packer = None
     if config.data.type == "fake":
         fake_loader = FakeDataLoader(
             spec.vocab_size, config.data.seq_len, config.data.micro_batch_size,
             config.data.num_micro_batches, seed=config.data.seed,
         )
+    elif world > 1:
+        # multi-host data plane (reference: trainer/rl/packer.py + zmq
+        # MicroBatch PUB/SUB): rank 0 runs the packer — receives whole
+        # TrainingBatches, re-bins rows across ranks, publishes each rank's
+        # feed WITH the global per-component token counts (so Scales need no
+        # separate cross-process reduction)
+        import threading
+
+        from prime_rl_tpu.trainer.rl.packer import Packer
+        from prime_rl_tpu.transport import (
+            setup_micro_batch_receiver,
+            setup_micro_batch_sender,
+            setup_training_batch_receiver,
+        )
+
+        if is_main:
+            tb_receiver = setup_training_batch_receiver(
+                config.transport, config.output_dir, progress.step)
+            mb_sender = setup_micro_batch_sender(config.transport, config.output_dir, world)
+            packer = Packer(tb_receiver, mb_sender, config.batch.seq_len, world)
+            threading.Thread(target=packer.run, daemon=True, name="packer").start()
+            logger.info(f"packer up: re-binning for {world} ranks")
+        mb_receiver = setup_micro_batch_receiver(
+            config.transport, config.output_dir, rank, progress.step)
     else:
         from prime_rl_tpu.transport import setup_training_batch_receiver
 
@@ -118,8 +148,17 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     snapshot_interval = (
         None if isinstance(weight_sink, FilesystemBroadcast) else config.weight_ckpt.interval
     )
+    def gather_and_publish(version: int) -> None:
+        host = publish_params()
+        if world > 1:
+            from jax.experimental import multihost_utils
+
+            host = multihost_utils.process_allgather(host, tiled=True)
+        if is_main:
+            weight_sink.publish(host, version)
+
     version = progress.step
-    weight_sink.publish(publish_params(), version)
+    gather_and_publish(version)
     logger.info(f"published initial weights v{version}")
 
     from prime_rl_tpu.utils.memory import GarbageCollection, device_memory_stats
@@ -139,6 +178,19 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         run = None
         if fake_loader is not None:
             batch, counts = fake_loader.next_batch()
+        elif mb_receiver is not None:
+            from prime_rl_tpu.trainer.rl.packer import wire_to_arrays
+
+            got = None
+            while got is None:
+                got = mb_receiver.receive(timeout=1.0)
+                if got is None and progress.step >= max_steps:
+                    break
+            if got is None:
+                break
+            _step, mbs, counts = got
+            batch = wire_to_arrays(mbs, config.batch.micro_batch_size,
+                                   num_micro_batches=config.batch.num_micro_batches)
         else:
             tb = None
             while tb is None:
@@ -163,8 +215,9 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             logger.info(
                 f"train step shape {shape_key} (compilation #{len(seen_shapes)})"
             )
-        tokens = int(batch.loss_mask.size)
-        batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+        tokens = int(batch.loss_mask.size) * world
+        batch = step_lib.put_batch(
+            batch if world > 1 else jax.tree.map(jnp.asarray, batch), mesh_info)
         scales = Scales(
             rl=jnp.float32(max(counts["rl"], 1)),
             ce=jnp.float32(max(counts["ce"], 1)),
@@ -190,8 +243,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         version = progress.step
         if bench is None:
             t_pub = time.perf_counter()
-            weight_sink.publish(publish_params(), version)
-            if snapshot_interval and progress.step % snapshot_interval == 0:
+            gather_and_publish(version)
+            if is_main and snapshot_interval and progress.step % snapshot_interval == 0:
                 weight_mgr.save(publish_params(), version)
             pub_s = time.perf_counter() - t_pub
         else:
@@ -212,7 +265,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         }
         if progress.step % 50 == 0:
             record.update(device_memory_stats())
-        monitor.log(record, progress.step)
+        if is_main:
+            monitor.log(record, progress.step)
         gc_gate.maybe_collect(progress.step)
         if metrics_server is not None:
             metrics_server.update({"step": progress.step, **record})

@@ -23,6 +23,7 @@ from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -250,9 +251,23 @@ def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None) ->
 
 
 def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
-    return jax.tree.map(
-        lambda x: jax.device_put(x, batch_sharding(mesh_info, x.shape)), batch
-    )
+    """Place a batch on the mesh. Single-process: a committed device_put.
+    Multi-process: each rank holds its packer-fed LOCAL rows [N, B_local, L];
+    the global array is [N, B_local*world, L] sharded over the dp axes with
+    this process's shard backed by the local data (no cross-host data
+    movement — reference: rl/train.py per-rank MicroBatch feed)."""
+    world = jax.process_count()
+    if world == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(x, batch_sharding(mesh_info, x.shape)), batch
+        )
+
+    def put(x):
+        gshape = (x.shape[0], x.shape[1] * world, *x.shape[2:])
+        sh = batch_sharding(mesh_info, gshape)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x), gshape)
+
+    return jax.tree.map(put, batch)
 
 
 def init_train_state(

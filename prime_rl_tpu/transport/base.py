@@ -32,7 +32,8 @@ class MicroBatchSender(ABC):
     """Packer side: publish per-rank micro-batch lists for a step."""
 
     @abstractmethod
-    def send(self, step: int, per_rank: list[list[MicroBatch]]) -> None: ...
+    def send(self, step: int, per_rank: list[list[MicroBatch]],
+             counts: dict | None = None) -> None: ...
 
     def close(self) -> None:
         pass

@@ -54,11 +54,14 @@ class FSMicroBatchSender(MicroBatchSender):
     def __init__(self, output_dir: str | Path):
         self.output_dir = Path(output_dir)
 
-    def send(self, step: int, per_rank: list[list[MicroBatch]]) -> None:
+    def send(self, step: int, per_rank: list[list[MicroBatch]],
+             counts: dict | None = None) -> None:
         d = rollout_dir(self.output_dir, step)
         d.mkdir(parents=True, exist_ok=True)
         for rank, mbs in enumerate(per_rank):
-            _atomic_write(d / f"micro_rank{rank}.msgpack", encode({"step": step, "micro_batches": mbs}))
+            _atomic_write(d / f"micro_rank{rank}.msgpack",
+                          encode({"step": step, "micro_batches": mbs,
+                                  "counts": counts or {}}))
 
 
 class FSMicroBatchReceiver(MicroBatchReceiver):
@@ -76,4 +79,4 @@ class FSMicroBatchReceiver(MicroBatchReceiver):
             time.sleep(0.2)
         msg = decode(path.read_bytes())
         self.next_step += 1
-        return msg["step"], msg["micro_batches"]
+        return msg["step"], msg["micro_batches"], msg.get("counts") or {}

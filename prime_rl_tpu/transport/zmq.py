@@ -67,13 +67,16 @@ class ZMQMicroBatchSender(MicroBatchSender):
         # XPUB-style subscribe detection via a settle delay on first send.
         self._settled = False
 
-    def send(self, step: int, per_rank: list[list[MicroBatch]]) -> None:
+    def send(self, step: int, per_rank: list[list[MicroBatch]],
+             counts: dict | None = None) -> None:
         if not self._settled:
             time.sleep(0.5)
             self._settled = True
         for rank, mbs in enumerate(per_rank):
             topic = f"rank{rank}".encode()
-            self.sock.send_multipart([topic, encode({"step": step, "micro_batches": [m for m in mbs]})])
+            self.sock.send_multipart([topic, encode(
+                {"step": step, "micro_batches": [m for m in mbs],
+                 "counts": counts or {}})])
 
     def close(self) -> None:
         self.sock.close(linger=1000)
@@ -91,7 +94,7 @@ class ZMQMicroBatchReceiver(MicroBatchReceiver):
                 return None
         _topic, payload = self.sock.recv_multipart()
         msg = decode(payload)
-        return msg["step"], msg["micro_batches"]
+        return msg["step"], msg["micro_batches"], msg.get("counts") or {}
 
     def close(self) -> None:
         self.sock.close(linger=0)

@@ -81,12 +81,15 @@ def test_zmq_packer_flow(free_port):
     got0 = rank0.receive(timeout=20)
     got1 = rank1.receive(timeout=20)
     assert got0 is not None and got1 is not None
-    step0, mbs0 = got0
-    step1, mbs1 = got1
+    step0, mbs0, counts0 = got0
+    step1, mbs1, counts1 = got1
     assert step0 == step1 == 7
     assert len(mbs0) == len(mbs1)
     total = sum(sum(m.seq_lens) for m in mbs0 + mbs1)
     assert total == 90
+    # global counts travel with every rank's feed: 90 tokens minus one
+    # force-masked first token per sample
+    assert counts0 == counts1 and counts0["rl"] == 90 - 3
     t.join(timeout=10)
     for s in (tb_recv, mb_send, rank0, rank1, sender):
         s.close()
