@@ -37,6 +37,19 @@ class ServerConfig(BaseConfig):
     api_key: str | None = None
 
 
+class ServingLoRAConfig(BaseConfig):
+    """Multi-LoRA serving bank (vLLM punica analogue): up to ``max_adapters``
+    adapters live on device; requests pick one by name (`model` field or
+    sampling_params.adapter). Rank/targets must match the adapters being
+    loaded (reference: inference/vllm/server.py:98-147)."""
+
+    max_adapters: int = 4
+    rank: int = 8
+    alpha: float = 16.0
+    target_modules: list[str] = Field(
+        default_factory=lambda: ["q", "k", "v", "o", "gate", "up", "down"])
+
+
 class WeightPlaneConfig(BaseConfig):
     """Receive per-step policy weights straight from the learner process
     (no disk): shm arena on the same host, or ZMQ tensor streaming across
@@ -66,3 +79,5 @@ class InferenceConfig(BaseConfig):
     quantization: Literal["int8"] | None = None
     # disaggregated weight plane subscription (None = HTTP /update_weights only)
     weight_plane: WeightPlaneConfig | None = None
+    # multi-LoRA serving bank (None = base model only; /load_lora_adapter 501s)
+    lora: ServingLoRAConfig | None = None

@@ -59,7 +59,8 @@ def build_server(config: InferenceConfig):
         f"engine: model={config.model.name} pages={num_pages}x{config.kv.page_size} "
         f"slots={cache_cfg.max_slots} max_len={config.max_model_len}"
     )
-    engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization)
+    engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
+                    lora_config=config.lora)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

@@ -103,6 +103,34 @@ def merge_lora(base: Params, lora: Params, cfg: LoRAConfig) -> Params:
     return out
 
 
+def adapter_from_state_dict(state: dict, spec: ModelSpec) -> dict[str, np.ndarray]:
+    """Inverse of ``adapter_state_dict``: PEFT-style flat dict -> stacked
+    per-target layers pytree {"q_a": [NL, in, r], "q_b": [NL, r, out], ...}
+    (the serving bank's load format)."""
+    hf_names = {"q": ("self_attn", "q_proj"), "k": ("self_attn", "k_proj"),
+                "v": ("self_attn", "v_proj"), "o": ("self_attn", "o_proj"),
+                "gate": ("mlp", "gate_proj"), "up": ("mlp", "up_proj"),
+                "down": ("mlp", "down_proj")}
+    layers: dict[str, np.ndarray] = {}
+    for t, (mod, hf) in hf_names.items():
+        key0 = f"base_model.model.model.layers.0.{mod}.{hf}.lora_A.weight"
+        if key0 not in state:
+            continue
+        a = np.stack([
+            np.asarray(state[f"base_model.model.model.layers.{i}.{mod}.{hf}.lora_A.weight"]).T
+            for i in range(spec.num_layers)
+        ])  # [NL, in, r]
+        b = np.stack([
+            np.asarray(state[f"base_model.model.model.layers.{i}.{mod}.{hf}.lora_B.weight"]).T
+            for i in range(spec.num_layers)
+        ])  # [NL, r, out]
+        layers[f"{t}_a"] = a
+        layers[f"{t}_b"] = b
+    if not layers:
+        raise ValueError("no LoRA tensors found in adapter state dict")
+    return layers
+
+
 def adapter_state_dict(lora: Params, spec: ModelSpec, cfg: LoRAConfig) -> dict[str, np.ndarray]:
     """PEFT-style flat dict (per-layer, HF naming) for standalone adapter
     snapshots (reference: ckpt.py LoRA adapter export)."""

@@ -180,11 +180,20 @@ class OPSD(Algorithm):
 
 
 class SFTAlgo(Algorithm):
-    """Distill-by-generation: the rollout came from a frozen teacher pool
-    (the Sampler routes there); plain CE on its sampled tokens
-    (reference: algo/sft.py)."""
+    """Distill-by-generation: rollouts are SAMPLED from the connected frozen
+    teacher pool (sample_pool_urls routes the dispatcher there —
+    reference: orchestrator/sampler.py:1-59 + algo/sft.py); plain CE on the
+    teacher's sampled tokens trains the student toward them."""
 
     needs_group = False
+
+    def sample_pool_urls(self) -> list[str] | None:
+        t = getattr(self.config, "teacher", None)
+        if t is None or not t.base_url:
+            raise ValueError(
+                "sft distillation requires algo.teacher.base_url (the frozen "
+                "teacher pool rollouts are sampled from)")
+        return list(t.base_url)
 
     def finalize_group(self, rollouts: Sequence[Rollout]) -> None:
         for r in rollouts:

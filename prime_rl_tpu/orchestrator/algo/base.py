@@ -86,6 +86,12 @@ class Algorithm:
         # (reference: algo/opsd.py renders demos with the policy tokenizer)
         self.tokenizer = tokenizer
 
+    def sample_pool_urls(self) -> list[str] | None:
+        """Frozen-pool routing (reference: orchestrator/sampler.py:1-59):
+        return engine URLs for this env's rollouts to be SAMPLED from instead
+        of the live policy pool. None = live policy."""
+        return None
+
     async def finalize_rollout(self, rollout: Rollout) -> None:
         """Per-episode hook (async: may call external models)."""
 

@@ -68,6 +68,7 @@ class GroupState:
     tasks: list[asyncio.Task] = field(default_factory=list)
     kind: str = "train"  # "train" | "eval"
     eval_step: int = -1
+    frozen: bool = False  # sampled from a frozen pool: never ages off-policy
 
     @property
     def complete(self) -> bool:
@@ -94,6 +95,9 @@ class EnvSource:
     config: Any  # EnvSourceConfig | EvalSourceConfig
     client: EnvClientBase
     algorithm: Algorithm | None  # eval sources carry no algorithm
+    # frozen sampling pool (algo.connect — reference: orchestrator/sampler.py):
+    # rollouts for this env sample from these engines, never the live policy
+    frozen_pool: Any | None = None
 
 
 class Orchestrator:
@@ -151,7 +155,15 @@ class Orchestrator:
                     "fell back to bytes — make the tokenizer loadable offline"
                 )
             algo = make_algorithm(src.algo, tokenizer=policy_tokenizer)
-            self.sources[src.name] = EnvSource(src, client, algo)
+            frozen_pool = None
+            urls = algo.sample_pool_urls()
+            if urls:
+                from prime_rl_tpu.orchestrator.pool import StaticInferencePool
+
+                frozen_pool = StaticInferencePool(urls, cfg.client.timeout)
+                self.logger.info(
+                    f"env {src.name!r}: rollouts sample from the FROZEN pool {urls}")
+            self.sources[src.name] = EnvSource(src, client, algo, frozen_pool=frozen_pool)
         tasksets = {n: await s.client.taskset() for n, s in self.sources.items()}
         ratios = {n: s.config.ratio for n, s in self.sources.items()}
         self.train_source = TrainSource(list(self.sources), tasksets, ratios, cfg.seed)
@@ -204,8 +216,10 @@ class Orchestrator:
             task_data=task,
             group_size=src.config.group_size,
             policy_version_at_start=self.policy.version,
+            frozen=src.frozen_pool is not None,
         )
-        base_url = self.pool.pick().base_url  # group pinned for prefix-cache affinity
+        pool = src.frozen_pool or self.pool
+        base_url = pool.pick().base_url  # group pinned for prefix-cache affinity
         sampling = SamplingConfig(
             max_tokens=src.config.sampling.max_tokens or 256,
             temperature=src.config.sampling.temperature,
@@ -215,13 +229,14 @@ class Orchestrator:
         for i in range(group.group_size):
             await self._permits.acquire()
             group.tasks.append(asyncio.create_task(
-                self._run_rollout(group, src, sampling, base_url)
+                self._run_rollout(group, src, sampling, base_url, pool)
             ))
         self.inflight.add(group)
         return group
 
     async def _run_rollout(self, group: GroupState, src: EnvSource,
-                           sampling: SamplingConfig, base_url: str) -> None:
+                           sampling: SamplingConfig, base_url: str,
+                           pool=None) -> None:
         try:
             episode = await src.client.run(group.task_data, sampling, base_url)
             episode.info.setdefault("base_url", base_url)
@@ -247,13 +262,15 @@ class Orchestrator:
             (self._eval_permits if group.kind == "eval" else self._permits).release()
             if group.complete and group in self.inflight:
                 self.inflight.discard(group)
-                self.pool.release(base_url)
+                (pool or self.pool).release(base_url)
                 await self._group_done.put(group)
 
     def age_inflight(self) -> None:
         """Weight-update hook: age in-flight groups; cancel those too stale
         (reference: dispatcher.py:272-303)."""
         for group in list(self.inflight):
+            if group.frozen:
+                continue
             group.off_policy_steps += 1
             if group.off_policy_steps > self.config.max_off_policy_steps:
                 group.cancelled = True

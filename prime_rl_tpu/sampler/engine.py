@@ -54,6 +54,8 @@ class SamplingParams:
     # cache on every weight update; reference salts by policy version at
     # dispatcher.py:437-441)
     cache_salt: str | None = None
+    # serve base + this loaded adapter (multi-LoRA bank; None = base model)
+    adapter: str | None = None
 
 
 @dataclass
@@ -121,10 +123,17 @@ class Engine:
         decode_attn_impl: str = "auto",
         seed: int = 0,
         quantize: str | None = None,
+        lora_config=None,  # ServingLoRAConfig: enables the multi-LoRA bank
     ):
         self.spec = spec
         self.compute_dtype = compute_dtype
         self.quantize = quantize
+        self.lora_config = lora_config
+        self._lora_bank: dict[str, jax.Array] | None = None
+        self.adapters: dict[str, int] = {}
+        self._free_adapter_rows: list[int] = []
+        if lora_config is not None:
+            self._init_lora_bank()
         self.params = self._prepare_params(params)
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
@@ -160,6 +169,7 @@ class Engine:
         self._d_temp = jnp.ones((s,), jnp.float32)
         self._d_topk = jnp.full((s,), -1, jnp.int32)
         self._d_topp = jnp.ones((s,), jnp.float32)
+        self._d_adapter = jnp.zeros((s,), jnp.int32)
         self._d_table = jnp.asarray(self.slots.page_table)
         self._d_key = jax.random.key(seed)
 
@@ -181,15 +191,17 @@ class Engine:
 
     def _build_decode(self):
         spec, dtype, impl = self.spec, self.compute_dtype, self._decode_attn_impl
+        lora_on = self._lora_bank is not None
 
         # NOTE: `tokens` is NOT donated — each step's sampled tokens are kept
         # as a drain handle while the next step consumes them as input
         @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10))
         def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
-                      temp, top_k, top_p, key):
+                      temp, top_k, top_p, key, adapter):
             k_pool, v_pool, logits = smodel.decode(
                 params, spec, k_pool, v_pool, tokens, lengths, page_table,
                 compute_dtype=dtype, attn_impl=impl,
+                adapter_idx=adapter if lora_on else None,
             )
             step_key, next_key = jax.random.split(key)
             out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
@@ -201,9 +213,9 @@ class Engine:
     def _build_set_slot(self):
         # tokens not donated: the buffer may be aliased by a pending drain
         # handle from the decode pipeline
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5))
-        def set_slot(tokens, lengths, active, temp, topk, topp,
-                     slot, token, length, temp_v, topk_v, topp_v):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
+        def set_slot(tokens, lengths, active, temp, topk, topp, adapter,
+                     slot, token, length, temp_v, topk_v, topp_v, adapter_v):
             return (
                 tokens.at[slot].set(token),
                 lengths.at[slot].set(length),
@@ -211,6 +223,7 @@ class Engine:
                 temp.at[slot].set(temp_v),
                 topk.at[slot].set(topk_v),
                 topp.at[slot].set(topp_v),
+                adapter.at[slot].set(adapter_v),
             )
 
         return set_slot
@@ -220,11 +233,15 @@ class Engine:
         if fn is None:
             spec, dtype, impl = self.spec, self.compute_dtype, self._prefill_attn_impl
 
+            lora_on = self._lora_bank is not None
+
             @functools.partial(jax.jit, donate_argnums=(1, 2))
-            def prefill_fn(params, k_pool, v_pool, ids, length, pages, temp, top_k, top_p, key):
+            def prefill_fn(params, k_pool, v_pool, ids, length, pages, temp, top_k, top_p,
+                           key, adapter):
                 k_pool, v_pool, last_hidden, plp = smodel.prefill(
                     params, spec, k_pool, v_pool, ids, length, pages,
                     compute_dtype=dtype, attn_impl=impl, want_prompt_logprobs=want_plp,
+                    adapter_idx=adapter if lora_on else None,
                 )
                 logits = smodel.logits_from_hidden(params, spec, last_hidden[None], dtype)
                 tok, lp = sample_tokens(logits, temp, top_k, top_p, key)
@@ -238,11 +255,15 @@ class Engine:
         if fn is None:
             spec, dtype = self.spec, self.compute_dtype
 
+            lora_on = self._lora_bank is not None
+
             @functools.partial(jax.jit, donate_argnums=(1, 2))
-            def chunk_fn(params, k_pool, v_pool, ids, offset, valid, pages_chunk, page_row):
+            def chunk_fn(params, k_pool, v_pool, ids, offset, valid, pages_chunk, page_row,
+                         adapter):
                 return smodel.prefill_chunk(
                     params, spec, k_pool, v_pool, ids, offset, valid,
                     pages_chunk, page_row, compute_dtype=dtype,
+                    adapter_idx=adapter if lora_on else None,
                 )
 
             fn = self._chunk_fns[c] = chunk_fn
@@ -294,13 +315,74 @@ class Engine:
     def resume(self) -> None:
         self.paused = False
 
+    def _init_lora_bank(self) -> None:
+        """Zero-initialized device bank: row 0 is the no-adapter identity
+        (B = 0 -> zero delta), rows 1..N hold loaded adapters. Static shapes:
+        the decode program never recompiles on adapter load (the vLLM punica
+        multi-LoRA analogue; reference: inference/vllm/server.py:98-147)."""
+        from prime_rl_tpu.models.lora import _TARGET_DIMS, resolve_targets
+
+        cfg = self.lora_config
+        na = cfg.max_adapters + 1
+        nl, r = self.spec.num_layers, cfg.rank
+        bank: dict[str, jax.Array] = {}
+        for t in resolve_targets(cfg, self.spec):
+            din = getattr(self.spec, _TARGET_DIMS[t][0])
+            dout = getattr(self.spec, _TARGET_DIMS[t][1])
+            bank[f"{t}_a"] = jnp.zeros((na, nl, din, r), jnp.float32)
+            bank[f"{t}_b"] = jnp.zeros((na, nl, r, dout), jnp.float32)
+        self._lora_bank = bank
+        self._free_adapter_rows = list(range(1, na))
+
+    def _attach_lora(self, serving_params: Params) -> Params:
+        if self._lora_bank is None:
+            return serving_params
+        scale = jnp.float32(self.lora_config.alpha / self.lora_config.rank)
+        for l, lp in enumerate(serving_params["layers"]):
+            lp["lora"] = {k: v[:, l] for k, v in self._lora_bank.items()}
+            lp["lora"]["scale"] = scale
+        return serving_params
+
+    def load_adapter(self, name: str, layers: dict) -> None:
+        """Install (or refresh) an adapter into the bank. ``layers``: stacked
+        {"q_a": [NL, in, r], "q_b": [NL, r, out], ...} (models/lora.py
+        adapter_from_state_dict). Live requests keep their current rows."""
+        if self._lora_bank is None:
+            raise RuntimeError("engine built without lora_config")
+        row = self.adapters.get(name)
+        if row is None:
+            if not self._free_adapter_rows:
+                raise RuntimeError(f"adapter bank full ({self.lora_config.max_adapters})")
+            row = self._free_adapter_rows.pop(0)
+        for key, arr in layers.items():
+            if key not in self._lora_bank:
+                raise ValueError(f"adapter tensor {key!r} not in the serving bank targets")
+            if arr.shape != self._lora_bank[key].shape[1:]:
+                raise ValueError(
+                    f"{key}: adapter shape {arr.shape} != bank {self._lora_bank[key].shape[1:]} "
+                    "(rank/targets must match inference.lora config)")
+            self._lora_bank[key] = self._lora_bank[key].at[row].set(
+                jnp.asarray(arr, jnp.float32))
+        self.adapters[name] = row
+        self.params = self._attach_lora(self.params)
+
+    def unload_adapter(self, name: str) -> bool:
+        row = self.adapters.pop(name, None)
+        if row is None:
+            return False
+        for key in self._lora_bank:
+            self._lora_bank[key] = self._lora_bank[key].at[row].set(0.0)
+        self._free_adapter_rows.append(row)
+        self.params = self._attach_lora(self.params)
+        return True
+
     def _prepare_params(self, params: Params) -> Params:
         out = smodel.unstack_params(
             jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), params), self.spec
         )
         if self.quantize == "int8":
             out = jax.jit(lambda p: smodel.quantize_params(p, self.spec))(out)
-        return out
+        return self._attach_lora(out)
 
     def update_params(self, new_params: Params, version: int | None = None) -> None:
         """Swap weights between dispatches (caller pauses for a version-atomic
@@ -383,6 +465,12 @@ class Engine:
                         f"(max_seq_len={self.config.max_seq_len}, pool={total_pool_tokens})"))
                     progress = True
                     break
+                if req.params.adapter and req.params.adapter not in self.adapters:
+                    self._reject(req, ValueError(
+                        f"unknown LoRA adapter {req.params.adapter!r} "
+                        f"(loaded: {sorted(self.adapters)})"))
+                    progress = True
+                    break
                 if req.params.prompt_logprobs and n > self.buckets[-1]:
                     self._reject(req, ValueError(
                         f"prompt_logprobs needs a single-shot prefill; prompt of {n} "
@@ -418,7 +506,8 @@ class Engine:
             # shareable: full pages strictly before the last prompt token
             # (at least one token is always computed → last_hidden exists)
             n_shareable = ((n - 1) // ps) * ps
-            hashes = hash_pages(req.prompt[:n_shareable], ps, salt=sp.cache_salt)
+            salt = (sp.cache_salt, sp.adapter)
+            hashes = hash_pages(req.prompt[:n_shareable], ps, salt=salt)
         # pre-allocate pages for the whole request so the page table never
         # changes during decode (no mid-stream host->device table pushes)
         got = self.slots.acquire(self._acquire_want(req, n), hashes)
@@ -460,6 +549,7 @@ class Engine:
         self._shadow_lengths[slot] = n
         self._d_table = jnp.asarray(self.slots.page_table)
         self.stats["prefill_tokens_computed"] += n - shared_tokens
+        adapter_row = jnp.int32(self.adapters.get(sp.adapter, 0) if sp.adapter else 0)
         seed = sp.seed if sp.seed is not None else (self._dispatch_seq + slot + 1)
         key = jax.random.key(seed)
         temp = jnp.asarray([sp.temperature], jnp.float32)
@@ -478,7 +568,7 @@ class Engine:
             self.k_pool, self.v_pool, tok, lp, plp = fn(
                 self.params, self.k_pool, self.v_pool,
                 jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
-                temp, topk, topp, key,
+                temp, topk, topp, key, adapter_row,
             )
         else:
             # incremental prefill: skip the cached prefix, process the rest
@@ -500,7 +590,7 @@ class Engine:
                 self.k_pool, self.v_pool, last_hidden = fn(
                     self.params, self.k_pool, self.v_pool,
                     jnp.asarray(ids), jnp.int32(off), jnp.int32(valid),
-                    jnp.asarray(pchunk), row_dev,
+                    jnp.asarray(pchunk), row_dev, adapter_row,
                 )
             tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
         active = _Active(req, slot)
@@ -510,11 +600,12 @@ class Engine:
         self.active[slot] = active
         # seed device state (async; ordering preserved by dispatch stream)
         (self._d_tokens, self._d_lengths, self._d_active,
-         self._d_temp, self._d_topk, self._d_topp) = self._set_slot_fn(
+         self._d_temp, self._d_topk, self._d_topp, self._d_adapter) = self._set_slot_fn(
             self._d_tokens, self._d_lengths, self._d_active,
-            self._d_temp, self._d_topk, self._d_topp,
+            self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
             jnp.int32(slot), tok, jnp.int32(n),
             jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
+            adapter_row,
         )
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)
@@ -540,7 +631,7 @@ class Engine:
          self._d_lengths, self._d_key) = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
-            self._d_temp, self._d_topk, self._d_topp, self._d_key,
+            self._d_temp, self._d_topk, self._d_topp, self._d_key, self._d_adapter,
         )
         self._d_tokens = out_tokens
         self._dispatch_seq += 1

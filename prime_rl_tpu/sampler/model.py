@@ -39,13 +39,39 @@ def _mm(x: jax.Array, w) -> jax.Array:
     return jnp.dot(x, w)
 
 
-def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0):
-    """Shared q/k/v projection (+ optional biases) + qk-norm + rope.
-    x: [B, T, D]."""
+def _lora_delta(x, lora: dict | None, name: str, idx):
+    """Batched multi-LoRA delta (vLLM punica analogue): per-request adapter
+    rows gathered from the device bank. ``idx`` is a scalar (prefill: one
+    slot) or [S] (decode); bank slot 0 is the zero adapter (= no LoRA).
+    x: [B, T, D] -> [B, T, out] or None."""
+    if lora is None or f"{name}_a" not in lora or idx is None:
+        return None
+    a, b_ = lora[f"{name}_a"], lora[f"{name}_b"]  # [NA, in, r], [NA, r, out]
+    scale = lora["scale"]
+    if idx.ndim == 0:
+        delta = (x @ a[idx].astype(x.dtype)) @ b_[idx].astype(x.dtype)
+    else:
+        ax = a[idx].astype(x.dtype)  # [S, in, r]
+        bx = b_[idx].astype(x.dtype)  # [S, r, out]
+        delta = jnp.einsum("std,sdr->str", x, ax)
+        delta = jnp.einsum("str,sro->sto", delta, bx)
+    return delta * scale
+
+
+def _mm_l(x, w, lora, name, idx):
+    out = _mm(x, w)
+    d = _lora_delta(x, lora, name, idx)
+    return out if d is None else out + d
+
+
+def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0, adapter_idx=None):
+    """Shared q/k/v projection (+ optional biases + multi-LoRA) + qk-norm +
+    rope. x: [B, T, D]."""
     b, t, _ = x.shape
-    q = _mm(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
-    k = _mm(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
-    v = _mm(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    lora = lp.get("lora")
+    q = _mm_l(x, lp["q"], lora, "q", adapter_idx).reshape(b, t, spec.num_heads, spec.head_dim)
+    k = _mm_l(x, lp["k"], lora, "k", adapter_idx).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = _mm_l(x, lp["v"], lora, "v", adapter_idx).reshape(b, t, spec.num_kv_heads, spec.head_dim)
     if lp.get("q_bias") is not None:
         q = q + lp["q_bias"].astype(q.dtype).reshape(1, 1, spec.num_heads, spec.head_dim)
         k = k + lp["k_bias"].astype(k.dtype).reshape(1, 1, spec.num_kv_heads, spec.head_dim)
@@ -58,7 +84,7 @@ def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0):
     return q, k, v
 
 
-def _mlp(x, lp, spec):
+def _mlp(x, lp, spec, adapter_idx=None):
     """Dense SwiGLU or MoE sparse MLP depending on the family. x: [B, T, D]."""
     if spec.is_moe:
         from prime_rl_tpu.ops.moe import moe_mlp
@@ -75,7 +101,10 @@ def _mlp(x, lp, spec):
             activation_alpha=spec.swiglu_alpha, activation_limit=spec.swiglu_limit,
         )
         return out.reshape(b, t, d)
-    return _mm(swiglu(_mm(x, lp["gate"]), _mm(x, lp["up"])), lp["down"])
+    lora = lp.get("lora")
+    h = swiglu(_mm_l(x, lp["gate"], lora, "gate", adapter_idx),
+               _mm_l(x, lp["up"], lora, "up", adapter_idx))
+    return _mm_l(h, lp["down"], lora, "down", adapter_idx)
 
 
 def _obias(lp: dict, dtype):
@@ -153,6 +182,7 @@ def prefill(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     want_prompt_logprobs: bool = False,
+    adapter_idx: jax.Array | None = None,  # scalar int32: LoRA bank row (0 = none)
 ):
     """Returns (k_pool, v_pool, last_hidden [D], prompt_logprobs [Lpad]|None).
 
@@ -177,11 +207,12 @@ def prefill(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                       window=win, sinks=lp.get("sink"))
-        h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"]) + _obias(lp, h.dtype)
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
+        h = h + _mm_l(o.reshape(1, lpad, spec.q_dim), lp["o"], lp.get("lora"), "o",
+                      adapter_idx) + _obias(lp, h.dtype)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
         # scatter K/V into this slot's pages. dynamic_update_slice per page
         # (NOT .at[].set with an index array) — XLA lowers dus-in-loop as an
         # in-place update on the donated pool; advanced-index scatter copies
@@ -249,6 +280,7 @@ def prefill_chunk(
     page_row: jax.Array,  # [P] int32: the slot's FULL page-table row
     *,
     compute_dtype=jnp.bfloat16,
+    adapter_idx: jax.Array | None = None,
 ):
     """One chunk of an incremental prefill: computes K/V for positions
     [offset, offset+C), writes them into the slot's pages, and attends over
@@ -277,7 +309,7 @@ def prefill_chunk(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         k_l = _write_pages(k_l, k_w.astype(k_l.dtype), pages_chunk)
@@ -286,8 +318,9 @@ def prefill_chunk(
             q[0].astype(compute_dtype), k_l, v_l, q_pos, page_row, valid_hi,
             window=win, sinks=lp.get("sink"),
         )
-        h = h + _mm(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"]) + _obias(lp, h.dtype)
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
+        h = h + _mm_l(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"],
+                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
         k_out.append(k_l)
         v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
@@ -389,6 +422,7 @@ def decode(
     *,
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    adapter_idx: jax.Array | None = None,  # [S] int32 per-slot LoRA bank rows
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
     over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
@@ -417,7 +451,7 @@ def decode(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling)
+        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
         # write the new token's K/V in place (see _write_tokens)
         k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
         v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
@@ -425,8 +459,9 @@ def decode(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl,
             window=win, sinks=lp.get("sink"),
         )  # [S, NH, HD]
-        h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"]) + _obias(lp, h.dtype)
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec)
+        h = h + _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
+                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
         k_out.append(k_l)
         v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)

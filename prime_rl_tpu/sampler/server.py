@@ -8,7 +8,8 @@ serving_tokens.py):
     GET  /v1/models                 model listing
     POST /pause /resume             drain-safe weight-update window
     POST /update_weights            {"weight_dir": ..., "version": N}
-    POST /load_lora_adapter         stub (LoRA serving: round 2)
+    POST /load_lora_adapter         install adapter into the multi-LoRA bank
+    POST /unload_lora_adapter       free an adapter row
     GET  /liveness /health          probes
 
 Built on aiohttp (in-image); the engine runs its own step-loop thread and
@@ -42,6 +43,7 @@ def _sampling_from_body(body: dict, default_max_tokens: int = 512) -> SamplingPa
         prompt_logprobs=bool(sp.get("prompt_logprobs", 0)),
         seed=sp.get("seed"),
         cache_salt=sp.get("cache_salt") or body.get("cache_salt"),
+        adapter=sp.get("adapter") or body.get("lora_name"),
     )
 
 
@@ -63,6 +65,7 @@ class InferenceServer:
             web.post("/resume", self.resume),
             web.post("/update_weights", self.update_weights),
             web.post("/load_lora_adapter", self.load_lora_adapter),
+            web.post("/unload_lora_adapter", self.unload_lora_adapter),
             web.get("/liveness", self.liveness),
             web.get("/health", self.liveness),
             web.get("/metrics", self.metrics),
@@ -155,11 +158,13 @@ class InferenceServer:
         prompt = self.tokenizer.apply_chat_template(
             messages, tokenize=True, add_generation_prompt=True
         )
+        model = body.get("model")
         sp = SamplingParams(
             max_tokens=int(body.get("max_tokens") or body.get("max_completion_tokens") or 512),
             temperature=float(body.get("temperature", 1.0)),
             top_p=float(body.get("top_p", 1.0)),
             seed=body.get("seed"),
+            adapter=model if model in self.engine.adapters else None,
         )
         if body.get("stream"):
             return await self._stream_chat(request, body, prompt, sp)
@@ -310,7 +315,53 @@ class InferenceServer:
         return web.json_response({"status": "ok", "version": version})
 
     async def load_lora_adapter(self, request: web.Request) -> web.Response:
-        return web.json_response({"status": "unsupported"}, status=501)
+        """Install a PEFT-style adapter into the serving bank
+        (reference: inference/vllm/server.py:98-147). Body:
+        {"lora_name": ..., "lora_path": <dir or .safetensors>}."""
+        if self.engine.lora_config is None:
+            return web.json_response(
+                {"error": "server started without inference.lora config"}, status=501)
+        body = await request.json()
+        name = body.get("lora_name")
+        path = body.get("lora_path")
+        if not name or not path:
+            raise web.HTTPBadRequest(text="lora_name and lora_path required")
+
+        def load():
+            from pathlib import Path
+
+            from safetensors.numpy import load_file
+
+            from prime_rl_tpu.models.lora import adapter_from_state_dict
+
+            p = Path(path)
+            if p.is_dir():
+                state = {}
+                for f in sorted(p.glob("*.safetensors")):
+                    state.update(load_file(f))
+            else:
+                state = load_file(p)
+            return adapter_from_state_dict(state, self.engine.spec)
+
+        try:
+            layers = await asyncio.get_running_loop().run_in_executor(None, load)
+            self.engine.pause()
+            try:
+                self.engine.load_adapter(str(name), layers)
+            finally:
+                self.engine.resume()
+        except (ValueError, RuntimeError, FileNotFoundError) as e:
+            return web.json_response({"error": str(e)}, status=400)
+        get_logger().info(f"loaded LoRA adapter {name!r} from {path}")
+        return web.json_response({"status": "ok", "adapters": sorted(self.engine.adapters)})
+
+    async def unload_lora_adapter(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        name = body.get("lora_name")
+        if not name:
+            raise web.HTTPBadRequest(text="lora_name required")
+        ok = self.engine.unload_adapter(str(name)) if self.engine.lora_config else False
+        return web.json_response({"status": "ok" if ok else "not_found"})
 
     async def liveness(self, request: web.Request) -> web.Response:
         return web.json_response({

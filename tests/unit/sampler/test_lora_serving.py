@@ -1,0 +1,90 @@
+"""Serving multi-LoRA: requests pick an adapter by name; outputs match a
+base+adapter merge; base requests stay bit-identical (VERDICT r1 item #7;
+reference: inference/vllm/server.py:98-147 punica multi-LoRA)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from prime_rl_tpu.configs.inference import ServingLoRAConfig
+from prime_rl_tpu.configs.shared import LoRAConfig
+from prime_rl_tpu.models import qwen3
+from prime_rl_tpu.models.base import debug_spec
+from prime_rl_tpu.models.lora import (
+    adapter_from_state_dict,
+    adapter_state_dict,
+    init_lora,
+    merge_lora,
+)
+from prime_rl_tpu.sampler.cache import CacheConfig
+from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+SPEC = debug_spec(num_layers=2, vocab_size=128)
+LORA = LoRAConfig(rank=4, alpha=8.0)
+SERVE = ServingLoRAConfig(max_adapters=2, rank=4, alpha=8.0)
+
+
+def make_adapter(seed):
+    lora = init_lora(SPEC, LORA, jax.random.key(seed))
+    # B inits to zero (identity); randomize so the adapter actually changes logits
+    lora["layers"] = {
+        k: (jax.random.normal(jax.random.key(seed + 100), v.shape) * 0.1
+            if k.endswith("_b") else v)
+        for k, v in lora["layers"].items()
+    }
+    return lora
+
+
+def test_adapter_matches_merged_and_base_unchanged():
+    params = jax.tree.map(lambda x: x * 3.0, qwen3.init_params(SPEC, jax.random.key(0)))
+    cache = CacheConfig(num_pages=64, page_size=16, max_slots=4, max_seq_len=256)
+    engine = Engine(params, SPEC, cache, compute_dtype=jnp.float32, lora_config=SERVE)
+
+    prompt = [5, 9, 23, 47, 3, 11, 30, 8]
+    base_out = engine.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+
+    lora = make_adapter(1)
+    # roundtrip through the PEFT export format (what /load_lora_adapter reads)
+    layers = adapter_from_state_dict(adapter_state_dict(lora, SPEC, LORA), SPEC)
+    engine.load_adapter("expert-math", layers)
+
+    got = engine.generate(
+        [prompt], SamplingParams(max_tokens=8, temperature=0.0, adapter="expert-math"))[0]
+
+    # oracle: merged base+adapter engine (no bank)
+    merged = merge_lora(params, lora, LORA)
+    oracle = Engine(merged, SPEC, cache, compute_dtype=jnp.float32)
+    want = oracle.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    assert got.token_ids == want.token_ids
+    assert got.token_ids != base_out.token_ids  # the adapter did something
+
+    # base requests through the SAME engine are unaffected by the loaded bank
+    base_again = engine.generate([prompt], SamplingParams(max_tokens=8, temperature=0.0))[0]
+    assert base_again.token_ids == base_out.token_ids
+
+
+def test_two_adapters_in_one_batch():
+    params = jax.tree.map(lambda x: x * 3.0, qwen3.init_params(SPEC, jax.random.key(0)))
+    cache = CacheConfig(num_pages=64, page_size=16, max_slots=4, max_seq_len=256)
+    engine = Engine(params, SPEC, cache, compute_dtype=jnp.float32, lora_config=SERVE)
+    l1, l2 = make_adapter(1), make_adapter(2)
+    engine.load_adapter("a1", {k: np.asarray(v) for k, v in l1["layers"].items()})
+    engine.load_adapter("a2", {k: np.asarray(v) for k, v in l2["layers"].items()})
+
+    prompt = [7, 3, 99, 14, 2]
+    sp = lambda a: SamplingParams(max_tokens=6, temperature=0.0, adapter=a)
+    # three requests with different adapters decode IN THE SAME batch
+    r_base, r1, r2 = engine.generate([prompt, prompt, prompt],
+                                     [sp(None), sp("a1"), sp("a2")])
+    for lora, got in ((l1, r1), (l2, r2)):
+        merged = merge_lora(params, lora, LORA)
+        oracle = Engine(merged, SPEC, cache, compute_dtype=jnp.float32)
+        want = oracle.generate([prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+        assert got.token_ids == want.token_ids
+    assert len({tuple(r.token_ids) for r in (r_base, r1, r2)}) == 3
+
+    # unload frees the row for a new adapter
+    assert engine.unload_adapter("a1")
+    engine.load_adapter("a3", {k: np.asarray(v) for k, v in l1["layers"].items()})
+    r3 = engine.generate([prompt], sp("a3"))[0]
+    assert r3.token_ids == r1.token_ids

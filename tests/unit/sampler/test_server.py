@@ -210,3 +210,64 @@ def test_opd_teacher_scoring_against_live_server(server):
     algo.finalize_group([rollout])
     assert s.ref_kl_weights is not None and s.ref_kl_weights.sum() > 0
     assert s.advantages is not None and not s.advantages.any()
+
+
+def test_frozen_pool_sampler_routes_sft(server, tmp_path_factory, monkeypatch):
+    """The Sampler routes an sft-distillation env's rollouts to the connected
+    FROZEN teacher pool (reference: orchestrator/sampler.py:1-59) and stamps
+    CE loss routing; frozen groups never age off-policy."""
+    import asyncio
+
+    from prime_rl_tpu.configs import OrchestratorConfig
+    from prime_rl_tpu.orchestrator.orchestrator import Orchestrator
+
+    out = tmp_path_factory.mktemp("frozen")
+    cfg = OrchestratorConfig.model_validate({
+        "output_dir": str(out),
+        "model_name": "debug",
+        "tokenizer": {"name": "byte"},
+        "client": {"base_urls": [server]},
+        "transport": {"type": "filesystem"},
+        "batch_size": 2,
+        "seq_len": 128,
+        "train_envs": [{
+            "name": "reverse_text", "group_size": 2,
+            "sampling": {"temperature": 1.0, "max_tokens": 8},
+            "algo": {"type": "sft",
+                     "teacher": {"name": "teacher", "base_url": [server]}},
+        }],
+        "filters": [],
+    })
+
+    async def run():
+        orch = Orchestrator(cfg)
+
+        # skip the startup trainer-weight sync (no trainer in this test)
+        async def fake_apply(self):
+            self.policy.version = max(self.policy.version, 0)
+            return True
+
+        monkeypatch.setattr(Orchestrator, "_apply_latest_weights", fake_apply)
+        await orch.setup()
+        src = orch.sources["reverse_text"]
+        assert src.frozen_pool is not None
+        group = await orch._schedule_group()
+        assert group.frozen
+        await asyncio.gather(*group.tasks)
+        assert len(group.rollouts) == 2
+        for r in group.rollouts:
+            assert r.episode.info.get("base_url") in [
+                c.base_url for c in src.frozen_pool.clients]
+        # aging never cancels frozen groups
+        orch.inflight.add(group)
+        for _ in range(100):
+            orch.age_inflight()
+        assert not group.cancelled
+        # group finalize stamps CE routing
+        src.algorithm.finalize_group(group.rollouts)
+        for r in group.rollouts:
+            for s in r.samples:
+                assert s.ce_weights is not None and (s.ce_weights > 0).any()
+        return True
+
+    assert asyncio.run(run())
