@@ -74,6 +74,17 @@ class ModelSpec:
     # routing style: softmax over the top-k LOGITS (gpt-oss) instead of
     # softmax over all experts then top-k (qwen3-moe)
     router_softmax_topk: bool = False
+    # glm4_moe axes (reference: trainer/models/glm_moe_dsa/ — the GLM-4.5
+    # MoE block; DSA sparse attention is a separate op):
+    partial_rotary_factor: float = 1.0  # rope on the first fraction of head_dim
+    n_shared_experts: int = 0  # always-on shared expert of size moe_inter * n
+    first_k_dense_replace: int = 0  # first k layers use a dense MLP
+    routed_scaling_factor: float = 1.0
+    # sigmoid scoring + group-limited top-k with a correction bias used for
+    # SELECTION only (DeepSeek-V3 noaux-tc routing)
+    router_sigmoid: bool = False
+    n_group: int = 1
+    topk_group: int = 1
     # YaRN rope scaling (gpt-oss 131k; 0 factor = off)
     rope_yarn_factor: float = 0.0
     rope_yarn_orig_max: int = 0
@@ -175,6 +186,26 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         rms_eps=1e-5, tie_embeddings=False, qk_norm=False, max_position_embeddings=131072,
         eos_token_id=128001, pad_token_id=128001,
     ),
+    "zai-org/GLM-4.5-Air": ModelSpec(
+        family="glm4_moe", vocab_size=151552, hidden_size=4096, num_layers=46,
+        num_heads=96, num_kv_heads=8, head_dim=128, intermediate_size=10944,
+        rope_theta=1e6, rms_eps=1e-5, tie_embeddings=False, qk_norm=True,
+        max_position_embeddings=131072, eos_token_id=151329, pad_token_id=151329,
+        num_experts=128, num_experts_per_tok=8, moe_intermediate_size=1408,
+        norm_topk_prob=True, partial_rotary_factor=0.5, n_shared_experts=1,
+        first_k_dense_replace=1, routed_scaling_factor=1.0, router_sigmoid=True,
+        n_group=1, topk_group=1,
+    ),
+    "zai-org/GLM-4.5": ModelSpec(
+        family="glm4_moe", vocab_size=151552, hidden_size=5120, num_layers=92,
+        num_heads=96, num_kv_heads=8, head_dim=128, intermediate_size=12288,
+        rope_theta=1e6, rms_eps=1e-5, tie_embeddings=False, qk_norm=True,
+        max_position_embeddings=131072, eos_token_id=151329, pad_token_id=151329,
+        num_experts=160, num_experts_per_tok=8, moe_intermediate_size=1536,
+        norm_topk_prob=True, partial_rotary_factor=0.5, n_shared_experts=1,
+        first_k_dense_replace=3, routed_scaling_factor=2.5, router_sigmoid=True,
+        n_group=1, topk_group=1,
+    ),
     "openai/gpt-oss-20b": ModelSpec(
         family="gpt_oss", vocab_size=201088, hidden_size=2880, num_layers=24,
         num_heads=64, num_kv_heads=8, head_dim=64, intermediate_size=2880,
@@ -254,6 +285,8 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
     arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
     if "gptoss" in arch.replace("_", ""):
         family = "gpt_oss"
+    elif "glm4moe" in arch.replace("_", ""):
+        family = "glm4_moe"
     elif "qwen3moe" in arch.replace("_", ""):
         family = "qwen3_moe"
     elif "qwen3" in arch:
@@ -264,6 +297,19 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         raise ValueError(f"unsupported architecture {arch}")
     head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
     extra: dict = {}
+    if family == "glm4_moe":
+        extra = dict(
+            num_experts=cfg.get("n_routed_experts", 0) or 0,
+            qk_norm=bool(cfg.get("use_qk_norm", False)),
+            partial_rotary_factor=float(cfg.get("partial_rotary_factor", 1.0)),
+            n_shared_experts=int(cfg.get("n_shared_experts", 0) or 0),
+            first_k_dense_replace=int(cfg.get("first_k_dense_replace", 0) or 0),
+            routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+            router_sigmoid=True,
+            n_group=int(cfg.get("n_group", 1) or 1),
+            topk_group=int(cfg.get("topk_group", 1) or 1),
+            attn_bias=bool(cfg.get("attention_bias", False)),
+        )
     if family == "gpt_oss":
         rs = cfg.get("rope_scaling") or {}
         lt = cfg.get("layer_types") or []
@@ -331,6 +377,12 @@ PARAM_SPECS: dict[str, P] = {
     "layers.expert_gate": P(None, "expert", "fsdp", "tensor"),
     "layers.expert_up": P(None, "expert", "fsdp", "tensor"),
     "layers.expert_down": P(None, "expert", "tensor", "fsdp"),
+    # glm4_moe extras: shared experts are dense tensors; the first-k dense
+    # layers live under dense_layers.* with the same rules as layers.*
+    "layers.shared_gate": P(None, "fsdp", "tensor"),
+    "layers.shared_up": P(None, "fsdp", "tensor"),
+    "layers.shared_down": P(None, "tensor", "fsdp"),
+    "layers.router_correction_bias": P(None),
     # gpt-oss extras: sinks / biases are tiny — replicate
     "layers.sink": P(None),
     "layers.q_bias": P(None),
@@ -345,6 +397,8 @@ PARAM_SPECS: dict[str, P] = {
 
 
 def param_pspec(path: str) -> P:
+    if path.startswith("dense_layers."):
+        path = "layers." + path[len("dense_layers."):]
     if path in PARAM_SPECS:
         return PARAM_SPECS[path]
     raise KeyError(f"no sharding rule for param {path!r}")

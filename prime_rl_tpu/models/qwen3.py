@@ -26,17 +26,19 @@ from prime_rl_tpu.ops.layers import apply_rope, rms_norm, rope_frequencies, swig
 
 def rope_setup(spec: ModelSpec) -> tuple[jax.Array, float]:
     """(inv_freq, cos/sin scaling) from the spec — plain RoPE or YaRN
-    (gpt-oss 131k; reference: modeling_gpt_oss.py rope init)."""
+    (gpt-oss 131k; reference: modeling_gpt_oss.py rope init). Partial rotary
+    (glm4_moe) shortens inv_freq; apply_rope leaves the tail dims alone."""
+    rot_dim = int(spec.head_dim * spec.partial_rotary_factor)
     if spec.rope_yarn_factor and spec.rope_yarn_factor > 1.0:
         from prime_rl_tpu.ops.layers import yarn_rope_parameters
 
         return yarn_rope_parameters(
-            spec.head_dim, spec.rope_theta, spec.rope_yarn_factor,
+            rot_dim, spec.rope_theta, spec.rope_yarn_factor,
             spec.rope_yarn_orig_max or spec.max_position_embeddings,
             spec.rope_yarn_beta_fast, spec.rope_yarn_beta_slow,
             spec.rope_yarn_truncate,
         )
-    return rope_frequencies(spec.head_dim, spec.rope_theta), 1.0
+    return rope_frequencies(rot_dim, spec.rope_theta), 1.0
 
 
 def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:

@@ -62,7 +62,7 @@ def _fwd_kernel(
     q_ref,  # [1, 1, bq, D]
     k_ref,  # [1, 1, bkv, D]
     v_ref,  # [1, 1, bkv, D]
-    sink_ref,  # [1, 1] f32 (this head's sink logit; zeros when has_sinks=False)
+    sink_ref,  # [NH, 1] f32 in SMEM (whole array; indexed by the head id)
     out_ref,  # [1, 1, bq, D]
     lse_ref,  # [1, 1, 1, bq]
     acc_ref,  # scratch [bq, D] f32
@@ -77,6 +77,7 @@ def _fwd_kernel(
     block_kv: int,
     nkv_total: int,
 ):
+    h = pl.program_id(1)
     i = pl.program_id(2)
     j = pl.program_id(3)
     nband = pl.num_programs(3)
@@ -135,7 +136,7 @@ def _fwd_kernel(
         if has_sinks:
             # the sink is a virtual token with learned logit and zero value:
             # it joins the denominator in the online-softmax finalize
-            sink = sink_ref[0, 0]
+            sink = sink_ref[h, 0]
             m = m_ref[:, 0]
             m_f = jnp.maximum(m, sink)
             alpha = jnp.exp(m - m_f)  # pad rows: m = NEG_INF -> 0
@@ -188,7 +189,7 @@ def _fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks, block_q,
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
             pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
             pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
-            pl.BlockSpec((1, 1), lambda bi, h, i, j: (h, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),

@@ -66,13 +66,20 @@ def apply_rope(
     inv_freq: jax.Array,  # [HD//2]
     scaling: float = 1.0,  # YaRN attention factor on cos/sin
 ) -> jax.Array:
-    """Rotary embedding, half-split layout (HF convention: rotate_half)."""
+    """Rotary embedding, half-split layout (HF convention: rotate_half).
+    Partial rotary (glm4_moe): ``inv_freq`` shorter than head_dim//2 rotates
+    only the leading ``2*len(inv_freq)`` dims; the tail passes through."""
     dtype = x.dtype
-    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B, L, HD//2]
-    cos = jnp.cos(angles)[:, :, None, :] * scaling  # [B, L, 1, HD//2]
+    rot = 2 * inv_freq.shape[0]
+    hd = x.shape[-1]
+    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B, L, rot//2]
+    cos = jnp.cos(angles)[:, :, None, :] * scaling  # [B, L, 1, rot//2]
     sin = jnp.sin(angles)[:, :, None, :] * scaling
-    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
-    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    xf = x.astype(jnp.float32)
+    x_rot, x_pass = xf[..., :rot], xf[..., rot:]
+    x1, x2 = jnp.split(x_rot, 2, axis=-1)
+    rotated = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    out = rotated if rot == hd else jnp.concatenate([rotated, x_pass], axis=-1)
     return out.astype(dtype)
 
 

@@ -34,12 +34,41 @@ def route_topk(
     norm_topk_prob: bool = True,
     router_b: jax.Array | None = None,  # [E]
     softmax_topk: bool = False,  # gpt-oss: softmax over the top-k LOGITS
+    sigmoid_noaux: bool = False,  # glm/deepseek-v3: sigmoid + correction bias
+    correction_bias: jax.Array | None = None,  # [E] selection-only bias
+    n_group: int = 1,
+    topk_group: int = 1,
+    routed_scaling: float = 1.0,
 ) -> RouterOutput:
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))  # [T, E]
     if router_b is not None:
         logits = logits + router_b.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1)
-    if softmax_topk:
+    if sigmoid_noaux:
+        # glm4_moe / DeepSeek-V3 noaux-tc routing (reference:
+        # glm_moe_dsa router): sigmoid scores; SELECTION adds a correction
+        # bias and (optionally) restricts to the best expert groups; combine
+        # WEIGHTS come from the raw sigmoid scores, normalized, x scaling
+        scores = jax.nn.sigmoid(logits)
+        probs = scores / jnp.maximum(scores.sum(-1, keepdims=True), 1e-9)  # stats only
+        choice = scores + (correction_bias.astype(jnp.float32)
+                           if correction_bias is not None else 0.0)
+        e = router_w.shape[1]
+        if n_group > 1:
+            t = choice.shape[0]
+            grouped = choice.reshape(t, n_group, e // n_group)
+            group_scores = jax.lax.top_k(grouped, min(2, e // n_group))[0].sum(-1)
+            _, keep_groups = jax.lax.top_k(group_scores, topk_group)  # [T, G']
+            group_mask = jnp.zeros((t, n_group), bool).at[
+                jnp.arange(t)[:, None], keep_groups].set(True)
+            choice = jnp.where(
+                jnp.repeat(group_mask, e // n_group, axis=1), choice, -jnp.inf)
+        _, expert_ids = jax.lax.top_k(choice, top_k)  # [T, K]
+        weights = jnp.take_along_axis(scores, expert_ids, axis=-1)
+        if norm_topk_prob:
+            weights = weights / (jnp.sum(weights, axis=-1, keepdims=True) + 1e-20)
+        weights = weights * routed_scaling
+    elif softmax_topk:
         # gpt-oss routing (reference: gpt_oss GptOssTopKRouter): top-k on the
         # raw logits, softmax over just those k values
         top_vals, expert_ids = jax.lax.top_k(logits, top_k)  # [T, K]
@@ -74,6 +103,11 @@ def moe_mlp(
     softmax_topk: bool = False,
     activation_alpha: float = 0.0,  # >0: gpt-oss clamped-GLU
     activation_limit: float = 0.0,
+    sigmoid_noaux: bool = False,
+    correction_bias: jax.Array | None = None,
+    n_group: int = 1,
+    topk_group: int = 1,
+    routed_scaling: float = 1.0,
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -85,7 +119,10 @@ def moe_mlp(
     t, d = x.shape
     e = router_w.shape[1]
     routing = route_topk(x, router_w, top_k, norm_topk_prob,
-                         router_b=router_b, softmax_topk=softmax_topk)
+                         router_b=router_b, softmax_topk=softmax_topk,
+                         sigmoid_noaux=sigmoid_noaux, correction_bias=correction_bias,
+                         n_group=n_group, topk_group=topk_group,
+                         routed_scaling=routed_scaling)
 
     flat_experts = routing.expert_ids.reshape(-1)  # [T*K]
     order = jnp.argsort(flat_experts)  # stable ascending by expert

@@ -85,8 +85,9 @@ def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0, adapter_id
 
 
 def _mlp(x, lp, spec, adapter_idx=None):
-    """Dense SwiGLU or MoE sparse MLP depending on the family. x: [B, T, D]."""
-    if spec.is_moe:
+    """Dense SwiGLU or MoE sparse MLP — decided PER LAYER ("router" in the
+    layer dict), so glm4_moe's first-k dense layers just work. x: [B, T, D]."""
+    if "router" in lp:
         from prime_rl_tpu.ops.moe import moe_mlp
 
         b, t, d = x.shape
@@ -99,8 +100,16 @@ def _mlp(x, lp, spec, adapter_idx=None):
             b_down=lp.get("expert_down_bias"),
             softmax_topk=spec.router_softmax_topk,
             activation_alpha=spec.swiglu_alpha, activation_limit=spec.swiglu_limit,
+            sigmoid_noaux=spec.router_sigmoid,
+            correction_bias=lp.get("router_correction_bias"),
+            n_group=spec.n_group, topk_group=spec.topk_group,
+            routed_scaling=spec.routed_scaling_factor,
         )
-        return out.reshape(b, t, d)
+        out = out.reshape(b, t, d)
+        if "shared_gate" in lp:
+            out = out + _mm(swiglu(_mm(x, lp["shared_gate"]), _mm(x, lp["shared_up"])),
+                            lp["shared_down"])
+        return out
     lora = lp.get("lora")
     h = swiglu(_mm_l(x, lp["gate"], lora, "gate", adapter_idx),
                _mm_l(x, lp["up"], lora, "up", adapter_idx))
@@ -160,12 +169,18 @@ def unstack_params(params: Params, spec: ModelSpec) -> Params:
     """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
     per-layer dicts). The serving forward unrolls the layer loop in Python so
     each layer's KV buffer is read/written IN PLACE — a scan over stacked
-    caches would copy the whole pool every decode step."""
-    nl = spec.num_layers
+    caches would copy the whole pool every decode step. glm4_moe's first-k
+    dense layers (``dense_layers``) prepend in order."""
+    dense = params.get("dense_layers")
+    k_dense = 0 if dense is None else next(iter(dense.values())).shape[0]
     layers = [
-        {k: v[l] for k, v in params["layers"].items()} for l in range(nl)
+        {k: v[l] for k, v in dense.items()} for l in range(k_dense)
+    ] if dense is not None else []
+    n_moe = spec.num_layers - k_dense
+    layers += [
+        {k: v[l] for k, v in params["layers"].items()} for l in range(n_moe)
     ]
-    out = {k: v for k, v in params.items() if k != "layers"}
+    out = {k: v for k, v in params.items() if k not in ("layers", "dense_layers")}
     out["layers"] = layers
     return out
 

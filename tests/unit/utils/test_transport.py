@@ -82,11 +82,12 @@ def test_zmq_micro_batch_pubsub(free_port):
         temperatures=np.ones(4),
         seq_lens=[4],
     )
-    send.send(7, [[mb], [mb, mb]])
-    step0, mbs0 = r0.receive(timeout=5)
-    step1, mbs1 = r1.receive(timeout=5)
+    send.send(7, [[mb], [mb, mb]], counts={"rl": 6})
+    step0, mbs0, counts0 = r0.receive(timeout=5)
+    step1, mbs1, counts1 = r1.receive(timeout=5)
     assert step0 == step1 == 7
     assert len(mbs0) == 1 and len(mbs1) == 2
+    assert counts0 == counts1 == {"rl": 6}
     for s in (send, r0, r1):
         s.close()
 
