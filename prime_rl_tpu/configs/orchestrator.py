@@ -98,10 +98,16 @@ class OrchestratorConfig(BaseConfig):
     eval_envs: list[EvalSourceConfig] = Field(default_factory=list)
     filters: list[FilterConfig] = Field(default_factory=lambda: [{"type": "zero_advantage"}])
 
-    # Batch assembly: by rollout count or token budget (reference: train_sink.py:253-291)
+    # Batch assembly: by rollout count or token budget with whole-rollout
+    # overflow carry (reference: train_sink.py:253-291)
     batch_size: int = 128  # rollouts per training batch
     max_batch_tokens: int | None = None
     seq_len: int = 4096
+    # observability: persist full rollout transcripts per step under
+    # <output>/traces/ (reference: orchestrator.py:546-550); pipeline
+    # snapshot line interval in seconds
+    save_rollout_traces: bool = False
+    pipeline_log_interval: float = 30.0
 
     # How new policy versions are detected: "filesystem" polls weights/ and
     # pushes /update_weights to each engine; "liveness" polls the engines'

@@ -352,13 +352,42 @@ class Orchestrator:
         kept = self.filters.apply(group.rollouts)
         return kept
 
+    @staticmethod
+    def _rollout_tokens(r: Rollout) -> int:
+        return sum(len(s) for s in r.samples)
+
     def _batch_ready(self) -> bool:
-        return len(self.completed_rollouts) >= self.config.batch_size
+        if len(self.completed_rollouts) >= self.config.batch_size:
+            return True
+        mbt = self.config.max_batch_tokens
+        if mbt:
+            return sum(self._rollout_tokens(r) for r in self.completed_rollouts) >= mbt
+        return False
+
+    def _cut_batch(self) -> list[Rollout]:
+        """Batch cut by rollout count AND (optionally) token budget with
+        whole-rollout overflow carry (reference: train_sink.py:253-291): a
+        rollout that would blow the token budget waits for the next batch —
+        never truncated, never dropped."""
+        cfg = self.config
+        candidates = self.completed_rollouts[: cfg.batch_size]
+        cut = len(candidates)
+        if cfg.max_batch_tokens:
+            total = 0
+            cut = 0
+            for r in candidates:
+                t = self._rollout_tokens(r)
+                if cut > 0 and total + t > cfg.max_batch_tokens:
+                    break
+                total += t
+                cut += 1
+        batch = self.completed_rollouts[:cut]
+        self.completed_rollouts = self.completed_rollouts[cut:]
+        return batch
 
     async def _ship_batch(self) -> None:
         cfg = self.config
-        batch_rollouts = self.completed_rollouts[: cfg.batch_size]
-        self.completed_rollouts = self.completed_rollouts[cfg.batch_size:]
+        batch_rollouts = self._cut_batch()
 
         # hold shipment until the trainer caught up (one-step-off pipeline)
         while self.policy.version < self.progress.step - 1 - cfg.target_lag:
@@ -395,6 +424,16 @@ class Orchestrator:
             metrics.update(self.lag_monitor.view())
         metrics.update(await self._scrape_engine_metrics())
         self.monitor.log(metrics, self.progress.step)
+        self.monitor.log_distributions({
+            "dist/reward": rewards,
+            "dist/output_tokens": [r.num_output_tokens for r in batch_rollouts],
+            "dist/off_policy_steps": [
+                float(max(self.progress.step - 1, 0) - r.policy_version)
+                for r in batch_rollouts if r.policy_version >= 0
+            ],
+        }, self.progress.step)
+        if cfg.save_rollout_traces:
+            self._save_rollout_traces(batch_rollouts)
         # sample table: a few rollout transcripts per shipped batch
         # (reference: monitor log_samples / W&B sample tables)
         sample_rows = [
@@ -415,6 +454,45 @@ class Orchestrator:
         if self.config.ckpt.interval and self.progress.step % self.config.ckpt.interval == 0:
             self._save_ckpt()
         await self._maybe_trigger_eval()
+
+    def _save_rollout_traces(self, rollouts: list[Rollout]) -> None:
+        """Persist FULL rollout transcripts per step
+        (reference: orchestrator.py:546-550 rollout trace dump)."""
+        import json
+
+        d = pathing.Path(self.config.output_dir) / "traces"
+        d.mkdir(parents=True, exist_ok=True)
+        with open(d / f"step_{self.progress.step}.jsonl", "w") as fh:
+            for r in rollouts:
+                fh.write(json.dumps({
+                    "env": r.env_name,
+                    "reward": r.reward,
+                    "policy_version": r.policy_version,
+                    "num_output_tokens": r.num_output_tokens,
+                    "metrics": {k: float(v) for k, v in r.episode.metrics.items()},
+                    "info": {k: str(v)[:2000] for k, v in r.episode.info.items()},
+                    "traces": [
+                        {"num_tokens": len(t.token_ids),
+                         "num_sampled": int(sum(t.sampled_mask)),
+                         "token_ids": list(map(int, t.token_ids))}
+                        for t in r.episode.traces
+                    ],
+                }) + "\n")
+
+    async def _pipeline_view(self) -> None:
+        """Periodic one-line pipeline snapshot (reference: the periodic
+        logger's dense gauge payloads): how full every stage is."""
+        while not self._stop:
+            await asyncio.sleep(self.config.pipeline_log_interval)
+            self.logger.info(
+                f"pipeline: step={self.progress.step} policy=v{self.policy.version} "
+                f"inflight_groups={len(self.inflight)} "
+                f"permits_free={self._permits._value} "
+                f"eval_permits_free={self._eval_permits._value} "
+                f"batch_buffer={len(self.completed_rollouts)}/{self.config.batch_size} "
+                f"rollouts_total={self.progress.total_rollouts} "
+                f"tokens_total={self.progress.total_tokens}"
+            )
 
     async def _scrape_engine_metrics(self) -> dict:
         """Roll up each engine's Prometheus counters into the step record
@@ -524,6 +602,7 @@ class Orchestrator:
 
         await self.setup()
         watcher = asyncio.create_task(self._watch_weights())
+        pipeline_view = asyncio.create_task(self._pipeline_view())
         self.lag_monitor = EventLoopLagMonitor().start()
         cfg = self.config
         try:
@@ -561,6 +640,7 @@ class Orchestrator:
         finally:
             self._stop = True
             watcher.cancel()
+            pipeline_view.cancel()
             for g in self.inflight:
                 for t in g.tasks:
                     t.cancel()

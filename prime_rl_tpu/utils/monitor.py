@@ -49,6 +49,21 @@ class FileMonitor(Monitor):
     def log_samples(self, samples: list[dict], step: int | None = None) -> None:
         self.log({"samples": samples}, step)
 
+    def log_distributions(self, dists: dict[str, list[float]], step: int | None = None) -> None:
+        import numpy as np
+
+        summary = {}
+        for name, vals in dists.items():
+            if not len(vals):
+                continue
+            arr = np.asarray(vals, np.float64)
+            summary[f"{name}/p05"], summary[f"{name}/p50"], summary[f"{name}/p95"] = (
+                float(np.percentile(arr, 5)), float(np.percentile(arr, 50)),
+                float(np.percentile(arr, 95)))
+            summary[f"{name}/mean"] = float(arr.mean())
+        if summary:
+            self.log(summary, step)
+
     def finalize(self) -> None:
         self._fh.close()
 
@@ -68,6 +83,22 @@ class WandbMonitor(Monitor):
     def log(self, metrics: dict[str, Any], step: int | None = None) -> None:
         self.wandb.log(metrics, step=step)
 
+    def log_samples(self, samples: list[dict], step: int | None = None) -> None:
+        """Rollout transcript table (reference: utils/monitor/wandb.py:46-347
+        sample tables)."""
+        if not samples:
+            return
+        cols = sorted({k for s in samples for k in s})
+        table = self.wandb.Table(columns=cols)
+        for s in samples:
+            table.add_data(*[s.get(c) for c in cols])
+        self.wandb.log({"samples": table}, step=step)
+
+    def log_distributions(self, dists: dict[str, list[float]], step: int | None = None) -> None:
+        payload = {name: self.wandb.Histogram(vals) for name, vals in dists.items() if len(vals)}
+        if payload:
+            self.wandb.log(payload, step=step)
+
     def finalize(self) -> None:
         self.run.finish()
 
@@ -83,6 +114,10 @@ class MultiMonitor(Monitor):
     def log_samples(self, samples: list[dict], step: int | None = None) -> None:
         for m in self.monitors:
             m.log_samples(samples, step)
+
+    def log_distributions(self, dists: dict[str, list[float]], step: int | None = None) -> None:
+        for m in self.monitors:
+            m.log_distributions(dists, step)
 
     def finalize(self) -> None:
         for m in self.monitors:
