@@ -30,6 +30,12 @@ def main() -> None:
     p.add_argument("--micro-batch-rows", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=32, help="decode: concurrent slots")
     p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
+    p.add_argument("--remat", default=None,
+                   help="activation-checkpoint mode: none|full|save_attn|offload_attn|selective")
+    p.add_argument("--offload-optimizer", action="store_true",
+                   help="park optimizer state in host memory (long-context)")
+    p.add_argument("--block-q", type=int, default=None)
+    p.add_argument("--block-kv", type=int, default=None)
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
@@ -56,11 +62,23 @@ def main() -> None:
     cfg = TrainerConfig()
     cfg.model.name = args.model
     cfg.model.seq_len = args.seq_len
+    if args.remat:
+        cfg.model.ac.mode = args.remat
+    if args.block_q:
+        cfg.model.attn.block_q = args.block_q
+    if args.block_kv:
+        cfg.model.attn.block_kv = args.block_kv
     spec = get_spec(args.model)
 
     optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
-    state = init_train_state(spec, mesh_info, optimizer, seed=0)
-    train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info)
+    state = init_train_state(spec, mesh_info, optimizer, seed=0,
+                             offload_optimizer=args.offload_optimizer)
+    state_out_shardings = (
+        __import__("jax").tree.map(lambda x: x.sharding, state)
+        if args.offload_optimizer else None
+    )
+    train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
+                                 state_out_shardings=state_out_shardings)
 
     loader = FakeDataLoader(
         spec.vocab_size, args.seq_len,

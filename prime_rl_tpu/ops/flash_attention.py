@@ -167,14 +167,16 @@ def _kvseg_index_map(block_q, block_kv, window, nkv_total):
     return index_map
 
 
-def _fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks, block_q, block_kv):
+def _fwd(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks, block_q, block_kv):
     b, nh, l, d = q.shape
+    lkv = k.shape[2]
     nkv_heads = k.shape[1]
     group = nh // nkv_heads
     nq = pl.cdiv(l, block_q)
-    nkv = pl.cdiv(l, block_kv)
-    nband = _band_blocks(l, block_q, block_kv, window)
-    seg3 = segment_ids[:, None, :]  # [B, 1, L] so (sublane, lane) tiling rules hold
+    nkv = pl.cdiv(lkv, block_kv)
+    nband = _band_blocks(lkv, block_q, block_kv, window) if l == lkv else nkv
+    seg3q = seg_q[:, None, :]  # [B, 1, L] so (sublane, lane) tiling rules hold
+    seg3kv = seg_kv[:, None, :]
 
     grid = (b, nh, nq, nband)
     out, lse = pl.pallas_call(
@@ -205,7 +207,7 @@ def _fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks, block_q,
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seg3, seg3, q, k, v, sinks)
+    )(seg3q, seg3kv, q, k, v, sinks)
     return out, lse
 
 
@@ -338,22 +340,29 @@ def _bwd_dkv_kernel(
 
 
 def _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
-    q, k, v, sinks, segment_ids, out, lse = res
-    do, _ = g  # grad wrt (out, lse); lse grad unused
+    q, k, v, sinks, seg_q, seg_kv, out, lse = res
+    do, dlse = g  # cotangents wrt (out, lse)
     b, nh, l, d = q.shape
+    lkv = k.shape[2]
     nkv_heads = k.shape[1]
     group = nh // nkv_heads
     # the backward's per-block working set is ~2x the forward's (p AND ds in
     # f32); kv blocks beyond 512 spill VMEM and regress
     block_kv = min(block_kv, 512)
     nq = pl.cdiv(l, block_q)
-    nkv = pl.cdiv(l, block_kv)
-    nband_kv = _band_blocks(l, block_q, block_kv, window)
+    nkv = pl.cdiv(lkv, block_kv)
+    nband_kv = (_band_blocks(lkv, block_q, block_kv, window) if l == lkv else nkv)
     # transpose band: q blocks reaching one kv block
-    nband_q = nq if window <= 0 else min(nq, pl.cdiv(block_kv + window - 1, block_q) + 1)
+    nband_q = nq if window <= 0 or l != lkv else min(
+        nq, pl.cdiv(block_kv + window - 1, block_q) + 1)
 
     delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)[:, :, None, :]  # [B, H, 1, L]
-    seg3 = segment_ids[:, None, :]
+    # an lse cotangent folds into delta: ds = p * (dp - delta + dlse)
+    # (d lse / d s_j = p_j), so delta' = delta - dlse
+    if dlse is not None and not isinstance(dlse, jax.custom_derivatives.SymbolicZero):
+        delta = delta - dlse.astype(jnp.float32).reshape(delta.shape)
+    seg3q = seg_q[:, None, :]
+    seg3kv = seg_kv[:, None, :]
 
     dq = pl.pallas_call(
         functools.partial(
@@ -375,7 +384,7 @@ def _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
         out_shape=jax.ShapeDtypeStruct((b, nh, l, d), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
         interpret=_interpret(),
-    )(seg3, seg3, q, k, v, do, lse, delta)
+    )(seg3q, seg3kv, q, k, v, do, lse, delta)
 
     def _q_index_map(block_dims):
         def index_map(bi, h, j, i):
@@ -414,15 +423,15 @@ def _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
             pl.BlockSpec((1, 1, block_kv, d), lambda bi, h, j, i: (bi, h, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nkv_heads, l, d), k.dtype),
-            jax.ShapeDtypeStruct((b, nkv_heads, l, d), v.dtype),
+            jax.ShapeDtypeStruct((b, nkv_heads, lkv, d), k.dtype),
+            jax.ShapeDtypeStruct((b, nkv_heads, lkv, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_kv, d), jnp.float32),
             pltpu.VMEM((block_kv, d), jnp.float32),
         ],
         interpret=_interpret(),
-    )(seg3, seg3, q, k, v, do, lse, delta)
+    )(seg3q, seg3kv, q, k, v, do, lse, delta)
 
     if has_sinks:
         # dsink_h = -sum_q p_sink(q) * delta(q) with p_sink = exp(sink - lse);
@@ -435,30 +444,31 @@ def _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
         dsinks = dsinks.astype(sinks.dtype)
     else:
         dsinks = jnp.zeros_like(sinks)
-    return dq, dk, dv, dsinks, None
+    return dq, dk, dv, dsinks, None, None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _flash(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks, block_q, block_kv):
-    out, _ = _fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks,
-                  block_q, block_kv)
-    return out
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks,
+           block_q, block_kv):
+    return _fwd(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks,
+                block_q, block_kv)
 
 
-def _flash_fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks,
+def _flash_fwd(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks,
                block_q, block_kv):
     from jax.ad_checkpoint import checkpoint_name
 
-    out, lse = _fwd(q, k, v, sinks, segment_ids, causal, scale, window, has_sinks,
+    out, lse = _fwd(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks,
                     block_q, block_kv)
     # named so the "save_attn" remat policy can keep the kernel outputs and
     # skip re-running the forward flash kernel during the backward pass
-    return out, (q, k, v, sinks, segment_ids,
-                 checkpoint_name(out, "attn_out"), checkpoint_name(lse, "attn_lse"))
+    out = checkpoint_name(out, "attn_out")
+    lse = checkpoint_name(lse, "attn_lse")
+    return (out, lse), (q, k, v, sinks, seg_q, seg_kv, out, lse)
 
 
 def _flash_bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
-    return _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, (g, None))
+    return _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -498,6 +508,40 @@ def flash_attention(
     nh = q.shape[2]
     sinks_arr = (jnp.zeros((nh, 1), jnp.float32) if sinks is None
                  else sinks.astype(jnp.float32).reshape(nh, 1))
-    out = _flash(qt, kt, vt, sinks_arr, segment_ids, causal, float(scale),
-                 int(window), has_sinks, block_q, block_kv)
+    out, _ = _flash(qt, kt, vt, sinks_arr, segment_ids, segment_ids, causal,
+                    float(scale), int(window), has_sinks, block_q, block_kv)
     return jnp.swapaxes(out, 1, 2)
+
+
+def flash_attention_with_lse(
+    q: jax.Array,  # [B, Lq, NH, HD]
+    k: jax.Array,  # [B, Lkv, NKV, HD]
+    v: jax.Array,  # [B, Lkv, NKV, HD]
+    seg_q: jax.Array,  # [B, Lq]
+    seg_kv: jax.Array,  # [B, Lkv]
+    causal: bool = False,
+    scale: float | None = None,
+    block_q: int = 512,
+    block_kv: int = 512,
+) -> tuple[jax.Array, jax.Array]:
+    """Cross-block flash attention returning (out [B, Lq, NH, HD],
+    lse [B, NH, Lq]) — the ring-attention inner kernel: partials from
+    different KV blocks merge exactly via their lse, and the custom VJP
+    folds the lse cotangent into delta so gradients flow through the merge
+    (reference: models/layers/ring_attn.py role). ``causal`` only makes
+    sense for the diagonal block (Lq == Lkv, same global offsets)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    lq, lkv = q.shape[1], k.shape[1]
+    block_q = min(block_q, lq)
+    block_kv = min(block_kv, lkv)
+    if lq % block_q or lkv % block_kv:
+        raise ValueError(f"lengths ({lq}, {lkv}) must divide blocks ({block_q}, {block_kv})")
+    qt = jnp.swapaxes(q, 1, 2)
+    kt = jnp.swapaxes(k, 1, 2)
+    vt = jnp.swapaxes(v, 1, 2)
+    nh = q.shape[2]
+    sinks_arr = jnp.zeros((nh, 1), jnp.float32)
+    out, lse = _flash(qt, kt, vt, sinks_arr, seg_q, seg_kv, causal,
+                      float(scale), 0, False, block_q, block_kv)
+    return jnp.swapaxes(out, 1, 2), lse[:, :, 0, :]

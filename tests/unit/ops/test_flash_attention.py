@@ -135,3 +135,42 @@ def test_windowed_gradients_match_xla():
     for a, b_, name in zip(gf, gx, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4,
                                    err_msg=f"d{name}")
+
+
+def test_with_lse_split_merge_matches_full():
+    """Ring-attention inner contract: attending two KV halves separately and
+    merging by lse equals full attention — forward and GRADIENTS (the lse
+    cotangent path through the custom VJP)."""
+    from prime_rl_tpu.ops.flash_attention import flash_attention_with_lse
+
+    rng = np.random.default_rng(6)
+    b, l, nh, nkv, d = 1, 64, 2, 1, 16
+    q, k, v = rand_qkv(rng, b, l, nh, nkv, d)
+    seg = jnp.asarray(make_segment_ids([40, 24], l))[None]
+    dout = jnp.asarray(rng.normal(size=(b, l, nh, d)).astype(np.float32))
+
+    def merged(q, k, v):
+        h = l // 2
+        # q attends [first half] and [second half] of kv separately, merged
+        o1, lse1 = flash_attention_with_lse(q, k[:, :h], v[:, :h], seg, seg[:, :h],
+                                            causal=False, block_q=16, block_kv=16)
+        o2, lse2 = flash_attention_with_lse(q, k[:, h:], v[:, h:], seg, seg[:, h:],
+                                            causal=False, block_q=16, block_kv=16)
+        m = jnp.maximum(lse1, lse2)
+        w1 = jnp.exp(lse1 - m)
+        w2 = jnp.exp(lse2 - m)
+        den = w1 + w2
+        o = (o1 * jnp.swapaxes(w1 / den, 1, 2)[..., None]
+             + o2 * jnp.swapaxes(w2 / den, 1, 2)[..., None])
+        return jnp.sum(o * dout)
+
+    def full(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, seg, seg, causal=False) * dout)
+
+    np.testing.assert_allclose(float(merged(q, k, v)), float(full(q, k, v)),
+                               rtol=1e-4)
+    gm = jax.grad(merged, argnums=(0, 1, 2))(q, k, v)
+    gf = jax.grad(full, argnums=(0, 1, 2))(q, k, v)
+    for a, b_, name in zip(gm, gf, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-4,
+                                   atol=2e-4, err_msg=f"d{name}")
