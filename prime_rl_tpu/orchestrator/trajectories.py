@@ -21,18 +21,31 @@ def trace_to_sample(trace: Trace, env_name: str) -> TrainingSample:
     )
 
 
+def _common_prefix_len(a: np.ndarray, b: np.ndarray) -> int:
+    n = min(len(a), len(b))
+    if n == 0:
+        return 0
+    neq = a[:n] != b[:n]
+    return int(np.argmax(neq)) if neq.any() else n
+
+
 def episode_to_samples(episode: Episode, env_name: str) -> list[TrainingSample]:
-    """All trainable branches, with shared-sampled-prefix dedup."""
+    """All trainable branches, with fork-node dedup: traces are root-to-leaf
+    paths of the branching tree, so any node shared between two branches is
+    exactly their flat-stream common prefix — each new branch masks out its
+    LONGEST common prefix with every earlier branch, so every sampled node
+    trains once no matter where the fork happened
+    (reference: trajectories.py:69-89 message-graph node dedup)."""
     samples = []
-    seen_prefixes: list[tuple[int, ...]] = []
+    seen: list[np.ndarray] = []
     for trace in episode.traces:
         sample = trace_to_sample(trace, env_name)
-        ids = tuple(trace.token_ids)
-        for prev in seen_prefixes:
-            if len(prev) <= len(ids) and ids[: len(prev)] == prev:
-                # shared prefix already trained by an earlier branch
-                sample.mask[: len(prev)] = False
-                break
-        seen_prefixes.append(ids)
+        ids = np.asarray(trace.token_ids, np.int64)
+        shared = 0
+        for prev in seen:
+            shared = max(shared, _common_prefix_len(prev, ids))
+        if shared:
+            sample.mask[:shared] = False
+        seen.append(ids)
         samples.append(sample)
     return samples

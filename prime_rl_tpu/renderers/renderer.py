@@ -156,9 +156,193 @@ class TraceBuilder:
         )
 
 
+@dataclass(frozen=True)
+class TemplateSpec:
+    """One chat-template family as exact glue strings. Hand-coding the glue
+    (instead of re-running apply_chat_template over the whole history) gives
+    the extension property BY CONSTRUCTION — no thinking-stripping or
+    retokenization drift can rewrite earlier turns (reference: hand-coded
+    renderers for qwen3/glm/gpt-oss/deepseek/kimi/llama families,
+    docs/algorithms.md:482-550)."""
+
+    prefix: dict[str, str]  # role -> turn opening ("*" = default)
+    suffix: dict[str, str]  # role -> turn closing
+    generation_prompt: str  # opens the next assistant turn
+    bos: str = ""
+    think_open: str = "<think>"
+    think_close: str = "</think>"
+    tool_open: str = "<tool_call>"
+    tool_close: str = "</tool_call>"
+
+    def turn_prefix(self, role: str) -> str:
+        return self.prefix.get(role, self.prefix["*"]).format(role=role)
+
+    def turn_suffix(self, role: str) -> str:
+        return self.suffix.get(role, self.suffix["*"]).format(role=role)
+
+
+TEMPLATE_FAMILIES: dict[str, TemplateSpec] = {
+    # ChatML: Qwen3 / debug / minimax-class templates
+    "chatml": TemplateSpec(
+        prefix={"*": "<|im_start|>{role}\n"},
+        suffix={"*": "<|im_end|>\n"},
+        generation_prompt="<|im_start|>assistant\n",
+    ),
+    "llama3": TemplateSpec(
+        prefix={"*": "<|start_header_id|>{role}<|end_header_id|>\n\n"},
+        suffix={"*": "<|eot_id|>"},
+        generation_prompt="<|start_header_id|>assistant<|end_header_id|>\n\n",
+        bos="<|begin_of_text|>",
+    ),
+    "glm4": TemplateSpec(
+        prefix={"*": "<|{role}|>\n"},
+        suffix={"*": ""},
+        generation_prompt="<|assistant|>\n",
+        bos="[gMASK]<sop>",
+    ),
+    # gpt-oss harmony (final channel; analysis channels are parsed as thinking)
+    "gpt_oss": TemplateSpec(
+        prefix={"*": "<|start|>{role}<|message|>",
+                "assistant": "<|start|>assistant<|channel|>final<|message|>"},
+        suffix={"*": "<|end|>"},
+        generation_prompt="<|start|>assistant<|channel|>final<|message|>",
+        think_open="<|channel|>analysis<|message|>",
+        think_close="<|end|>",
+    ),
+    "deepseek3": TemplateSpec(
+        prefix={"user": "<｜User｜>", "assistant": "<｜Assistant｜>", "*": ""},
+        suffix={"assistant": "<｜end▁of▁sentence｜>", "*": ""},
+        generation_prompt="<｜Assistant｜>",
+        bos="<｜begin▁of▁sentence｜>",
+    ),
+    "kimi_k2": TemplateSpec(
+        prefix={"*": "<|im_user|>{role}<|im_middle|>",
+                "assistant": "<|im_assistant|>assistant<|im_middle|>",
+                "system": "<|im_system|>system<|im_middle|>"},
+        suffix={"*": "<|im_end|>"},
+        generation_prompt="<|im_assistant|>assistant<|im_middle|>",
+    ),
+}
+
+
+class TemplateRenderer(Renderer):
+    """Template-glue renderer over any tokenizer: earlier turns are NEVER
+    re-rendered (the glue is appended around verbatim spans), so the
+    extension property holds by construction."""
+
+    def __init__(self, spec: TemplateSpec, tokenizer=None):
+        self.spec = spec
+        self.tokenizer = tokenizer or ByteTokenizer()
+
+    def _encode(self, text: str) -> list[int]:
+        try:
+            return list(self.tokenizer.encode(text, add_special_tokens=False))
+        except TypeError:
+            return list(self.tokenizer.encode(text))
+
+    def _message_text(self, m: dict) -> str:
+        parts = []
+        if m.get("reasoning_content"):
+            parts.append(f"{self.spec.think_open}{m['reasoning_content']}{self.spec.think_close}")
+        parts.append(m.get("content") or "")
+        for call in m.get("tool_calls") or []:
+            import json
+
+            fn = call.get("function", call)
+            parts.append(f"{self.spec.tool_open}"
+                         f"{json.dumps({'name': fn.get('name'), 'arguments': fn.get('arguments')})}"
+                         f"{self.spec.tool_close}")
+        return "".join(parts)
+
+    def render_ids(self, messages: list[dict], add_generation_prompt: bool = True) -> list[int]:
+        text = self.spec.bos
+        for m in messages:
+            role = m.get("role", "user")
+            text += (self.spec.turn_prefix(role) + self._message_text(m)
+                     + self.spec.turn_suffix(role))
+        if add_generation_prompt:
+            text += self.spec.generation_prompt
+        return self._encode(text)
+
+    def parse_response(self, token_ids: list[int]) -> dict:
+        ids = list(token_ids)
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if ids and ids[-1] == eos:
+            ids = ids[:-1]
+        text = self.tokenizer.decode(ids)
+        suffix = self.spec.turn_suffix("assistant")
+        if suffix and text.endswith(suffix):
+            text = text[: -len(suffix)]
+        out: dict[str, Any] = {"role": "assistant"}
+        if self.spec.think_open in text and self.spec.think_close in text:
+            start = text.index(self.spec.think_open) + len(self.spec.think_open)
+            end = text.index(self.spec.think_close, start)
+            out["reasoning_content"] = text[start:end]
+            text = text[:start - len(self.spec.think_open)] + text[end + len(self.spec.think_close):]
+        tool_calls = []
+        while self.spec.tool_open in text and self.spec.tool_close in text:
+            import json
+
+            start = text.index(self.spec.tool_open)
+            end = text.index(self.spec.tool_close, start)
+            blob = text[start + len(self.spec.tool_open):end]
+            try:
+                parsed = json.loads(blob)
+                tool_calls.append({"type": "function", "function": parsed})
+            except json.JSONDecodeError:
+                pass
+            text = text[:start] + text[end + len(self.spec.tool_close):]
+        if tool_calls:
+            out["tool_calls"] = tool_calls
+        out["content"] = text
+        return out
+
+    def continuation_ids(
+        self,
+        new_messages: list[dict],
+        add_generation_prompt: bool = True,
+        after_completion: bool = False,
+        completion_terminated: bool = True,
+    ) -> list[int]:
+        """Glue + new turns ONLY — prior turns stay verbatim in the stream."""
+        text = ""
+        if after_completion and not completion_terminated:
+            text += self.spec.turn_suffix("assistant")  # close the truncated turn
+        for m in new_messages:
+            role = m.get("role", "user")
+            text += (self.spec.turn_prefix(role) + self._message_text(m)
+                     + self.spec.turn_suffix(role))
+        if add_generation_prompt:
+            text += self.spec.generation_prompt
+        ids = self._encode(text)
+        if after_completion and completion_terminated:
+            # the eos the engine sampled doubles as the turn close for
+            # eos==turn-suffix templates; others prepend their suffix above
+            pass
+        return ids
+
+
+def detect_family(tokenizer) -> str:
+    """Best-effort template-family detection from the tokenizer
+    (reference: renderer name="auto")."""
+    name = (getattr(tokenizer, "name_or_path", "") or "").lower()
+    for key, fam in (("qwen", "chatml"), ("llama", "llama3"), ("glm", "glm4"),
+                     ("gpt-oss", "gpt_oss"), ("gpt_oss", "gpt_oss"),
+                     ("deepseek", "deepseek3"), ("kimi", "kimi_k2")):
+        if key in name:
+            return fam
+    return "chatml"
+
+
 def create_renderer(tokenizer=None, family: str = "chatml") -> Renderer:
-    """Registry entry point (reference: create_renderer). Qwen3/debug are
-    ChatML; other families register here as they land."""
+    """Registry entry point (reference: create_renderer + hand-coded renderer
+    table, docs/algorithms.md:482-550)."""
+    if family == "auto":
+        family = detect_family(tokenizer)
     if family in ("chatml", "qwen3", "byte", "debug"):
         return ChatMLRenderer(tokenizer)
-    raise ValueError(f"no renderer for family {family!r}")
+    spec = TEMPLATE_FAMILIES.get(family)
+    if spec is None:
+        raise ValueError(
+            f"no renderer for family {family!r} (have {sorted(TEMPLATE_FAMILIES)})")
+    return TemplateRenderer(spec, tokenizer)

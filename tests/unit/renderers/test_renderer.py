@@ -85,3 +85,59 @@ def test_create_renderer_registry():
     assert isinstance(create_renderer(family="qwen3"), ChatMLRenderer)
     with pytest.raises(ValueError):
         create_renderer(family="nope")
+
+
+def test_template_families_extension_property():
+    """Every hand-coded family: incremental rendering (continuation_ids around
+    verbatim sampled spans) reconstructs exactly the full render — the
+    invariant importance ratios depend on (reference: docs/algorithms.md
+    renderers section)."""
+    from prime_rl_tpu.renderers.renderer import TEMPLATE_FAMILIES, TemplateRenderer
+    from prime_rl_tpu.renderers.tokenizer import ByteTokenizer
+
+    for family, spec in TEMPLATE_FAMILIES.items():
+        r = TemplateRenderer(spec, ByteTokenizer())
+        msgs1 = [{"role": "system", "content": "be good"},
+                 {"role": "user", "content": "hi"}]
+        prompt = r.render_ids(msgs1, add_generation_prompt=True)
+        completion_text = "hello there"
+        completion = r.tokenizer.encode(completion_text) + r.tokenizer.encode(
+            r.spec.turn_suffix("assistant"))
+        msgs2 = msgs1 + [{"role": "assistant", "content": completion_text},
+                         {"role": "user", "content": "more"}]
+        glue = r.continuation_ids([{"role": "user", "content": "more"}],
+                                  add_generation_prompt=True,
+                                  after_completion=True, completion_terminated=True)
+        incremental = prompt + completion + glue
+        full = r.render_ids(msgs2, add_generation_prompt=True)
+        assert incremental == full, family
+
+
+def test_template_parse_think_and_tools():
+    from prime_rl_tpu.renderers.renderer import create_renderer
+    from prime_rl_tpu.renderers.tokenizer import ByteTokenizer
+
+    r = create_renderer(ByteTokenizer(), "llama3")
+    text = ('<think>let me think</think>I will call a tool'
+            '<tool_call>{"name": "add", "arguments": {"a": 1}}</tool_call>')
+    msg = r.parse_response(r.tokenizer.encode(text))
+    assert msg["reasoning_content"] == "let me think"
+    assert msg["content"] == "I will call a tool"
+    assert msg["tool_calls"][0]["function"]["name"] == "add"
+
+
+def test_auto_family_detection():
+    from prime_rl_tpu.renderers.renderer import detect_family
+
+    class Tok:
+        name_or_path = ""
+
+    for name, fam in (("Qwen/Qwen3-0.6B", "chatml"),
+                      ("meta-llama/Llama-3.1-8B", "llama3"),
+                      ("zai-org/GLM-4.5-Air", "glm4"),
+                      ("openai/gpt-oss-20b", "gpt_oss"),
+                      ("deepseek-ai/DeepSeek-V3", "deepseek3"),
+                      ("moonshotai/Kimi-K2", "kimi_k2")):
+        t = Tok()
+        t.name_or_path = name
+        assert detect_family(t) == fam, name
