@@ -71,6 +71,55 @@ def _resolve_resume(config: RLConfig, output_dir: Path) -> None:
     print(f"resuming both processes from step {step}")
 
 
+def _deploy(config: RLConfig, cfg_dir: Path, rl_toml: Path, output_dir: Path) -> int:
+    """Render a cluster launch artifact from the built-in (or user) template
+    and optionally submit it (reference: entrypoints/rl.py:421-615 SLURM
+    templating; TPU-pod/GKE variants under prime_rl_tpu/templates/)."""
+    import shutil
+
+    from jinja2 import Environment, FileSystemLoader
+
+    d = config.deploy
+    builtin = Path(__file__).resolve().parents[1] / "templates"
+    names = {"slurm_single": "single_host_rl.sbatch.j2",
+             "slurm_multi": "multi_host_rl.sbatch.j2",
+             "gke": "gke_rl.yaml.j2"}
+    if d.template:
+        tpath = Path(d.template)
+    else:
+        if d.type not in names:
+            raise ValueError(f"unknown deploy type {d.type!r} (have {sorted(names)})")
+        tpath = builtin / names[d.type]
+    env = Environment(loader=FileSystemLoader(tpath.parent), keep_trailing_newline=True)
+    script = env.get_template(tpath.name).render(
+        job_name=d.job_name, partition=d.partition, time_limit=d.time_limit,
+        output_dir=str(output_dir), workdir=str(Path.cwd()), python=sys.executable,
+        config_path=str(rl_toml), config_dir=str(cfg_dir),
+        trainer_hosts=d.trainer_hosts, sampler_hosts=d.sampler_hosts,
+        coordinator_port=d.coordinator_port, image=d.image,
+        trainer_tpu_type=d.trainer_tpu_type, trainer_topology=d.trainer_topology,
+        sampler_tpu_type=d.sampler_tpu_type, chips_per_host=d.chips_per_host,
+        env_vars=d.env_vars,
+    )
+    suffix = ".yaml" if d.type == "gke" else ".sbatch"
+    out = output_dir / "deploy" / f"{d.job_name}{suffix}"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(script)
+    print(f"deploy artifact written to {out}")
+    if d.submit:
+        if d.type == "gke":
+            print("submit gke jobs with: kubectl apply -f", out)
+            return 0
+        sbatch = shutil.which("sbatch")
+        if sbatch is None:
+            print("sbatch not found on this host; submit manually")
+            return 1
+        import subprocess as sp
+
+        return sp.run([sbatch, str(out)]).returncode
+    return 0
+
+
 def rl(config: RLConfig) -> int:
     output_dir = Path(config.output_dir)
     if config.trainer.ckpt.resume_step is not None:
@@ -99,6 +148,9 @@ def rl(config: RLConfig) -> int:
     orch_toml = _write_subconfig(config.orchestrator, cfg_dir / "orchestrator.toml")
     inf_toml = _write_subconfig(config.inference, cfg_dir / "inference.toml")
     rl_toml = _write_subconfig(config, cfg_dir / "rl_resolved.toml")
+
+    if config.deploy is not None:
+        return _deploy(config, cfg_dir, rl_toml, output_dir)
 
     if config.dry_run:
         print(f"resolved configs written to {cfg_dir}")
