@@ -135,6 +135,12 @@ class ModelConfig(BaseConfig):
     # (reference: models/layers/lm_head.py). 0 disables chunking.
     lm_head_chunk_size: int = 1024
     seq_len: int = 4096
+    # MoE switch-style load-balance auxiliary loss coefficient (0 = monitor
+    # only; reference: models/layers/moe.py load_balance_coeff)
+    moe_aux_coef: float = 0.0
+    # freeze parameters whose path matches any of these regexes (grads
+    # zeroed; reference: trainer/model.py freeze helpers)
+    freeze: list[str] = Field(default_factory=list)
 
 
 class TokenizerConfig(BaseConfig):

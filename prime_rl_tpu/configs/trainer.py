@@ -202,6 +202,9 @@ class SFTDataConfig(BaseConfig):
     type: Literal["hf", "fake"] = "fake"
     name: str | None = None  # HF dataset name
     split: str = "train"
+    # weighted subset interleaving (reference: sft/data.py ratios): when
+    # non-empty, examples mix across subsets by ratio
+    subsets: list["SFTSubsetConfig"] = Field(default_factory=list)
     # prompt/completion column format or messages format
     format: Literal["prompt_completion", "messages"] = "messages"
     seq_len: int = 4096
@@ -211,6 +214,13 @@ class SFTDataConfig(BaseConfig):
     fake_vocab: int = 2048  # for fake datasets
     seed: int = 0
     loss_mask: Literal["all", "assistant"] = "assistant"
+
+
+class SFTSubsetConfig(BaseConfig):
+    name: str
+    split: str = "train"
+    format: Literal["prompt_completion", "messages"] = "messages"
+    ratio: float = 1.0
 
 
 class SFTValConfig(BaseConfig):

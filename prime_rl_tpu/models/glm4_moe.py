@@ -68,14 +68,14 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     return base
 
 
-def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype) -> jax.Array:
-    """Routed experts + shared experts, post-attention."""
+def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
+    """Routed experts + shared experts, post-attention. Returns (h, aux)."""
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
                 else v)
             for k, v in lp.items()}
     x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
-    out, _ = moe_mlp(
+    out, routing = moe_mlp(
         x.reshape(b * l, d),
         lp["router"],  # router math stays f32
         cast["expert_gate"], cast["expert_up"], cast["expert_down"],
@@ -90,7 +90,7 @@ def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype) -> jax
         out = out + jnp.dot(
             swiglu(jnp.dot(x, cast["shared_gate"]), jnp.dot(x, cast["shared_up"])),
             cast["shared_down"])
-    return h + out
+    return h + out, routing.load_balance_loss
 
 
 def forward(
@@ -108,7 +108,8 @@ def forward(
     lora=None,
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
-) -> jax.Array:
+    collect_aux: bool = False,
+):
     if lora is not None:
         raise NotImplementedError("glm4_moe LoRA: round 3")
     inv_freq, rope_scaling = rope_setup(spec)
@@ -130,9 +131,11 @@ def forward(
         return h + jnp.dot(swiglu(jnp.dot(x, cast["gate"]), jnp.dot(x, cast["up"])),
                            cast["down"])
 
-    def moe_block(h, lp):
+    def moe_block(carry, lp):
+        h, aux = carry
         h = attn(h, lp)
-        return glm_moe_block(h, lp, spec, compute_dtype)
+        h, lb = glm_moe_block(h, lp, spec, compute_dtype)
+        return h, aux + lb
 
     def wrap(fn):
         if remat == "full":
@@ -154,8 +157,10 @@ def forward(
     k_dense = spec.first_k_dense_replace
     for i in range(k_dense):
         h = dense_block(h, jax.tree.map(lambda x: x[i], params["dense_layers"]))
-    h, _ = jax.lax.scan(lambda h, lp: (moe_block(h, lp), None), h, params["layers"])
-    return rms_norm(h, params["final_norm"], spec.rms_eps)
+    (h, aux), _ = jax.lax.scan(lambda c, lp: (moe_block(c, lp), None),
+                               (h, jnp.float32(0.0)), params["layers"])
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    return (h, aux) if collect_aux else h
 
 
 get_lm_head = qwen3.get_lm_head

@@ -53,13 +53,13 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     return base
 
 
-def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype) -> jax.Array:
+def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
                 and not k.endswith("_bias") else v)
             for k, v in lp.items()}
     x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
-    out, _ = moe_mlp(
+    out, routing = moe_mlp(
         x.reshape(b * l, d),
         lp["router"],  # router math stays f32
         cast["expert_gate"], cast["expert_up"], cast["expert_down"],
@@ -70,7 +70,7 @@ def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype) -> jax.Arr
         softmax_topk=spec.router_softmax_topk,
         activation_alpha=spec.swiglu_alpha, activation_limit=spec.swiglu_limit,
     )
-    return h + out.reshape(b, l, d)
+    return h + out.reshape(b, l, d), routing.load_balance_loss
 
 
 def forward(
@@ -88,7 +88,8 @@ def forward(
     lora=None,
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
-) -> jax.Array:
+    collect_aux: bool = False,
+):
     if lora is not None:
         raise NotImplementedError("gpt_oss LoRA: adapters target dense projections only")
     inv_freq, rope_scaling = rope_setup(spec)
@@ -96,13 +97,15 @@ def forward(
     h = jnp.take(embed, input_ids, axis=0)
     win_list = layer_windows_list(spec)
 
-    def _block_impl(h, lp, window: int):
+    def _block_impl(carry, lp, window: int):
+        h, aux = carry
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
                               attn_impl, block_q, block_kv, mesh, None, lora_scale,
                               cp_style, window, rope_scaling)
-        return moe_block(h, lp, spec, compute_dtype)
+        h, lb = moe_block(h, lp, spec, compute_dtype)
+        return h, aux + lb
 
     def wrap(fn):
         if remat == "full":
@@ -137,13 +140,14 @@ def forward(
 
     layers_g = jax.tree.map(regroup, params["layers"])
 
-    def super_block(h, lp_g):
+    def super_block(carry, lp_g):
         for i in range(period):
-            h = blocks[i](h, jax.tree.map(lambda x: x[i], lp_g))
-        return h, None
+            carry = blocks[i](carry, jax.tree.map(lambda x: x[i], lp_g))
+        return carry, None
 
-    h, _ = jax.lax.scan(super_block, h, layers_g)
-    return rms_norm(h, params["final_norm"], spec.rms_eps)
+    (h, aux), _ = jax.lax.scan(super_block, (h, jnp.float32(0.0)), layers_g)
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    return (h, aux) if collect_aux else h
 
 
 get_lm_head = qwen3.get_lm_head

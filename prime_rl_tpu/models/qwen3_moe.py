@@ -66,26 +66,31 @@ def forward(
     lora=None,
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
-) -> jax.Array:
-    """Token ids -> final normed hidden states [B, L, D]."""
+    collect_aux: bool = False,
+):
+    """Token ids -> final normed hidden states [B, L, D]. With
+    ``collect_aux``: (hidden, load-balance aux loss summed over layers) —
+    the training hookup for the switch-style balance term
+    (reference: models/layers/moe.py load_balance_coeff)."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
     b, l, d = h.shape
 
-    def block(h, lp):
+    def block(carry, lp):
+        h, aux = carry
         cast = {k: (v.astype(compute_dtype) if v.ndim >= 2 and k != "router" else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
                               attn_impl, block_q, block_kv, mesh, lora, lora_scale, cp_style)
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
-        out, _ = moe_mlp(
+        out, routing = moe_mlp(
             x.reshape(b * l, d),
             lp["router"],  # router stays f32
             cast["expert_gate"], cast["expert_up"], cast["expert_down"],
             spec.num_experts_per_tok, spec.norm_topk_prob,
         )
-        return h + out.reshape(b, l, d)
+        return h + out.reshape(b, l, d), aux + routing.load_balance_loss
 
     if remat == "full":
         block = jax.checkpoint(block, prevent_cse=False)
@@ -95,11 +100,12 @@ def forward(
             prevent_cse=False,
         )
 
-    def scan_body(h, lp):
-        return block(h, lp), None
+    def scan_body(carry, lp):
+        return block(carry, lp), None
 
-    h, _ = jax.lax.scan(scan_body, h, params["layers"])
-    return rms_norm(h, params["final_norm"], spec.rms_eps)
+    (h, aux), _ = jax.lax.scan(scan_body, (h, jnp.float32(0.0)), params["layers"])
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    return (h, aux) if collect_aux else h
 
 
 get_lm_head = qwen3.get_lm_head

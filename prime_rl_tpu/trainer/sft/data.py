@@ -95,14 +95,25 @@ class MessagesDataset:
         if config.num_examples:
             self.ds = self.ds.select(range(min(config.num_examples, len(self.ds))))
 
-    def tokenize_messages(self, messages: list[dict]) -> tuple[np.ndarray, np.ndarray]:
+    def tokenize_messages(self, messages: list[dict],
+                          tools: list | None = None) -> tuple[np.ndarray, np.ndarray]:
         tok = self.tokenizer
         prev_ids: list[int] = []
         trainable_flags: list[bool] = []
+        kw = {}
+        if tools:
+            # tools-schema rendering: the template injects the schemas into
+            # the system region (reference: sft/data.py tools columns)
+            kw["tools"] = tools
         for i in range(len(messages)):
             prefix = messages[: i + 1]
             add_gen = False
-            ids = tok.apply_chat_template(prefix, tokenize=True, add_generation_prompt=add_gen)
+            try:
+                ids = tok.apply_chat_template(prefix, tokenize=True,
+                                              add_generation_prompt=add_gen, **kw)
+            except TypeError:  # tokenizer without tools support (ByteTokenizer)
+                ids = tok.apply_chat_template(prefix, tokenize=True,
+                                              add_generation_prompt=add_gen)
             new = ids[len(prev_ids):]
             is_assistant = messages[i].get("role") == "assistant"
             trainable_flags.extend([is_assistant] * len(new))
@@ -114,10 +125,15 @@ class MessagesDataset:
         return ids_arr, mask
 
     def __iter__(self) -> Iterator[TrainingSample]:
+        import json
+
         for epoch in itertools.count():
             ds = self.ds.shuffle(seed=self.config.seed + epoch)
             for ex in ds:
-                ids, mask = self.tokenize_messages(ex["messages"])
+                tools = ex.get("tools")
+                if isinstance(tools, str) and tools:
+                    tools = json.loads(tools)
+                ids, mask = self.tokenize_messages(ex["messages"], tools or None)
                 yield sample_from_tokens(ids, mask)
 
 
@@ -144,11 +160,45 @@ class SFTBatchLoader:
         return batch, token_counts(batch)
 
 
-def setup_sft_loader(config: SFTDataConfig, tokenizer=None) -> SFTBatchLoader:
+class InterleavedDataset:
+    """Weighted mix over subset datasets (reference: sft/data.py subset
+    interleaving with ratios): each example is drawn from subset i with
+    probability ratio_i / sum(ratios), seeded-reproducible."""
+
+    def __init__(self, iterators: list[Iterator[TrainingSample]],
+                 ratios: list[float], seed: int = 0):
+        if len(iterators) != len(ratios):
+            raise ValueError("one ratio per subset")
+        self.iterators = iterators
+        p = np.asarray(ratios, np.float64)
+        self.p = p / p.sum()
+        self.rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[TrainingSample]:
+        while True:
+            i = int(self.rng.choice(len(self.iterators), p=self.p))
+            yield next(self.iterators[i])
+
+
+def _make_dataset(config: SFTDataConfig, tokenizer):
     if config.type == "fake":
-        ds: Any = FakeDataset(config)
-    elif config.format == "prompt_completion":
-        ds = PromptCompletionDataset(config, tokenizer)
-    else:
-        ds = MessagesDataset(config, tokenizer)
-    return SFTBatchLoader(config, iter(ds))
+        return FakeDataset(config)
+    if config.format == "prompt_completion":
+        return PromptCompletionDataset(config, tokenizer)
+    return MessagesDataset(config, tokenizer)
+
+
+def setup_sft_loader(config: SFTDataConfig, tokenizer=None) -> SFTBatchLoader:
+    if config.subsets:
+        from dataclasses import asdict
+
+        iterators, ratios = [], []
+        for i, sub in enumerate(config.subsets):
+            sub_cfg = config.model_copy(update={
+                "name": sub.name, "split": sub.split, "format": sub.format,
+                "subsets": [], "seed": config.seed + i,
+            })
+            iterators.append(iter(_make_dataset(sub_cfg, tokenizer)))
+            ratios.append(sub.ratio)
+        return SFTBatchLoader(config, iter(InterleavedDataset(iterators, ratios, config.seed)))
+    return SFTBatchLoader(config, iter(_make_dataset(config, tokenizer)))

@@ -94,6 +94,9 @@ def model_logprobs(
 
     family = get_family(spec)
     extra = {} if lora is None else {"lora": lora, "lora_scale": lora_scale}
+    collect_aux = spec.is_moe and model_cfg.moe_aux_coef > 0
+    if collect_aux:
+        extra["collect_aux"] = True
     hidden = family.forward(
         params, spec, mb.input_ids, mb.segment_ids, mb.position_ids,
         compute_dtype=jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32,
@@ -105,6 +108,9 @@ def model_logprobs(
         cp_style=model_cfg.cp_style,
         **extra,
     )
+    moe_aux = jnp.float32(0.0)
+    if collect_aux:
+        hidden, moe_aux = hidden
     labels = _shift_left(mb.input_ids, 0)
     # logits at t are scaled by the temperature the *label* token was sampled at
     label_temps = _shift_left(mb.temperatures, 1.0)
@@ -117,7 +123,7 @@ def model_logprobs(
     )
     logprobs = _shift_right(lp_next, jnp.float32(-jnp.log(spec.vocab_size)))
     entropy = _shift_right(ent_next, jnp.float32(jnp.log(spec.vocab_size)))
-    return logprobs, entropy
+    return logprobs, entropy, moe_aux
 
 
 def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: Params | None = None):
@@ -130,12 +136,12 @@ def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: P
         if base_params is not None:
             from prime_rl_tpu.models.lora import lora_scale as _ls
 
-            logprobs, entropy = model_logprobs(
+            logprobs, entropy, moe_aux = model_logprobs(
                 base_params, spec, mb, model_cfg, mesh,
                 lora=params, lora_scale=_ls(model_cfg.lora),
             )
         else:
-            logprobs, entropy = model_logprobs(params, spec, mb, model_cfg, mesh)
+            logprobs, entropy, moe_aux = model_logprobs(params, spec, mb, model_cfg, mesh)
         total, metrics = loss_lib.compute_loss(
             trainer_logprobs=logprobs,
             inference_logprobs=mb.inference_logprobs,
@@ -151,6 +157,11 @@ def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: P
             ref_kl_scale=scales.ref_kl,
         )
         metrics = dict(metrics)
+        if spec.is_moe and model_cfg.moe_aux_coef > 0:
+            # switch-style load-balance term, trained (reference:
+            # models/layers/moe.py load_balance_coeff hookup)
+            total = total + model_cfg.moe_aux_coef * moe_aux
+            metrics["moe_load_balance"] = MaskedStat(total=moe_aux, count=jnp.float32(1.0))
         metrics["entropy"] = loss_lib.masked_stat(entropy, mb.loss_mask)
         metrics["trainer_logprob"] = loss_lib.masked_stat(logprobs, mb.loss_mask)
         return total, metrics
@@ -179,6 +190,24 @@ def make_train_step(
     loss_fn = make_loss_fn(spec, model_cfg, loss_cfg, cp_mesh, base_params)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
+    freeze_pats = None
+    if model_cfg.freeze:
+        import re
+
+        freeze_pats = [re.compile(p) for p in model_cfg.freeze]
+
+    def apply_freeze(grads):
+        """Zero gradients for frozen param paths (reference: trainer/model.py
+        freeze helpers) — trace-time regex match, no runtime cost."""
+        if freeze_pats is None:
+            return grads
+
+        def mask_leaf(path, g):
+            name = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            return jnp.zeros_like(g) if any(p.search(name) for p in freeze_pats) else g
+
+        return jax.tree_util.tree_map_with_path(mask_leaf, grads)
+
     def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
         def accum(carry, mb):
             grads_acc, loss_acc, metrics_acc = carry
@@ -197,6 +226,7 @@ def make_train_step(
         (grads, loss, metrics), _ = jax.lax.scan(
             accum, (zero_grads, jnp.zeros(()), zero_metrics), batch
         )
+        grads = apply_freeze(grads)
         grad_norm = optax.global_norm(grads)
         opt_state_in = state.opt_state
         if state_out_shardings is not None:

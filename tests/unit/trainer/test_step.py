@@ -80,3 +80,46 @@ def test_entropy_metric_reasonable(setup):
     _, metrics = train_step(state, batch, scales)
     ent = float(metrics["entropy"].mean)
     assert 0.0 < ent <= np.log(spec.vocab_size) + 1e-3
+
+
+def test_moe_aux_loss_and_freeze():
+    """MoE load-balance aux joins the loss when moe_aux_coef > 0, and frozen
+    param paths receive zero updates (reference: moe load_balance_coeff +
+    trainer/model.py freeze helpers)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from prime_rl_tpu.configs import TrainerConfig
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.parallel.mesh import build_mesh
+    from prime_rl_tpu.trainer import step as step_lib
+    from prime_rl_tpu.trainer.optim import make_optimizer
+    from prime_rl_tpu.trainer.rl.data import FakeDataLoader
+    from prime_rl_tpu.trainer.step import Scales, init_train_state, make_train_step
+
+    cfg = TrainerConfig()
+    cfg.model.attn.impl = "xla"
+    cfg.model.lm_head_chunk_size = 0
+    cfg.model.moe_aux_coef = 0.01
+    cfg.model.freeze = [r"layers/router$", r"embed"]
+    spec = get_spec("debug_moe")
+    mesh_info = build_mesh(cfg.mesh.__class__(fsdp=4, expert=2))
+    opt, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
+    state = init_train_state(spec, mesh_info, opt, seed=0)
+    step = make_train_step(spec, cfg.model, cfg.loss, opt, mesh_info)
+    batch, counts = FakeDataLoader(spec.vocab_size, 64, 1, 2).next_batch()
+    batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
+    scales = Scales(rl=jnp.float32(max(counts["rl"], 1)), ce=jnp.float32(1),
+                    ref_kl=jnp.float32(1))
+    router_before = np.asarray(state.params["layers"]["router"])
+    embed_before = np.asarray(state.params["embed"])
+    gate_before = np.asarray(state.params["layers"]["expert_gate"])
+    new_state, metrics = step(state, batch, scales)
+    assert "moe_load_balance" in metrics
+    assert float(metrics["moe_load_balance"].mean) > 0
+    np.testing.assert_array_equal(np.asarray(new_state.params["layers"]["router"]),
+                                  router_before)  # frozen
+    np.testing.assert_array_equal(np.asarray(new_state.params["embed"]), embed_before)
+    assert not np.array_equal(np.asarray(new_state.params["layers"]["expert_gate"]),
+                              gate_before)  # still training
