@@ -85,6 +85,19 @@ class ModelSpec:
     router_sigmoid: bool = False
     n_group: int = 1
     topk_group: int = 1
+    # nemotron_h axes (reference: trainer/models/nemotron_h/ — hybrid Mamba):
+    # per-layer block pattern string, one char per layer: M=mamba-2 mixer,
+    # *=attention (no RoPE, position comes from the SSM layers), -=relu^2 MLP,
+    # E=LatentMoE. Empty = homogeneous transformer (the other families).
+    layer_pattern: str = ""
+    mamba_num_heads: int = 0
+    mamba_head_dim: int = 64
+    mamba_n_groups: int = 8
+    mamba_state_size: int = 128
+    mamba_conv_kernel: int = 4
+    mamba_chunk_size: int = 128
+    moe_latent_size: int = 0  # LatentMoE projection dim (0 = no latent proj)
+    moe_shared_expert_size: int = 0  # non-gated shared expert hidden dim
     # YaRN rope scaling (gpt-oss 131k; 0 factor = off)
     rope_yarn_factor: float = 0.0
     rope_yarn_orig_max: int = 0
@@ -95,6 +108,14 @@ class ModelSpec:
     @property
     def is_moe(self) -> bool:
         return self.num_experts > 0
+
+    @property
+    def mamba_inter(self) -> int:
+        return self.mamba_num_heads * self.mamba_head_dim
+
+    @property
+    def mamba_conv_dim(self) -> int:
+        return self.mamba_inter + 2 * self.mamba_n_groups * self.mamba_state_size
 
     @property
     def q_dim(self) -> int:
@@ -108,6 +129,8 @@ class ModelSpec:
         """Training FLOPs/token (fwd+bwd ≈ 6×params-matmuls + attention term),
         the MFU denominator (reference: trainer/perf.py)."""
         d, l = self.hidden_size, self.num_layers
+        if self.layer_pattern:
+            return self._hybrid_flops_per_token(seq_len)
         per_layer = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)  # qkvo (o: q_dim x d)
         if self.is_moe:
             per_layer += 2 * 3 * d * self.moe_intermediate_size * self.num_experts_per_tok
@@ -118,8 +141,65 @@ class ModelSpec:
         attn = l * 2 * 2 * seq_len * self.q_dim  # scores + values (causal: /2, but count full for parity)
         return 3 * (dense + attn)  # fwd(1) + bwd(2)
 
+    def _hybrid_flops_per_token(self, seq_len: int) -> float:
+        """Per-layer-type FLOPs for nemotron_h-style hybrids. Mamba SSD cost is
+        the chunked-matmul estimate: intra-chunk quadratic blocks at chunk_size
+        plus B/C state matmuls — sequence-length independent."""
+        d = self.hidden_size
+        inter, gn = self.mamba_inter, self.mamba_n_groups * self.mamba_state_size
+        q, n = self.mamba_chunk_size, self.mamba_state_size
+        flops = 2.0 * d * self.vocab_size
+        for ch in self.layer_pattern:
+            if ch == "M":
+                f = 2 * d * (inter + self.mamba_conv_dim + self.mamba_num_heads)  # in_proj
+                f += 2 * self.mamba_conv_dim * self.mamba_conv_kernel  # depthwise conv
+                # SSD: scores CB^T (~2*q*gn) + intra combine (~2*q*inter) +
+                # state build/apply (~2*2*n*inter)
+                f += 2 * q * gn + 2 * q * inter + 4 * n * inter
+                f += 2 * inter * d  # out_proj
+            elif ch == "*":
+                f = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)
+                f += 2 * 2 * seq_len * self.q_dim
+            elif ch == "-":
+                f = 2 * 2 * d * self.intermediate_size
+            elif ch == "E":
+                latent = self.moe_latent_size or d
+                f = 2 * d * self.num_experts  # router
+                if self.moe_latent_size:
+                    f += 2 * 2 * d * latent
+                f += 2 * 2 * latent * self.moe_intermediate_size * self.num_experts_per_tok
+                f += 2 * 2 * d * self.moe_shared_expert_size
+            else:
+                raise ValueError(f"bad layer_pattern char {ch!r}")
+            flops += f
+        return 3 * flops
+
     def num_params(self) -> int:
         d, l = self.hidden_size, self.num_layers
+        if self.layer_pattern:
+            total = self.vocab_size * d + d
+            if not self.tie_embeddings:
+                total += d * self.vocab_size
+            inter = self.mamba_inter
+            for ch in self.layer_pattern:
+                p = d  # pre-mixer norm
+                if ch == "M":
+                    p += d * (inter + self.mamba_conv_dim + self.mamba_num_heads)
+                    p += self.mamba_conv_dim * (self.mamba_conv_kernel + 1)
+                    p += 3 * self.mamba_num_heads + inter + inter * d
+                elif ch == "*":
+                    p += d * (self.q_dim + 2 * self.kv_dim) + self.q_dim * d
+                elif ch == "-":
+                    p += 2 * d * self.intermediate_size
+                elif ch == "E":
+                    latent = self.moe_latent_size or d
+                    p += d * self.num_experts + self.num_experts
+                    if self.moe_latent_size:
+                        p += 2 * d * latent
+                    p += 2 * latent * self.moe_intermediate_size * self.num_experts
+                    p += 2 * d * self.moe_shared_expert_size
+                total += p
+            return total
         per_layer = d * (self.q_dim + 2 * self.kv_dim) + self.q_dim * d + 2 * d
         if self.qk_norm:
             per_layer += 2 * self.head_dim
@@ -228,6 +308,20 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         expert_bias=True, router_bias=True, router_softmax_topk=True,
         rope_yarn_factor=32.0, rope_yarn_orig_max=4096, rope_yarn_truncate=False,
     ),
+    # Nemotron-H 8B class (reference: trainer/models/nemotron_h/
+    # configuration_nemotron_h.py defaults = the 8B dims). Composition is the
+    # paper's 24 Mamba-2 / 4 attention / 24 relu^2-MLP in 52 layers with
+    # attention evenly spaced; load a local checkpoint dir to use the exact
+    # shipped hybrid_override_pattern.
+    "nvidia/Nemotron-H-8B-Base-8K": ModelSpec(
+        family="nemotron_h", vocab_size=131072, hidden_size=4096, num_layers=52,
+        num_heads=32, num_kv_heads=8, head_dim=128, intermediate_size=21504,
+        rms_eps=1e-5, tie_embeddings=False, qk_norm=False,
+        max_position_embeddings=8192, bos_token_id=1, eos_token_id=2, pad_token_id=0,
+        layer_pattern=("M-" * 6 + "*") * 4,  # 52 layers: 24 M / 24 - / 4 *
+        mamba_num_heads=128, mamba_head_dim=64, mamba_n_groups=8,
+        mamba_state_size=128, mamba_conv_kernel=4, mamba_chunk_size=128,
+    ),
     # ByteTokenizer-compatible tiny model for the offline sync-GRPO debug loop
     # (vocab 512 covers the 260-token byte vocab; eos = <|im_end|> = 258)
     "debug": ModelSpec(
@@ -240,6 +334,18 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         num_kv_heads=2, head_dim=32, intermediate_size=256, rope_theta=1e6,
         tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+    ),
+    # hybrid-Mamba debug spec exercising all four nemotron_h block types
+    "debug_nemotron": ModelSpec(
+        family="nemotron_h", vocab_size=512, hidden_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rms_eps=1e-5, tie_embeddings=True, qk_norm=False,
+        eos_token_id=258, pad_token_id=256, layer_pattern="M*-E",
+        mamba_num_heads=4, mamba_head_dim=32, mamba_n_groups=2,
+        mamba_state_size=16, mamba_conv_kernel=4, mamba_chunk_size=32,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        moe_latent_size=64, moe_shared_expert_size=64, router_sigmoid=True,
+        n_group=1, topk_group=1,
     ),
 }
 
@@ -283,7 +389,9 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
 
 def spec_from_hf_config(cfg: dict) -> ModelSpec:
     arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
-    if "gptoss" in arch.replace("_", ""):
+    if "nemotronh" in arch.replace("_", ""):
+        family = "nemotron_h"
+    elif "gptoss" in arch.replace("_", ""):
         family = "gpt_oss"
     elif "glm4moe" in arch.replace("_", ""):
         family = "glm4_moe"
@@ -308,6 +416,34 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
             router_sigmoid=True,
             n_group=int(cfg.get("n_group", 1) or 1),
             topk_group=int(cfg.get("topk_group", 1) or 1),
+            attn_bias=bool(cfg.get("attention_bias", False)),
+        )
+    if family == "nemotron_h":
+        # reference: nemotron_h/configuration_nemotron_h.py:129-141 —
+        # hybrid_override_pattern string or layers_block_type list
+        if "hybrid_override_pattern" in cfg:
+            pattern = cfg["hybrid_override_pattern"]
+        else:
+            char = {"mamba": "M", "attention": "*", "mlp": "-", "moe": "E"}
+            pattern = "".join(char[t] for t in cfg["layers_block_type"])
+        cfg.setdefault("num_hidden_layers", len(pattern))
+        extra = dict(
+            layer_pattern=pattern,
+            mamba_num_heads=int(cfg.get("mamba_num_heads", 128)),
+            mamba_head_dim=int(cfg.get("mamba_head_dim", 64)),
+            mamba_n_groups=int(cfg.get("mamba_n_groups", 8)),
+            mamba_state_size=int(cfg.get("ssm_state_size", 128)),
+            mamba_conv_kernel=int(cfg.get("mamba_d_conv", 4)),
+            mamba_chunk_size=int(cfg.get("mamba_chunk_size", 128)),
+            num_experts=int(cfg.get("n_routed_experts", 0) or 0),
+            moe_latent_size=int(cfg.get("moe_latent_size") or 0),
+            moe_shared_expert_size=int(cfg.get("moe_shared_expert_intermediate_size", 0) or 0),
+            n_shared_experts=int(cfg.get("n_shared_experts", 0) or 0),
+            routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+            router_sigmoid=True,
+            n_group=int(cfg.get("n_group", 1) or 1),
+            topk_group=int(cfg.get("topk_group", 1) or 1),
+            rms_eps=float(cfg.get("layer_norm_epsilon", 1e-5)),
             attn_bias=bool(cfg.get("attention_bias", False)),
         )
     if family == "gpt_oss":
@@ -393,12 +529,32 @@ PARAM_SPECS: dict[str, P] = {
     "layers.expert_gate_bias": P(None, "expert", "tensor"),
     "layers.expert_up_bias": P(None, "expert", "tensor"),
     "layers.expert_down_bias": P(None, "expert", None),
+    # nemotron_h: pre-mixer norm + mamba mixer fields (channel dim rides the
+    # tensor axis end-to-end: in_proj cols -> conv channels -> out_proj rows)
+    "layers.norm": P(None),
+    "layers.in_proj": P(None, "fsdp", "tensor"),
+    "layers.conv_w": P(None, "tensor", None),
+    "layers.conv_b": P(None, "tensor"),
+    "layers.A_log": P(None, None),
+    "layers.D": P(None, None),
+    "layers.dt_bias": P(None, None),
+    "layers.ssm_norm": P(None, "tensor"),
+    "layers.out_proj": P(None, "tensor", "fsdp"),
+    # nemotron_h LatentMoE latent projections
+    "layers.fc1_latent": P(None, "fsdp", "tensor"),
+    "layers.fc2_latent": P(None, "tensor", "fsdp"),
 }
+
+# nemotron_h hybrid stacks reuse the layers.* rules field-by-field
+_LAYER_STACK_PREFIXES = ("dense_layers.", "mamba_layers.", "attn_layers.",
+                         "mlp_layers.", "moe_layers.")
 
 
 def param_pspec(path: str) -> P:
-    if path.startswith("dense_layers."):
-        path = "layers." + path[len("dense_layers."):]
+    for pre in _LAYER_STACK_PREFIXES:
+        if path.startswith(pre):
+            path = "layers." + path[len(pre):]
+            break
     if path in PARAM_SPECS:
         return PARAM_SPECS[path]
     raise KeyError(f"no sharding rule for param {path!r}")

@@ -90,7 +90,7 @@ def route_topk(
 def moe_mlp(
     x: jax.Array,  # [T, D]
     router_w: jax.Array,  # [D, E]
-    w_gate: jax.Array,  # [E, D, M]
+    w_gate: jax.Array | None,  # [E, D, M]; None => non-gated relu2 experts
     w_up: jax.Array,  # [E, D, M]
     w_down: jax.Array,  # [E, M, D]
     top_k: int,
@@ -108,6 +108,9 @@ def moe_mlp(
     n_group: int = 1,
     topk_group: int = 1,
     routed_scaling: float = 1.0,
+    x_experts: jax.Array | None = None,  # [T, D'] expert input when it differs
+    # from the routing input (NemotronH LatentMoE: route at model dim,
+    # compute at latent dim)
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -116,7 +119,9 @@ def moe_mlp(
       3. ragged grouped GEMMs over contiguous expert groups (MXU)
       4. unsort + weighted combine
     """
-    t, d = x.shape
+    if x_experts is None:
+        x_experts = x
+    t, d = x_experts.shape
     e = router_w.shape[1]
     routing = route_topk(x, router_w, top_k, norm_topk_prob,
                          router_b=router_b, softmax_topk=softmax_topk,
@@ -130,19 +135,24 @@ def moe_mlp(
     group_sizes = jnp.zeros((e,), jnp.int32).at[flat_experts].add(1)
 
     sorted_experts = jnp.take(flat_experts, order)  # expert id of each sorted slot
-    xs = jnp.take(x, token_idx, axis=0)  # [T*K, D] sorted by expert
-    gate = jax.lax.ragged_dot(xs, w_gate, group_sizes, preferred_element_type=jnp.float32)
+    xs = jnp.take(x_experts, token_idx, axis=0)  # [T*K, D] sorted by expert
     up = jax.lax.ragged_dot(xs, w_up, group_sizes, preferred_element_type=jnp.float32)
-    if b_gate is not None:
-        gate = gate + jnp.take(b_gate.astype(jnp.float32), sorted_experts, axis=0)
     if b_up is not None:
         up = up + jnp.take(b_up.astype(jnp.float32), sorted_experts, axis=0)
-    if activation_alpha > 0:
-        from prime_rl_tpu.ops.layers import clamped_glu
-
-        h = clamped_glu(gate, up, activation_alpha, activation_limit).astype(x.dtype)
+    if w_gate is None:
+        # NemotronH LatentMoE experts: non-gated relu^2 (reference:
+        # models/layers/moe.py NonGatedGroupedExperts)
+        h = jnp.square(jax.nn.relu(up)).astype(x.dtype)
     else:
-        h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
+        gate = jax.lax.ragged_dot(xs, w_gate, group_sizes, preferred_element_type=jnp.float32)
+        if b_gate is not None:
+            gate = gate + jnp.take(b_gate.astype(jnp.float32), sorted_experts, axis=0)
+        if activation_alpha > 0:
+            from prime_rl_tpu.ops.layers import clamped_glu
+
+            h = clamped_glu(gate, up, activation_alpha, activation_limit).astype(x.dtype)
+        else:
+            h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
     out_sorted = jax.lax.ragged_dot(h, w_down, group_sizes, preferred_element_type=jnp.float32)
     if b_down is not None:
         out_sorted = out_sorted + jnp.take(b_down.astype(jnp.float32), sorted_experts, axis=0)
