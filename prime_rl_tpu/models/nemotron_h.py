@@ -124,7 +124,7 @@ def get_lm_head(params: Params, spec: ModelSpec) -> jax.Array:
     return params["lm_head"]
 
 
-def _mamba_block(h, lp, spec: ModelSpec, segment_ids, compute_dtype):
+def _mamba_block(h, lp, spec: ModelSpec, segment_ids, compute_dtype, mesh=None):
     cast = {k: (v.astype(compute_dtype) if k in ("in_proj", "out_proj") else v)
             for k, v in lp.items()}
     x = rms_norm(h, cast["norm"], spec.rms_eps)
@@ -133,6 +133,7 @@ def _mamba_block(h, lp, spec: ModelSpec, segment_ids, compute_dtype):
         num_heads=spec.mamba_num_heads, head_dim=spec.mamba_head_dim,
         ssm_state_size=spec.mamba_state_size, n_groups=spec.mamba_n_groups,
         chunk_size=spec.mamba_chunk_size, segment_ids=segment_ids,
+        mesh=mesh,
     )
     return h + y
 
@@ -232,7 +233,7 @@ def forward(
 
     blocks = {
         "M": wrap(functools.partial(_mamba_block, spec=spec, segment_ids=segment_ids,
-                                    compute_dtype=compute_dtype)),
+                                    compute_dtype=compute_dtype, mesh=mesh)),
         "*": wrap(functools.partial(_attn_block, spec=spec, segment_ids=segment_ids,
                                     attn_impl=attn_impl, block_q=block_q,
                                     block_kv=block_kv, mesh=mesh, cp_style=cp_style,

@@ -52,28 +52,29 @@ def causal_conv1d(
     return out
 
 
-def ssd_chunked(
-    x: jax.Array,  # [B, L, H, P] (already discretized by the caller? no: raw)
+def _ssd_phase1(
+    x: jax.Array,  # [B, L, H, P]
     dt: jax.Array,  # [B, L, H] post-softplus time steps
-    a_log: jax.Array,  # [H] A_log parameter (A = -exp(a_log))
+    a_log: jax.Array,  # [H]
     b_in: jax.Array,  # [B, L, G, N]
     c_in: jax.Array,  # [B, L, G, N]
-    d_skip: jax.Array,  # [H] skip connection
-    chunk_size: int = 64,
-    segment_ids: jax.Array | None = None,  # [B, L] packed-seq resets
-    initial_state: jax.Array | None = None,  # [B, H, P, N] (decode prefill)
-    return_final_state: bool = False,
-):
-    """Mamba-2 SSD (reference math: HF Mamba2Mixer torch_forward SSD branch;
-    chunked matmul form). Returns y [B, L, H, P] (+ final ssm state)."""
+    d_skip: jax.Array,  # [H]
+    chunk_size: int,
+    segment_ids: jax.Array | None,
+    prev_seg_tail: jax.Array | None = None,  # [B] segment id just before pos 0
+    # (CP: the previous rank's last token; None = sequence start, id 0)
+) -> dict:
+    """Initial-state-INDEPENDENT part of the SSD: discretize, chunk, intra-
+    chunk quadratic blocks, raw per-chunk states. This is where the FLOPs
+    are; _ssd_phase2 threads the initial state through cheap state ops, so
+    context-parallel ranks only serialize phase 2's carry."""
     bsz, l, h, p = x.shape
-    g, n = b_in.shape[2], b_in.shape[3]
     f32 = jnp.float32
     x = x.astype(f32)
     dt = dt.astype(f32)
     a = -jnp.exp(a_log.astype(f32))  # [H], negative
 
-    rep = h // g
+    rep = h // b_in.shape[2]
     b_full = jnp.repeat(b_in.astype(f32), rep, axis=2)  # [B, L, H, N]
     c_full = jnp.repeat(c_in.astype(f32), rep, axis=2)
 
@@ -93,6 +94,8 @@ def ssd_chunked(
     if segment_ids is not None:
         seg = jnp.pad(segment_ids, ((0, 0), (0, pad)))
         prev = jnp.pad(seg, ((0, 0), (1, 0)))[:, :lp]
+        if prev_seg_tail is not None:
+            prev = prev.at[:, 0].set(prev_seg_tail)
         reset = (seg != prev)  # first position of every segment (and pad edges)
         # decay THROUGH a reset position is exactly zero; own-token terms
         # never include their own a, so they survive
@@ -119,9 +122,20 @@ def ssd_chunked(
     decay_states = jnp.exp(a_cum[..., -1:] - a_cum)  # [B, H, C, Q]
     states = jnp.einsum("bcqhn,bhcq,bcqhp->bchpn", bc, decay_states, xc)
 
-    # 3. inter-chunk recurrence over chunk states
+    return dict(y_diag=y_diag, states=states, a_cum=a_cum, cc=cc,
+                d_residual=d_residual, orig_len=l, shape=(bsz, lp, h, p))
+
+
+def _ssd_phase2(pieces: dict, initial_state: jax.Array | None):
+    """Inter-chunk recurrence + state readout. Linear in ``initial_state``.
+    Returns (y [B, L, H, P] f32, final_state [B, H, P, N])."""
+    bsz, lp, h, p = pieces["shape"]
+    states, a_cum, cc = pieces["states"], pieces["a_cum"], pieces["cc"]
+    n = states.shape[-1]
     if initial_state is None:
-        initial_state = jnp.zeros((bsz, h, p, n), f32)
+        initial_state = jnp.zeros((bsz, h, p, n), jnp.float32)
+
+    # 3. inter-chunk recurrence over chunk states
     states = jnp.concatenate([initial_state[:, None], states], axis=1)
     chunk_decay = jnp.pad(a_cum[..., -1], ((0, 0), (0, 0), (1, 0)))  # [B, H, C+1]
     decay_chunk = jnp.exp(_segsum(chunk_decay))  # [B, H, C+1(j), C+1(i)]
@@ -132,8 +146,40 @@ def ssd_chunked(
     state_decay_out = jnp.exp(a_cum)  # [B, H, C, Q]
     y_off = jnp.einsum("bcqhn,bchpn,bhcq->bcqhp", cc, states, state_decay_out)
 
-    y = (y_diag + y_off).reshape(bsz, lp, h, p) + d_residual
-    y = y[:, :l]
+    y = (pieces["y_diag"] + y_off).reshape(bsz, lp, h, p) + pieces["d_residual"]
+    return y[:, : pieces["orig_len"]], final_state
+
+
+def _ssd_local_summary(pieces: dict) -> tuple[jax.Array, jax.Array]:
+    """(final_state_with_zero_init [B,H,P,N], total_decay [B,H]) — the linear
+    summary a context-parallel rank exports: for any incoming carry S,
+    final = final0 + total_decay * S. Cheap (no y_off readout)."""
+    states, a_cum = pieces["states"], pieces["a_cum"]
+    chunk_decay = jnp.pad(a_cum[..., -1], ((0, 0), (0, 0), (1, 0)))  # [B,H,C+1]
+    decay_chunk = jnp.exp(_segsum(chunk_decay))  # [B,H,C+1,C+1]
+    final0 = jnp.einsum("bhc,bchpn->bhpn", decay_chunk[:, :, -1, 1:], states)
+    total_decay = decay_chunk[:, :, -1, 0]  # [B, H]
+    return final0, total_decay
+
+
+def ssd_chunked(
+    x: jax.Array,  # [B, L, H, P]
+    dt: jax.Array,  # [B, L, H] post-softplus time steps
+    a_log: jax.Array,  # [H] A_log parameter (A = -exp(a_log))
+    b_in: jax.Array,  # [B, L, G, N]
+    c_in: jax.Array,  # [B, L, G, N]
+    d_skip: jax.Array,  # [H] skip connection
+    chunk_size: int = 64,
+    segment_ids: jax.Array | None = None,  # [B, L] packed-seq resets
+    initial_state: jax.Array | None = None,  # [B, H, P, N] (decode prefill)
+    return_final_state: bool = False,
+    prev_seg_tail: jax.Array | None = None,  # [B] (CP continuation)
+):
+    """Mamba-2 SSD (reference math: HF Mamba2Mixer torch_forward SSD branch;
+    chunked matmul form). Returns y [B, L, H, P] (+ final ssm state)."""
+    pieces = _ssd_phase1(x, dt, a_log, b_in, c_in, d_skip, chunk_size,
+                         segment_ids, prev_seg_tail)
+    y, final_state = _ssd_phase2(pieces, initial_state)
     if return_final_state:
         return y, final_state
     return y
@@ -158,10 +204,13 @@ def mamba2_mixer(
     chunk_size: int = 64,
     segment_ids: jax.Array | None = None,
     time_step_limit: tuple[float, float] = (0.0, float("inf")),
+    mesh=None,
+    cp_axis: str = "context",
 ) -> jax.Array:
     """One Mamba-2 mixer block (HF Mamba2Mixer torch_forward parity):
     in_proj -> [gate | xBC | dt]; causal conv + silu over xBC; SSD; gated
-    RMSNorm; out_proj."""
+    RMSNorm; out_proj. A ``mesh`` with a >1 ``cp_axis`` routes the conv+SSD
+    through the context-parallel path (ops/cp_mamba.py)."""
     inter = num_heads * head_dim
     gn = n_groups * ssm_state_size
     proj = jnp.dot(h_in, lp["in_proj"])
@@ -171,28 +220,38 @@ def mamba2_mixer(
     xbc = proj[..., inter : inter + inter + 2 * gn]
     dt = proj[..., inter + inter + 2 * gn :]  # [B, L, H]
 
-    xbc = causal_conv1d(xbc, lp["conv_w"], lp.get("conv_b"), segment_ids)
-    xbc = jax.nn.silu(xbc)
-    x = xbc[..., :inter]
-    b_in = xbc[..., inter : inter + gn]
-    c_in = xbc[..., inter + gn :]
-
     dt = jax.nn.softplus(dt.astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
     lo, hi = time_step_limit
     if lo > 0.0 or hi != float("inf"):
         dt = jnp.clip(dt, lo, hi)
 
     bsz, l, _ = h_in.shape
-    y = ssd_chunked(
-        x.reshape(bsz, l, num_heads, head_dim),
-        dt,
-        lp["A_log"],
-        b_in.reshape(bsz, l, n_groups, ssm_state_size),
-        c_in.reshape(bsz, l, n_groups, ssm_state_size),
-        lp["D"],
-        chunk_size=chunk_size,
-        segment_ids=segment_ids,
-    )
+    if mesh is not None and mesh.shape.get(cp_axis, 1) > 1:
+        from prime_rl_tpu.ops.cp_mamba import conv_ssd_cp
+
+        y = conv_ssd_cp(
+            xbc, dt, segment_ids, lp["conv_w"], lp.get("conv_b"),
+            lp["A_log"], lp["D"], mesh, axis=cp_axis,
+            num_heads=num_heads, head_dim=head_dim,
+            ssm_state_size=ssm_state_size, n_groups=n_groups,
+            chunk_size=chunk_size,
+        )
+    else:
+        xbc = causal_conv1d(xbc, lp["conv_w"], lp.get("conv_b"), segment_ids)
+        xbc = jax.nn.silu(xbc)
+        x = xbc[..., :inter]
+        b_in = xbc[..., inter : inter + gn]
+        c_in = xbc[..., inter + gn :]
+        y = ssd_chunked(
+            x.reshape(bsz, l, num_heads, head_dim),
+            dt,
+            lp["A_log"],
+            b_in.reshape(bsz, l, n_groups, ssm_state_size),
+            c_in.reshape(bsz, l, n_groups, ssm_state_size),
+            lp["D"],
+            chunk_size=chunk_size,
+            segment_ids=segment_ids,
+        )
     y = y.reshape(bsz, l, inter).astype(h_in.dtype)
     y = gated_rms_norm(y, gate, lp["ssm_norm"])
     return jnp.dot(y, lp["out_proj"])
