@@ -161,6 +161,9 @@ class BatchConfig(BaseConfig):
     num_micro_batches: int | None = 4
     # bin-balancing: quadratic attn-aware cost (reference: trainer/utils.py:146)
     balance: Literal["tokens", "quadratic"] = "quadratic"
+    # VLM: static per-micro-batch vision patch buffer size (0 = auto-size per
+    # batch, which recompiles when the image load changes; pin it for 1-compile)
+    max_mm_patches: int = 0
 
 
 class TrainerConfig(BaseConfig):
@@ -214,6 +217,8 @@ class SFTDataConfig(BaseConfig):
     fake_vocab: int = 2048  # for fake datasets
     seed: int = 0
     loss_mask: Literal["all", "assistant"] = "assistant"
+    # VLM: static vision patch buffer per micro-batch (0 = auto-size)
+    max_mm_patches: int = 0
 
 
 class SFTSubsetConfig(BaseConfig):

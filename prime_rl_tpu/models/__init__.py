@@ -61,6 +61,8 @@ def get_family(spec: ModelSpec) -> Family:
             from prime_rl_tpu.models import glm4_moe  # noqa: F401
         if spec.family == "nemotron_h":
             from prime_rl_tpu.models import nemotron_h  # noqa: F401
+        if spec.family in ("qwen3_vl", "qwen3_vl_moe"):
+            from prime_rl_tpu.models import qwen3_vl  # noqa: F401
         if spec.family not in FAMILIES:
             raise ValueError(f"unknown model family {spec.family!r}")
     return FAMILIES[spec.family]

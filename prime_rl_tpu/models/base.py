@@ -98,6 +98,15 @@ class ModelSpec:
     mamba_chunk_size: int = 128
     moe_latent_size: int = 0  # LatentMoE projection dim (0 = no latent proj)
     moe_shared_expert_size: int = 0  # non-gated shared expert hidden dim
+    # qwen3_vl axes (reference: trainer/models/qwen3_5/modeling_qwen3_5.py
+    # VLM composition + qwen3_5_moe/mrope.py): a vision tower whose merged
+    # embeddings scatter into image-token slots, interleaved mRoPE, and
+    # DeepStack feature injection into the first decoder layers.
+    vision: "Any | None" = None  # VisionSpec (models/vision.py); None = text-only
+    mrope_section: tuple[int, ...] = ()  # (t, h, w) frequency split; () = plain rope
+    image_token_id: int = -1
+    video_token_id: int = -1
+    vision_start_token_id: int = -1
     # YaRN rope scaling (gpt-oss 131k; 0 factor = off)
     rope_yarn_factor: float = 0.0
     rope_yarn_orig_max: int = 0
@@ -389,6 +398,8 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
 
 def spec_from_hf_config(cfg: dict) -> ModelSpec:
     arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
+    if "qwen3vl" in arch.replace("_", ""):
+        return _vlm_spec_from_hf_config(cfg, arch)
     if "nemotronh" in arch.replace("_", ""):
         family = "nemotron_h"
     elif "gptoss" in arch.replace("_", ""):
@@ -488,6 +499,58 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
     return ModelSpec(**kw)
 
 
+def _vlm_spec_from_hf_config(cfg: dict, arch: str) -> ModelSpec:
+    """Qwen3-VL dense/MoE: nested text_config/vision_config (HF
+    Qwen3VLConfig layout; reference composes the same HF vision tower —
+    trainer/models/qwen3_5/modeling_qwen3_5.py)."""
+    from prime_rl_tpu.models.vision import VisionSpec
+
+    tc, vc = cfg["text_config"], cfg["vision_config"]
+    is_moe = "moe" in arch
+    rs = tc.get("rope_scaling") or {}
+    head_dim = tc.get("head_dim") or tc["hidden_size"] // tc["num_attention_heads"]
+    eos = tc.get("eos_token_id", cfg.get("eos_token_id", 151645))
+    return ModelSpec(
+        family="qwen3_vl_moe" if is_moe else "qwen3_vl",
+        vocab_size=tc["vocab_size"],
+        hidden_size=tc["hidden_size"],
+        num_layers=tc["num_hidden_layers"],
+        num_heads=tc["num_attention_heads"],
+        num_kv_heads=tc.get("num_key_value_heads", tc["num_attention_heads"]),
+        head_dim=head_dim,
+        intermediate_size=tc["intermediate_size"],
+        rope_theta=tc.get("rope_theta", 5e6),
+        rms_eps=tc.get("rms_norm_eps", 1e-6),
+        tie_embeddings=cfg.get("tie_word_embeddings", tc.get("tie_word_embeddings", False)),
+        qk_norm=True,
+        max_position_embeddings=tc.get("max_position_embeddings", 262144),
+        eos_token_id=eos if not isinstance(eos, list) else eos[0],
+        pad_token_id=tc.get("pad_token_id") or 0,
+        attn_bias=bool(tc.get("attention_bias", False)),
+        num_experts=int(tc.get("num_experts", 0) or 0) if is_moe else 0,
+        num_experts_per_tok=int(tc.get("num_experts_per_tok", 0) or 0) if is_moe else 0,
+        moe_intermediate_size=int(tc.get("moe_intermediate_size", 0) or 0) if is_moe else 0,
+        norm_topk_prob=tc.get("norm_topk_prob", True),
+        mrope_section=tuple(rs.get("mrope_section", (24, 20, 20))),
+        image_token_id=int(cfg.get("image_token_id", 151655)),
+        video_token_id=int(cfg.get("video_token_id", 151656)),
+        vision_start_token_id=int(cfg.get("vision_start_token_id", 151652)),
+        vision=VisionSpec(
+            depth=vc["depth"],
+            hidden_size=vc["hidden_size"],
+            intermediate_size=vc["intermediate_size"],
+            num_heads=vc["num_heads"],
+            in_channels=vc.get("in_channels", 3),
+            patch_size=vc["patch_size"],
+            temporal_patch_size=vc.get("temporal_patch_size", 2),
+            spatial_merge_size=vc.get("spatial_merge_size", 2),
+            out_hidden_size=vc["out_hidden_size"],
+            num_position_embeddings=vc["num_position_embeddings"],
+            deepstack_visual_indexes=tuple(vc.get("deepstack_visual_indexes", ())),
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sharding rules: param path -> PartitionSpec over (replica, fsdp, expert,
 # context, tensor). The fsdp axis plays ZeRO-3; tensor is megatron-style TP.
@@ -549,8 +612,32 @@ PARAM_SPECS: dict[str, P] = {
 _LAYER_STACK_PREFIXES = ("dense_layers.", "mamba_layers.", "attn_layers.",
                          "mlp_layers.", "moe_layers.")
 
+# vision tower (qwen3_vl): big matmuls shard over (fsdp, tensor); norms,
+# biases and the position table replicate. Stacked blocks carry a leading
+# depth axis; mergers may carry a leading DeepStack axis — fit() in
+# param_shardings resolves trailing-dim divisibility either way.
+_VISION_SPECS: dict[str, P] = {
+    "qkv_w": P(None, "fsdp", "tensor"),
+    "proj_w": P(None, "tensor", "fsdp"),
+    "fc1_w": P(None, "fsdp", "tensor"),
+    "fc2_w": P(None, "tensor", "fsdp"),
+    "patch_w": P("fsdp", "tensor"),
+    "pos_embed": P(None, "fsdp"),
+}
+
 
 def param_pspec(path: str) -> P:
+    if path.startswith("vision."):
+        parts = path.split(".")
+        field = parts[-1]
+        if parts[1] == "merger" and field in ("fc1_w", "fc2_w"):
+            return P("fsdp", "tensor") if field == "fc1_w" else P("tensor", "fsdp")
+        if parts[1] == "ds_mergers" and field in ("fc1_w", "fc2_w"):
+            # stacked [n_ds, in, out]
+            return P(None, "fsdp", "tensor") if field == "fc1_w" else P(None, "tensor", "fsdp")
+        if parts[1] in ("merger", "ds_mergers"):
+            return P()
+        return _VISION_SPECS.get(field, P())
     for pre in _LAYER_STACK_PREFIXES:
         if path.startswith(pre):
             path = "layers." + path[len(pre):]

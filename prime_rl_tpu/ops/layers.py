@@ -16,6 +16,21 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
     return (x * weight.astype(jnp.float32)).astype(dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None = None,
+               eps: float = 1e-6) -> jax.Array:
+    """LayerNorm (mean-subtracting, affine) in fp32 — the vision-tower norm
+    (ViT blocks use LayerNorm, not RMSNorm)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    x = x * weight.astype(jnp.float32)
+    if bias is not None:
+        x = x + bias.astype(jnp.float32)
+    return x.astype(dtype)
+
+
 def rope_frequencies(head_dim: int, theta: float = 10000.0) -> jax.Array:
     """Inverse frequencies [head_dim//2] (float32)."""
     return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
@@ -68,11 +83,18 @@ def apply_rope(
 ) -> jax.Array:
     """Rotary embedding, half-split layout (HF convention: rotate_half).
     Partial rotary (glm4_moe): ``inv_freq`` shorter than head_dim//2 rotates
-    only the leading ``2*len(inv_freq)`` dims; the tail passes through."""
+    only the leading ``2*len(inv_freq)`` dims; the tail passes through.
+
+    mRoPE (qwen3_vl): ``position_ids`` may be [B, L, rot//2] — a PER-FREQUENCY
+    position (each frequency slot reads its t/h/w grid coordinate, the
+    interleaved-mRoPE layout) — in which case angles are elementwise."""
     dtype = x.dtype
     rot = 2 * inv_freq.shape[0]
     hd = x.shape[-1]
-    angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B, L, rot//2]
+    if position_ids.ndim == 3:  # [B, L, rot//2] per-frequency positions
+        angles = position_ids.astype(jnp.float32) * inv_freq
+    else:
+        angles = position_ids[..., None].astype(jnp.float32) * inv_freq  # [B, L, rot//2]
     cos = jnp.cos(angles)[:, :, None, :] * scaling  # [B, L, 1, rot//2]
     sin = jnp.sin(angles)[:, :, None, :] * scaling
     xf = x.astype(jnp.float32)

@@ -104,6 +104,92 @@ def balance_rows(
     return bins
 
 
+def _assemble_mm(row_slots, shape, vlm_spec, pad_patches: int):
+    """Per-micro-batch vision arrays (VLM path, reference: trajectories.py
+    mm_kwargs collation + qwen3_5 VLM forward).
+
+    Each sample's ``mm_kwargs`` holds the HF-processor outputs
+    ``{"pixel_values": [P_i, patch_dim] f32, "image_grid_thw": [n_i, 3]}``.
+    All samples' patches ride ONE padded [P, patch_dim] buffer; per-frame
+    segment ids keep vision attention block-diagonal, per-sample slot bases
+    point each image token at its row of the merged-embedding buffer, and
+    mRoPE grid positions overwrite the sequential default at vision spans.
+    Text-only samples keep sequential (t==h==w) positions — exactly plain
+    rope, so mixing text and VLM samples in one packed row is safe."""
+    from prime_rl_tpu.models.vision import (
+        prep_image_slots,
+        prep_mrope_position_ids,
+        prep_patch_metadata,
+    )
+
+    vspec = vlm_spec.vision
+    B, L = shape
+    mu = vspec.merge_unit
+    img_slot = np.zeros((B, L), np.int32)
+    mm_position_ids = np.zeros((3, B, L), np.int32)
+    pixels, segs, idxs, ws, coords = [], [], [], [], []
+    seg_base = 0  # running frame count (vision segment ids are 1-based)
+    merged_base = 0  # running rows in the merged-embedding buffer
+
+    for b, start, s in row_slots:
+        n = len(s)
+        sl = slice(start, start + n)
+        # default: sequential positions on all three mrope dims == plain rope
+        mm_position_ids[:, b, sl] = np.arange(n, dtype=np.int32)
+        mm = s.mm_kwargs
+        if not mm or "pixel_values" not in mm:
+            continue
+        grid = np.asarray(mm["image_grid_thw"], np.int64)
+        meta = prep_patch_metadata(grid, vspec)
+        pixels.append(np.asarray(mm["pixel_values"], np.float32))
+        segs.append(np.where(meta["seg_ids"] > 0, meta["seg_ids"] + seg_base, 0))
+        idxs.append(meta["pos_idx"])
+        ws.append(meta["pos_w"])
+        coords.append(meta["rope_coords"])
+        mm_position_ids[:, b, sl] = prep_mrope_position_ids(
+            s.token_ids, grid, vspec.spatial_merge_size,
+            vlm_spec.image_token_id, vlm_spec.video_token_id,
+        )
+        slots = prep_image_slots(
+            s.token_ids, vlm_spec.image_token_id, vlm_spec.video_token_id,
+            base=merged_base,
+        )
+        img_slot[b, sl] = slots
+        seg_base += int(meta["seg_ids"].max(initial=0))
+        merged_base += meta["seg_ids"].shape[0] // mu
+
+    P_real = sum(p.shape[0] for p in pixels)
+    if P_real > pad_patches:
+        raise ValueError(
+            f"{P_real} vision patches exceed max_mm_patches={pad_patches} "
+            "for one micro-batch; raise batch.max_mm_patches"
+        )
+    pd = vspec.patch_dim
+
+    def cat_pad(parts, empty_shape, pad_width):
+        out = np.concatenate(parts, axis=0) if parts else np.zeros(empty_shape, np.float32)
+        return np.pad(out, pad_width(pad_patches - out.shape[0]))
+
+    patches = cat_pad(pixels, (0, pd), lambda p: ((0, p), (0, 0)))
+    seg_arr = np.concatenate(segs) if segs else np.zeros(0, np.int32)
+    seg_arr = np.pad(seg_arr, (0, pad_patches - seg_arr.shape[0]))
+    pos_idx = (np.concatenate(idxs, axis=1) if idxs else np.zeros((4, 0), np.int32))
+    pos_idx = np.pad(pos_idx, ((0, 0), (0, pad_patches - pos_idx.shape[1])))
+    pos_w = np.concatenate(ws, axis=1) if ws else np.zeros((4, 0), np.float32)
+    pos_w = np.pad(pos_w, ((0, 0), (0, pad_patches - pos_w.shape[1])))
+    rc = np.concatenate(coords) if coords else np.zeros((0, 2), np.int32)
+    rc = np.pad(rc, ((0, pad_patches - rc.shape[0]), (0, 0)))
+    return {
+        "mm_patches": patches.astype(np.float32),
+        "mm_vis_seg_ids": seg_arr.astype(np.int32),
+        "mm_vis_pos_idx": pos_idx.astype(np.int32),
+        "mm_vis_pos_w": pos_w.astype(np.float32),
+        "mm_vis_rope_coords": rc.astype(np.int32),
+        "mm_img_slot": img_slot,
+        "mm_position_ids": mm_position_ids,
+    }
+
+
 def _optional_stream(samples, row_slots, shape, attr, fill=0.0):
     """Assemble an optional [B, L] stream; None iff absent in every sample."""
     if not any(getattr(s, attr) is not None for _, _, s in row_slots):
@@ -116,7 +202,8 @@ def _optional_stream(samples, row_slots, shape, attr, fill=0.0):
     return out
 
 
-def rows_to_arrays(rows: list[PackedRow], seq_len: int, batch_rows: int) -> MicroBatchArrays:
+def rows_to_arrays(rows: list[PackedRow], seq_len: int, batch_rows: int,
+                   vlm_spec=None, max_mm_patches: int = 0) -> MicroBatchArrays:
     """One micro-batch: ``batch_rows`` packed rows → [B, L] arrays.
 
     Alignment contract (current-token convention): the first token of every
@@ -155,7 +242,10 @@ def rows_to_arrays(rows: list[PackedRow], seq_len: int, batch_rows: int) -> Micr
             cursor += n
 
     shape = (B, L)
+    mm = (_assemble_mm(row_slots, shape, vlm_spec, max_mm_patches)
+          if vlm_spec is not None else {})
     return MicroBatchArrays(
+        **mm,
         input_ids=input_ids,
         loss_mask=loss_mask,
         advantages=advantages,
@@ -192,6 +282,8 @@ def prepare_batch(
     seq_len: int,
     micro_batch_rows: int,
     num_micro_batches: int | None = None,
+    vlm_spec=None,
+    max_mm_patches: int = 0,
 ) -> MicroBatchArrays:
     """TrainingSamples → one stacked [N, B, L] batch.
 
@@ -200,6 +292,12 @@ def prepare_batch(
     (recommended: set from config). If the rollouts overflow the pinned count,
     N grows to the minimum that fits — a recompile, never a dropped sample
     (reference: trainer/batch.py:576-617 capped bins).
+
+    ``vlm_spec`` (a VLM ModelSpec) turns on the multimodal streams: every
+    micro-batch then carries a padded ``max_mm_patches``-patch vision buffer
+    and mRoPE positions (sequential for text samples), so the pytree structure
+    — and therefore the compiled step — is uniform whether or not a given
+    micro-batch contains images.
     """
     rows = pack_rows(samples, seq_len)
     rows_per_mb = micro_batch_rows
@@ -216,7 +314,18 @@ def prepare_batch(
         )
         num_micro_batches = needed
     bins = balance_rows(rows, num_micro_batches, capacity=rows_per_mb)
-    mbs = [rows_to_arrays(b, seq_len, rows_per_mb) for b in bins]
+    if vlm_spec is not None and max_mm_patches <= 0:
+        # auto-size: largest real patch count over the bins, padded up — pin
+        # batch.max_mm_patches in config to keep step shapes constant
+        per_bin = [
+            sum(int(np.asarray(s.mm_kwargs["image_grid_thw"]).prod(axis=1).sum())
+                for row in b for s in row.samples
+                if s.mm_kwargs and "pixel_values" in s.mm_kwargs)
+            for b in bins
+        ]
+        max_mm_patches = max(256, -(-max(per_bin, default=0) // 256) * 256)
+    mbs = [rows_to_arrays(b, seq_len, rows_per_mb, vlm_spec, max_mm_patches)
+           for b in bins]
     return stack_micro_batches(mbs)
 
 

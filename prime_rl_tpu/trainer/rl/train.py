@@ -202,6 +202,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             batch = prepare_batch(
                 tb.examples, config.batch.seq_len, config.batch.micro_batch_size,
                 num_micro_batches=config.batch.num_micro_batches,
+                vlm_spec=spec if spec.vision is not None else None,
+                max_mm_patches=config.batch.max_mm_patches,
             )
             counts = token_counts(batch)
             if run_mgr is not None:

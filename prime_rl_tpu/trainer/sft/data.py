@@ -140,10 +140,13 @@ class MessagesDataset:
 class SFTBatchLoader:
     """Pulls examples from a dataset iterator and packs fixed-shape batches."""
 
-    def __init__(self, config: SFTDataConfig, dataset_iter: Iterator[TrainingSample]):
+    def __init__(self, config: SFTDataConfig, dataset_iter: Iterator[TrainingSample],
+                 vlm_spec=None, max_mm_patches: int = 0):
         self.config = config
         self.it = dataset_iter
         self.num_micro_batches = max(1, config.batch_size // max(config.micro_batch_size, 1))
+        self.vlm_spec = vlm_spec
+        self.max_mm_patches = max_mm_patches
 
     def next_batch(self) -> tuple[MicroBatchArrays, dict[str, int]]:
         samples = []
@@ -155,7 +158,9 @@ class SFTBatchLoader:
                 s = truncate_sample(s, self.config.seq_len)
             samples.append(s)
         batch = prepare_batch(
-            samples, self.config.seq_len, self.config.micro_batch_size, self.num_micro_batches
+            samples, self.config.seq_len, self.config.micro_batch_size,
+            self.num_micro_batches, vlm_spec=self.vlm_spec,
+            max_mm_patches=self.max_mm_patches,
         )
         return batch, token_counts(batch)
 
@@ -188,7 +193,9 @@ def _make_dataset(config: SFTDataConfig, tokenizer):
     return MessagesDataset(config, tokenizer)
 
 
-def setup_sft_loader(config: SFTDataConfig, tokenizer=None) -> SFTBatchLoader:
+def setup_sft_loader(config: SFTDataConfig, tokenizer=None, vlm_spec=None,
+                     max_mm_patches: int = 0) -> SFTBatchLoader:
+    mm = {"vlm_spec": vlm_spec, "max_mm_patches": max_mm_patches}
     if config.subsets:
         from dataclasses import asdict
 
@@ -200,5 +207,5 @@ def setup_sft_loader(config: SFTDataConfig, tokenizer=None) -> SFTBatchLoader:
             })
             iterators.append(iter(_make_dataset(sub_cfg, tokenizer)))
             ratios.append(sub.ratio)
-        return SFTBatchLoader(config, iter(InterleavedDataset(iterators, ratios, config.seed)))
-    return SFTBatchLoader(config, iter(_make_dataset(config, tokenizer)))
+        return SFTBatchLoader(config, iter(InterleavedDataset(iterators, ratios, config.seed)), **mm)
+    return SFTBatchLoader(config, iter(_make_dataset(config, tokenizer)), **mm)

@@ -68,7 +68,9 @@ def train(config: SFTConfig) -> None:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(config.tokenizer.name or config.model.name)
-    loader = setup_sft_loader(config.data, tokenizer)
+    vlm = {"vlm_spec": spec if spec.vision is not None else None,
+           "max_mm_patches": config.data.max_mm_patches}
+    loader = setup_sft_loader(config.data, tokenizer, **vlm)
 
     val_loader = None
     eval_step = None
@@ -76,7 +78,7 @@ def train(config: SFTConfig) -> None:
         val_data = config.data.model_copy(
             update={"seed": config.val.seed, "split": config.val.split}
         )
-        val_loader = setup_sft_loader(val_data, tokenizer)
+        val_loader = setup_sft_loader(val_data, tokenizer, **vlm)
         from prime_rl_tpu.trainer.step import make_loss_fn
 
         val_loss_fn = make_loss_fn(spec, config.model, loss_cfg,

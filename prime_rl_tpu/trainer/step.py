@@ -59,6 +59,15 @@ class MicroBatchArrays(NamedTuple):
     rl_weights: Array | None = None
     ce_weights: Array | None = None
     ref_kl_weights: Array | None = None
+    # VLM streams (present iff the model is a VLM family; trainer/batch.py
+    # _assemble_mm builds them uniformly for every micro-batch)
+    mm_patches: Array | None = None  # f32 [N, P, patch_dim]
+    mm_vis_seg_ids: Array | None = None  # int32 [N, P], 0 = pad
+    mm_vis_pos_idx: Array | None = None  # int32 [N, 4, P]
+    mm_vis_pos_w: Array | None = None  # f32 [N, 4, P]
+    mm_vis_rope_coords: Array | None = None  # int32 [N, P, 2]
+    mm_img_slot: Array | None = None  # int32 [N, B, L]
+    mm_position_ids: Array | None = None  # int32 [N, 3, B, L]
 
 
 class Scales(NamedTuple):
@@ -97,6 +106,16 @@ def model_logprobs(
     collect_aux = spec.is_moe and model_cfg.moe_aux_coef > 0
     if collect_aux:
         extra["collect_aux"] = True
+    if mb.mm_patches is not None:
+        extra["mm"] = {
+            "patches": mb.mm_patches,
+            "vis_seg_ids": mb.mm_vis_seg_ids,
+            "vis_pos_idx": mb.mm_vis_pos_idx,
+            "vis_pos_w": mb.mm_vis_pos_w,
+            "vis_rope_coords": mb.mm_vis_rope_coords,
+            "img_slot": mb.mm_img_slot,
+            "mm_position_ids": mb.mm_position_ids,
+        }
     hidden = family.forward(
         params, spec, mb.input_ids, mb.segment_ids, mb.position_ids,
         compute_dtype=jnp.bfloat16 if model_cfg.compute_dtype == "bfloat16" else jnp.float32,
@@ -267,10 +286,26 @@ def make_train_step(
     return jax.jit(step_fn, donate_argnums=(0,))
 
 
-def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None) -> NamedSharding:
+def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None,
+                   field: str = "") -> NamedSharding:
     """[N, B, L]: micro-batch axis unsharded (scan dim), batch over dp axes,
     sequence over context. Axes that don't divide the dim fall back to
-    replicated on that dim (e.g. B=1 micro-batches on a dp>1 mesh)."""
+    replicated on that dim (e.g. B=1 micro-batches on a dp>1 mesh).
+
+    VLM fields: the patch buffer and its metadata are replicated (the vision
+    tower runs whole-buffer — every dp shard needs the full merged-embedding
+    table to gather from); mm_img_slot follows [N, B, L]; mm_position_ids has
+    an extra leading (t,h,w) dim before (B, L)."""
+    if field.startswith("mm_") and field != "mm_img_slot":
+        if field == "mm_position_ids":
+            spec = [None, None, DATA_AXES, "context"]
+            if shape is not None:
+                if shape[2] % mesh_info.dp_size != 0:
+                    spec[2] = None
+                if shape[3] % mesh_info.cp_size != 0:
+                    spec[3] = None
+            return NamedSharding(mesh_info.mesh, P(*spec))
+        return mesh_info.replicated()
     spec = [None, DATA_AXES, "context"]
     if shape is not None:
         if shape[1] % mesh_info.dp_size != 0:
@@ -288,8 +323,16 @@ def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
     movement — reference: rl/train.py per-rank MicroBatch feed)."""
     world = jax.process_count()
     if world == 1:
-        return jax.tree.map(
-            lambda x: jax.device_put(x, batch_sharding(mesh_info, x.shape)), batch
+        return MicroBatchArrays(*[
+            None if x is None
+            else jax.device_put(x, batch_sharding(mesh_info, x.shape, f))
+            for f, x in zip(MicroBatchArrays._fields, batch)
+        ])
+
+    if batch.mm_patches is not None:
+        raise NotImplementedError(
+            "multi-process VLM batches need a per-rank patch-buffer contract "
+            "(replicated vision buffers would disagree across ranks)"
         )
 
     def put(x):
