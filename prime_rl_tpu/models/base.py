@@ -107,6 +107,18 @@ class ModelSpec:
     image_token_id: int = -1
     video_token_id: int = -1
     vision_start_token_id: int = -1
+    # MLA / DSA axes (deepseek_v3, glm_moe_dsa — reference:
+    # glm_moe_dsa/sparse_mla_attention.py SparseMlaAttentionArgs): latent
+    # q/kv projections; index_topk > 0 turns on the DSA sparse indexer.
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 0  # > 0 selects MLA attention
+    qk_rope_head_dim: int = 0
+    qk_nope_head_dim: int = 0
+    v_head_dim: int = 0
+    index_n_heads: int = 0
+    index_head_dim: int = 0
+    index_topk: int = 0  # 0 = dense MLA attention
+    rope_interleave: bool = False  # interleaved (non-neox) rope pairing
     # YaRN rope scaling (gpt-oss 131k; 0 factor = off)
     rope_yarn_factor: float = 0.0
     rope_yarn_orig_max: int = 0
@@ -402,6 +414,10 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         return _vlm_spec_from_hf_config(cfg, arch)
     if "nemotronh" in arch.replace("_", ""):
         family = "nemotron_h"
+    elif "glmmoedsa" in arch.replace("_", ""):
+        family = "glm_moe_dsa"
+    elif "deepseekv3" in arch.replace("_", ""):
+        family = "deepseek_v3"
     elif "gptoss" in arch.replace("_", ""):
         family = "gpt_oss"
     elif "glm4moe" in arch.replace("_", ""):
@@ -416,6 +432,31 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         raise ValueError(f"unsupported architecture {arch}")
     head_dim = cfg.get("head_dim") or cfg["hidden_size"] // cfg["num_attention_heads"]
     extra: dict = {}
+    if family in ("deepseek_v3", "glm_moe_dsa"):
+        extra = dict(
+            num_experts=cfg.get("n_routed_experts", 0) or 0,
+            qk_norm=False,
+            n_shared_experts=int(cfg.get("n_shared_experts", 0) or 0),
+            first_k_dense_replace=int(cfg.get("first_k_dense_replace", 0) or 0),
+            routed_scaling_factor=float(cfg.get("routed_scaling_factor", 1.0)),
+            router_sigmoid=(cfg.get("scoring_func", "sigmoid") == "sigmoid"),
+            n_group=int(cfg.get("n_group", 1) or 1),
+            topk_group=int(cfg.get("topk_group", 1) or 1),
+            attn_bias=bool(cfg.get("attention_bias", False)),
+            q_lora_rank=int(cfg.get("q_lora_rank") or 0),
+            kv_lora_rank=int(cfg["kv_lora_rank"]),
+            qk_rope_head_dim=int(cfg["qk_rope_head_dim"]),
+            qk_nope_head_dim=int(cfg["qk_nope_head_dim"]),
+            v_head_dim=int(cfg["v_head_dim"]),
+            rope_interleave=bool(cfg.get("rope_interleave", True)),
+        )
+        head_dim = int(cfg["qk_nope_head_dim"]) + int(cfg["qk_rope_head_dim"])
+        if family == "glm_moe_dsa":
+            extra.update(
+                index_n_heads=int(cfg.get("index_n_heads", 32)),
+                index_head_dim=int(cfg.get("index_head_dim", 128)),
+                index_topk=int(cfg.get("index_topk", 2048)),
+            )
     if family == "glm4_moe":
         extra = dict(
             num_experts=cfg.get("n_routed_experts", 0) or 0,
@@ -606,6 +647,19 @@ PARAM_SPECS: dict[str, P] = {
     # nemotron_h LatentMoE latent projections
     "layers.fc1_latent": P(None, "fsdp", "tensor"),
     "layers.fc2_latent": P(None, "tensor", "fsdp"),
+    # MLA (deepseek_v3 / glm_moe_dsa): latent projections shard like q/k/v;
+    # the tiny indexer weights ride fsdp only, its norms replicate
+    "layers.q_a": P(None, "fsdp", "tensor"),
+    "layers.q_a_norm": P(None),
+    "layers.q_b": P(None, "fsdp", "tensor"),
+    "layers.kv_a": P(None, "fsdp", "tensor"),
+    "layers.kv_a_norm": P(None),
+    "layers.kv_b": P(None, "fsdp", "tensor"),
+    "layers.idx_wq_b": P(None, "fsdp", "tensor"),
+    "layers.idx_wk": P(None, "fsdp", None),
+    "layers.idx_k_norm_w": P(None),
+    "layers.idx_k_norm_b": P(None),
+    "layers.idx_w_proj": P(None, "fsdp", None),
 }
 
 # nemotron_h hybrid stacks reuse the layers.* rules field-by-field

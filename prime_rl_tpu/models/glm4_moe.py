@@ -191,14 +191,18 @@ def _attn_keys(spec: ModelSpec):
     return keys
 
 
-def params_from_hf_state_dict(state: dict, spec: ModelSpec, dtype=np.float32) -> Params:
+def params_from_hf_state_dict(state: dict, spec: ModelSpec, dtype=np.float32,
+                              attn_keys=None) -> Params:
+    """``attn_keys`` lets MLA-attention families (mla_moe) reuse this
+    converter's shared trunk (embed/norm/MoE/dense-MLP) with their own
+    attention key table."""
     def get(key, tr):
         arr = np.asarray(state[key], dtype=dtype)
         return arr.T if tr else arr
 
     k_dense = spec.first_k_dense_replace
     nl, e = spec.num_layers, spec.num_experts
-    akeys = _attn_keys(spec)
+    akeys = attn_keys or _attn_keys(spec)
 
     def layer_attn(i):
         return {f: get(f"model.layers.{i}.{suf}", tr) for f, suf, tr in akeys}
@@ -243,12 +247,12 @@ def params_from_hf_state_dict(state: dict, spec: ModelSpec, dtype=np.float32) ->
     return jax.tree.map(jnp.asarray, params)
 
 
-def params_to_hf_state_dict(params: Params, spec: ModelSpec) -> dict:
+def params_to_hf_state_dict(params: Params, spec: ModelSpec, attn_keys=None) -> dict:
     state: dict[str, np.ndarray] = {}
     state["model.embed_tokens.weight"] = np.asarray(params["embed"])
     state["model.norm.weight"] = np.asarray(params["final_norm"])
     k_dense = spec.first_k_dense_replace
-    akeys = _attn_keys(spec)
+    akeys = attn_keys or _attn_keys(spec)
 
     def put_attn(i, lp):
         for f, suf, tr in akeys:
