@@ -122,6 +122,9 @@ class OrchestratorConfig(BaseConfig):
     # eval has its own permit pool so an eval epoch never starves train
     # dispatch (reference: dispatcher.py PREFER_* permit policies)
     max_inflight_eval_episodes: int = 32
+    # dispatch throttle: at most this many rollout starts per minute
+    # (0 = unlimited; reference: dispatcher.py AsyncLimiter tasks_per_minute)
+    tasks_per_minute: int = 0
     max_steps: int | None = None
     max_empty_batches: int = 10
 

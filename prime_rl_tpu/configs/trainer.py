@@ -115,7 +115,9 @@ class DeviceWeightBroadcastConfig(BaseConfig):
     mode: Literal["colocated", "shm", "zmq_stream"] = "colocated"
     # cast float leaves before transfer (serving computes in bf16 anyway);
     # the reference quantizes-in-transfer the same way (broadcast/nccl.py:34-68)
-    transfer_dtype: Literal["bfloat16", "float32"] | None = "bfloat16"
+    # float8_e4m3: per-tensor-scaled fp8 quantize-in-transfer — halves the
+    # wire size vs bf16 (reference: broadcast/nccl.py:34-68 fp8 transfer)
+    transfer_dtype: Literal["bfloat16", "float32", "float8_e4m3"] | None = "bfloat16"
     pub_port: int = 5561  # zmq_stream publish port
     rep_port: int = 5562  # zmq_stream latest-pull port
 

@@ -130,6 +130,11 @@ class Orchestrator:
         # train dispatch (reference: dispatcher PREFER_* permit policies,
         # dispatcher.py:54-58,150-152)
         self._eval_permits = asyncio.Semaphore(config.max_inflight_eval_episodes)
+        from prime_rl_tpu.utils.async_utils import RateLimiter
+
+        # dispatch throttle shared by train + eval starts (reference:
+        # dispatcher.py rate_limiter = AsyncLimiter(tasks_per_minute))
+        self._rate_limiter = RateLimiter(config.tasks_per_minute)
         self._group_done: asyncio.Queue[GroupState] = asyncio.Queue()
         self.eval_sources: dict[str, EnvSource] = {}
         self._eval_runs: dict[tuple[str, int], EvalRun] = {}
@@ -227,6 +232,7 @@ class Orchestrator:
             top_k=src.config.sampling.top_k,
         )
         for i in range(group.group_size):
+            await self._rate_limiter.acquire()
             await self._permits.acquire()
             group.tasks.append(asyncio.create_task(
                 self._run_rollout(group, src, sampling, base_url, pool)
@@ -315,6 +321,7 @@ class Orchestrator:
                 kind="eval", eval_step=step,
             )
             for _ in range(group.group_size):
+                await self._rate_limiter.acquire()
                 await self._eval_permits.acquire()
                 group.tasks.append(asyncio.create_task(
                     self._run_rollout(group, src, sampling, base_url)

@@ -94,11 +94,11 @@ class WeightPlaneReceiver(threading.Thread):
     # -- apply --------------------------------------------------------------
 
     def _apply(self, named: dict[str, np.ndarray], version: int) -> None:
-        from prime_rl_tpu.transport.weights import unflatten_params
+        from prime_rl_tpu.transport.weights import dequantize_named, unflatten_params
 
         logger = get_logger()
         t0 = time.perf_counter()
-        params = unflatten_params(named)
+        params = unflatten_params(dequantize_named(named))
         self.engine.pause()
         try:
             self.engine.update_params(params, version=version)

@@ -65,6 +65,32 @@ def _cast_floats(params: Params, dtype: str | None) -> Params:
     )
 
 
+def _to_wire(params: Params, transfer_dtype: str | None) -> dict:
+    """Flatten + move to host in the wire format. ``transfer_dtype``
+    'float8_e4m3' quantizes every >=2-D float tensor on DEVICE with a
+    per-tensor absmax scale (1 byte/param on the wire — half of bf16; the
+    reference's fp8 quantize-in-transfer, broadcast/nccl.py:34-68); the
+    scale rides a tiny ``path!scale`` companion entry. Norms/scalars stay
+    in their native dtype. Other values are a plain device-side cast."""
+    import jax
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.transport.weights import SCALE_SUFFIX, flatten_params
+
+    if transfer_dtype != "float8_e4m3":
+        return jax.device_get(flatten_params(_cast_floats(params, transfer_dtype)))
+    named = flatten_params(params)
+    out = {}
+    for p, a in named.items():
+        if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2:
+            scale = jnp.maximum(jnp.max(jnp.abs(a.astype(jnp.float32))), 1e-12) / 448.0
+            out[p] = (a.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+            out[p + SCALE_SUFFIX] = scale.reshape(1).astype(jnp.float32)
+        else:
+            out[p] = a
+    return jax.device_get(out)
+
+
 class ShmBroadcast:
     """Same-host disaggregated weight plane: the sampler runs in its OWN
     process (own chips/devices) and receives per-step weights through a
@@ -80,18 +106,12 @@ class ShmBroadcast:
         self._dtype = transfer_dtype
 
     def publish(self, params: Params, version: int) -> None:
-        import jax
+        from prime_rl_tpu.transport.weights import ShmWeightWriter, WeightLayout
 
-        from prime_rl_tpu.transport.weights import (
-            ShmWeightWriter,
-            WeightLayout,
-            flatten_params,
-        )
-
-        host = jax.device_get(_cast_floats(params, self._dtype))
+        named = _to_wire(params, self._dtype)
         if self._writer is None:
-            self._writer = ShmWeightWriter(self._name, WeightLayout.from_params(host))
-        self._writer.publish(flatten_params(host), version)
+            self._writer = ShmWeightWriter(self._name, WeightLayout.from_params(named))
+        self._writer.publish(named, version)
 
     def close(self) -> None:
         if self._writer is not None:
@@ -110,12 +130,7 @@ class ZmqStreamBroadcast:
         self._dtype = transfer_dtype
 
     def publish(self, params: Params, version: int) -> None:
-        import jax
-
-        from prime_rl_tpu.transport.weights import flatten_params
-
-        host = jax.device_get(_cast_floats(params, self._dtype))
-        self._writer.publish(flatten_params(host), version)
+        self._writer.publish(_to_wire(params, self._dtype), version)
 
     def close(self) -> None:
         self._writer.close()

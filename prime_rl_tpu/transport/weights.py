@@ -43,11 +43,13 @@ _LAYOUT_CAP = 1 << 20  # 1 MiB JSON manifest region
 
 
 def _np_dtype(name: str) -> np.dtype:
-    if name == "bfloat16":
+    try:
+        return np.dtype(name)
+    except TypeError:
+        # bfloat16 / float8_* wire dtypes live in ml_dtypes
         import ml_dtypes
 
-        return np.dtype(ml_dtypes.bfloat16)
-    return np.dtype(name)
+        return np.dtype(getattr(ml_dtypes, name))
 
 
 def _dtype_name(dt) -> str:
@@ -138,6 +140,31 @@ def unflatten_params(named: dict[str, np.ndarray]) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = arr
     return root
+
+
+SCALE_SUFFIX = "!scale"  # companion per-tensor dequant scale entries
+
+
+def dequantize_named(named: dict[str, np.ndarray],
+                     target: str = "bfloat16") -> dict[str, np.ndarray]:
+    """Undo quantize-in-transfer: for every ``path!scale`` companion entry,
+    dequantize ``path`` (fp8 wire format) to ``target`` and drop the scale
+    (reference: broadcast/nccl.py:34-68 quantize-in-transfer, received side).
+    A dict with no scale entries passes through unchanged."""
+    scales = {p[: -len(SCALE_SUFFIX)]: a for p, a in named.items()
+              if p.endswith(SCALE_SUFFIX)}
+    if not scales:
+        return named
+    tgt = _np_dtype(target)
+    out = {}
+    for p, a in named.items():
+        if p.endswith(SCALE_SUFFIX):
+            continue
+        if p in scales:
+            out[p] = (a.astype(np.float32) * np.float32(scales[p].reshape(-1)[0])).astype(tgt)
+        else:
+            out[p] = a
+    return out
 
 
 def resolve_plane_id(output_dir: str) -> str:

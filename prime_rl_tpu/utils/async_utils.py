@@ -52,3 +52,28 @@ async def safe_cancel(task: asyncio.Task, timeout: float = 5.0) -> None:
         await asyncio.wait_for(task, timeout)
     except (asyncio.CancelledError, asyncio.TimeoutError):
         pass
+
+
+class RateLimiter:
+    """Rolling-window task-start throttle (reference: dispatcher.py
+    AsyncLimiter(tasks_per_minute)): ``acquire()`` admits at most ``rate``
+    starts per ``period`` seconds, sleeping until the oldest start in the
+    window expires. ``rate <= 0`` disables (acquire returns immediately)."""
+
+    def __init__(self, rate: int, period: float = 60.0):
+        self.rate = rate
+        self.period = period
+        self._starts: list[float] = []
+        self._lock = asyncio.Lock()
+
+    async def acquire(self) -> None:
+        if self.rate <= 0:
+            return
+        async with self._lock:  # FIFO fairness: one waiter computes at a time
+            while True:
+                now = time.monotonic()
+                self._starts = [t for t in self._starts if now - t < self.period]
+                if len(self._starts) < self.rate:
+                    self._starts.append(now)
+                    return
+                await asyncio.sleep(self._starts[0] + self.period - now)

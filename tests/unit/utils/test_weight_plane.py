@@ -162,3 +162,48 @@ def test_zmq_stream_roundtrip():
         reader.close()
     finally:
         writer.close()
+
+
+def test_fp8_quantize_in_transfer_roundtrip(tmp_path):
+    """fp8 wire format: device-side quantize (per-tensor absmax scale),
+    shm publish, receiver dequantize — values match within e4m3 precision
+    and the payload shrinks ~2x vs bf16 (reference: broadcast/nccl.py:34-68)."""
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.trainer.rl.broadcast import _to_wire
+    from prime_rl_tpu.transport.weights import SCALE_SUFFIX, dequantize_named
+
+    p_host = make_params()
+    p = {k if not isinstance(v, dict) else k: v for k, v in p_host.items()}
+    p = {"embed": jnp.asarray(np.asarray(p_host["embed"], np.float32)),
+         "layers": {k: jnp.asarray(v) for k, v in p_host["layers"].items()},
+         "final_norm": jnp.asarray(p_host["final_norm"])}
+
+    wire = _to_wire(p, "float8_e4m3")
+    assert "embed" + SCALE_SUFFIX in wire
+    assert str(wire["embed"].dtype) == "float8_e4m3fn"
+    assert "final_norm" + SCALE_SUFFIX not in wire  # 1-D stays native
+
+    bf16_bytes = sum(np.asarray(v).size * 2 for v in flatten_params(p).values())
+    wire_bytes = sum(np.asarray(v).nbytes for v in wire.values())
+    assert wire_bytes < 0.6 * bf16_bytes
+
+    # through the shm arena
+    name = shm_name_for(str(tmp_path))
+    writer = ShmWeightWriter(name, WeightLayout.from_params(wire))
+    try:
+        writer.publish(wire, version=3)
+        reader = ShmWeightReader(name)
+        host = {}
+        version, ok = reader.read(-1, lambda views: host.update(
+            {k: np.array(v, copy=True) for k, v in views.items()}))
+        assert ok and version == 3
+        deq = dequantize_named(host)
+        assert SCALE_SUFFIX not in "".join(deq.keys())
+        for k, v in deq.items():
+            ref = np.asarray(flatten_params(p)[k], np.float32)
+            np.testing.assert_allclose(np.asarray(v, np.float32), ref,
+                                       rtol=0.13, atol=0.05, err_msg=k)
+        reader.close()
+    finally:
+        writer.close()
