@@ -36,6 +36,7 @@ def main() -> None:
                    help="park optimizer state in host memory (long-context)")
     p.add_argument("--block-q", type=int, default=None)
     p.add_argument("--block-kv", type=int, default=None)
+    p.add_argument("--attn-impl", default=None, help="auto|pallas|xla")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
@@ -68,6 +69,8 @@ def main() -> None:
         cfg.model.attn.block_q = args.block_q
     if args.block_kv:
         cfg.model.attn.block_kv = args.block_kv
+    if args.attn_impl:
+        cfg.model.attn.impl = args.attn_impl
     spec = get_spec(args.model)
 
     optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)

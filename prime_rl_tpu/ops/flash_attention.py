@@ -151,18 +151,27 @@ def _fwd_kernel(
             lse_ref[0, 0, 0] = jnp.where(l > 0, m_ref[:, 0] + jnp.log(l_safe), NEG_INF)
 
 
-def _kv_index_map(block_q, block_kv, window, nkv_total, group):
+def _kv_index_map(block_q, block_kv, window, nkv_total, group, causal=False):
     def index_map(bi, h, i, j):
         j_abs = _band_lo(i, block_q, block_kv, window) + j
-        return (bi, h // group, jnp.minimum(j_abs, nkv_total - 1), 0)
+        cap = nkv_total - 1
+        if causal:
+            # clamp past-diagonal cells to the diagonal block: Mosaic skips
+            # the DMA when the mapped block index doesn't change, so the
+            # ~50% of causal cells the kernel predicates away fetch nothing
+            cap = jnp.minimum(cap, (i * block_q + block_q - 1) // block_kv)
+        return (bi, h // group, jnp.minimum(j_abs, cap), 0)
 
     return index_map
 
 
-def _kvseg_index_map(block_q, block_kv, window, nkv_total):
+def _kvseg_index_map(block_q, block_kv, window, nkv_total, causal=False):
     def index_map(bi, h, i, j):
         j_abs = _band_lo(i, block_q, block_kv, window) + j
-        return (bi, 0, jnp.minimum(j_abs, nkv_total - 1))
+        cap = nkv_total - 1
+        if causal:
+            cap = jnp.minimum(cap, (i * block_q + block_q - 1) // block_kv)
+        return (bi, 0, jnp.minimum(j_abs, cap))
 
     return index_map
 
@@ -187,10 +196,10 @@ def _fwd(q, k, v, sinks, seg_q, seg_kv, causal, scale, window, has_sinks, block_
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
-            pl.BlockSpec((1, 1, block_kv), _kvseg_index_map(block_q, block_kv, window, nkv)),
+            pl.BlockSpec((1, 1, block_kv), _kvseg_index_map(block_q, block_kv, window, nkv, causal)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
-            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
+            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group, causal)),
+            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group, causal)),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
@@ -372,10 +381,10 @@ def _bwd(causal, scale, window, has_sinks, block_q, block_kv, res, g):
         grid=(b, nh, nq, nband_kv),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, h, i, j: (bi, 0, i)),
-            pl.BlockSpec((1, 1, block_kv), _kvseg_index_map(block_q, block_kv, window, nkv)),
+            pl.BlockSpec((1, 1, block_kv), _kvseg_index_map(block_q, block_kv, window, nkv, causal)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
-            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group)),
+            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group, causal)),
+            pl.BlockSpec((1, 1, block_kv, d), _kv_index_map(block_q, block_kv, window, nkv, group, causal)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, h, i, j: (bi, h, i, 0)),
             pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, i, j: (bi, h, 0, i)),
             pl.BlockSpec((1, 1, 1, block_q), lambda bi, h, i, j: (bi, h, 0, i)),

@@ -77,6 +77,9 @@ class _Request:
     on_token: "callable | None" = None
     request_id: str | None = None
     aborted: bool = False
+    # VLM inputs (host numpy): {"pixel_values": [P, patch_dim] f32,
+    # "image_grid_thw": [n, 3]} — HF-processor layout
+    mm: dict | None = None
 
 
 @dataclass
@@ -170,6 +173,10 @@ class Engine:
         self._d_topk = jnp.full((s,), -1, jnp.int32)
         self._d_topp = jnp.ones((s,), jnp.float32)
         self._d_adapter = jnp.zeros((s,), jnp.int32)
+        # VLM: per-slot rope-position offset (mRoPE decode continuation)
+        self._d_pos_delta = jnp.zeros((s,), jnp.int32)
+        self._vision_fns: dict[int, any] = {}
+        self._mm_buckets = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
         self._d_table = jnp.asarray(self.slots.page_table)
         self._d_key = jax.random.key(seed)
 
@@ -197,11 +204,12 @@ class Engine:
         # as a drain handle while the next step consumes them as input
         @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10))
         def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
-                      temp, top_k, top_p, key, adapter):
+                      temp, top_k, top_p, key, adapter, pos_delta):
             k_pool, v_pool, logits = smodel.decode(
                 params, spec, k_pool, v_pool, tokens, lengths, page_table,
                 compute_dtype=dtype, attn_impl=impl,
                 adapter_idx=adapter if lora_on else None,
+                pos_delta=pos_delta,
             )
             step_key, next_key = jax.random.split(key)
             out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
@@ -213,9 +221,9 @@ class Engine:
     def _build_set_slot(self):
         # tokens not donated: the buffer may be aliased by a pending drain
         # handle from the decode pipeline
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6))
-        def set_slot(tokens, lengths, active, temp, topk, topp, adapter,
-                     slot, token, length, temp_v, topk_v, topp_v, adapter_v):
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        def set_slot(tokens, lengths, active, temp, topk, topp, adapter, pos_delta,
+                     slot, token, length, temp_v, topk_v, topp_v, adapter_v, delta_v):
             return (
                 tokens.at[slot].set(token),
                 lengths.at[slot].set(length),
@@ -224,12 +232,13 @@ class Engine:
                 topk.at[slot].set(topk_v),
                 topp.at[slot].set(topp_v),
                 adapter.at[slot].set(adapter_v),
+                pos_delta.at[slot].set(delta_v),
             )
 
         return set_slot
 
-    def _prefill_fn(self, lpad: int, want_plp: bool):
-        fn = self._prefill_fns.get((lpad, want_plp))
+    def _prefill_fn(self, lpad: int, want_plp: bool, with_mm: bool = False):
+        fn = self._prefill_fns.get((lpad, want_plp, with_mm))
         if fn is None:
             spec, dtype, impl = self.spec, self.compute_dtype, self._prefill_attn_impl
 
@@ -237,18 +246,77 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(1, 2))
             def prefill_fn(params, k_pool, v_pool, ids, length, pages, temp, top_k, top_p,
-                           key, adapter):
+                           key, adapter, mm=None):
                 k_pool, v_pool, last_hidden, plp = smodel.prefill(
                     params, spec, k_pool, v_pool, ids, length, pages,
                     compute_dtype=dtype, attn_impl=impl, want_prompt_logprobs=want_plp,
-                    adapter_idx=adapter if lora_on else None,
+                    adapter_idx=adapter if lora_on else None, mm=mm,
                 )
                 logits = smodel.logits_from_hidden(params, spec, last_hidden[None], dtype)
                 tok, lp = sample_tokens(logits, temp, top_k, top_p, key)
                 return k_pool, v_pool, tok[0], lp[0], plp
 
-            fn = self._prefill_fns[(lpad, want_plp)] = prefill_fn
+            fn = self._prefill_fns[(lpad, want_plp, with_mm)] = prefill_fn
         return fn
+
+    def _vision_fn(self):
+        """Jitted vision tower over a padded patch bucket (retraces per
+        bucket shape): (patches, seg, pos_idx, pos_w, coords) ->
+        (merged [R, out_D], deepstack [n_ds, R, out_D])."""
+        if not self._vision_fns:
+            vspec, dtype = self.spec.vision, self.compute_dtype
+
+            @jax.jit
+            def vision_fn(params, patches, seg, pos_idx, pos_w, coords):
+                from prime_rl_tpu.models.vision import vision_forward
+
+                return vision_forward(params["vision"], vspec, patches, seg,
+                                      pos_idx, pos_w, coords, compute_dtype=dtype)
+
+            self._vision_fns[0] = vision_fn
+        return self._vision_fns[0]
+
+    def _prep_mm(self, req: _Request, n: int, lpad: int):
+        """Host-side VLM prep + vision-tower run for one request. Returns
+        (mm device dict for prefill, pos_delta int)."""
+        from prime_rl_tpu.models.vision import (
+            mrope_dim_select,
+            prep_image_slots,
+            prep_mrope_position_ids,
+            prep_patch_metadata,
+        )
+
+        spec, vspec = self.spec, self.spec.vision
+        grid = np.asarray(req.mm["image_grid_thw"], np.int64)
+        pixels = np.asarray(req.mm["pixel_values"], np.float32)
+        pb = _bucket(max(pixels.shape[0], 1), self._mm_buckets)
+        meta = prep_patch_metadata(grid, vspec, pad_to=pb)
+        if pixels.shape[0] < pb:
+            pixels = np.pad(pixels, ((0, pb - pixels.shape[0]), (0, 0)))
+        ids_np = np.asarray(req.prompt, np.int32)
+        mpos = prep_mrope_position_ids(
+            ids_np, grid, vspec.spatial_merge_size,
+            spec.image_token_id, spec.video_token_id,
+        )  # [3, n]
+        pos_delta = int(mpos.max()) + 1 - n
+        sel = mrope_dim_select(tuple(spec.mrope_section), spec.head_dim // 2)
+        pf = mpos[sel].T.astype(np.int32)  # [n, rot//2] per-frequency positions
+        pf = np.pad(pf, ((0, lpad - n), (0, 0)))
+        slots = np.zeros((lpad,), np.int32)
+        slots[:n] = prep_image_slots(ids_np, spec.image_token_id, spec.video_token_id)
+
+        merged, ds = self._vision_fn()(
+            self.params, jnp.asarray(pixels), jnp.asarray(meta["seg_ids"]),
+            jnp.asarray(meta["pos_idx"]), jnp.asarray(meta["pos_w"]),
+            jnp.asarray(meta["rope_coords"]),
+        )
+        mm = {
+            "vis_embed": merged,
+            "ds_feats": ds,
+            "img_slot": jnp.asarray(slots)[None],
+            "positions": jnp.asarray(pf)[None],
+        }
+        return mm, pos_delta
 
     def _chunk_fn(self, c: int):
         fn = self._chunk_fns.get(c)
@@ -285,9 +353,10 @@ class Engine:
     # -- public API ---------------------------------------------------------
 
     def submit(self, prompt: list[int], params: SamplingParams | None = None,
-               on_token=None, request_id: str | None = None) -> Future:
+               on_token=None, request_id: str | None = None,
+               mm: dict | None = None) -> Future:
         req = _Request(list(prompt), params or SamplingParams(), Future(), on_token,
-                       request_id=request_id)
+                       request_id=request_id, mm=mm)
         with self._lock:
             self.pending.append(req)
             if request_id is not None:
@@ -477,6 +546,17 @@ class Engine:
                         f"tokens exceeds the largest bucket {self.buckets[-1]}"))
                     progress = True
                     break
+                if req.mm is not None and n > self.buckets[-1]:
+                    self._reject(req, ValueError(
+                        f"multimodal prompts need a single-shot prefill; prompt of {n} "
+                        f"tokens exceeds the largest bucket {self.buckets[-1]}"))
+                    progress = True
+                    break
+                if req.mm is not None and self.spec.vision is None:
+                    self._reject(req, ValueError(
+                        f"model family {self.spec.family!r} takes no multimodal inputs"))
+                    progress = True
+                    break
                 if i > 0 and self._hol_strikes > self.HOL_MAX_STRIKES:
                     break  # head has waited long enough: stop skipping it
                 if self._try_admit(req):
@@ -502,7 +582,9 @@ class Engine:
         n = max(len(req.prompt), 1)
         ps = self.config.page_size
         hashes: list[int] = []
-        if self.slots.cache is not None and not sp.prompt_logprobs:
+        # mm requests skip prefix reuse: identical image-pad token runs would
+        # false-share pages across DIFFERENT images (the hash sees only ids)
+        if self.slots.cache is not None and not sp.prompt_logprobs and req.mm is None:
             # shareable: full pages strictly before the last prompt token
             # (at least one token is always computed → last_hidden exists)
             n_shareable = ((n - 1) // ps) * ps
@@ -530,12 +612,15 @@ class Engine:
                 self._drain(force=True)
 
     def generate(
-        self, prompts: list[list[int]], params: SamplingParams | list[SamplingParams] | None = None
+        self, prompts: list[list[int]], params: SamplingParams | list[SamplingParams] | None = None,
+        mm: list[dict | None] | None = None,
     ) -> list[GenerationResult]:
         """Synchronous batch helper (tests / offline eval)."""
         if not isinstance(params, list):
             params = [params] * len(prompts)
-        futures = [self.submit(p, sp) for p, sp in zip(prompts, params)]
+        if mm is None:
+            mm = [None] * len(prompts)
+        futures = [self.submit(p, sp, mm=m) for p, sp, m in zip(prompts, params, mm)]
         self.run_until_idle()
         return [f.result() for f in futures]
 
@@ -556,6 +641,7 @@ class Engine:
         topk = jnp.asarray([sp.top_k], jnp.int32)
         topp = jnp.asarray([sp.top_p], jnp.float32)
         plp = None
+        pos_delta = 0
         if shared_tokens == 0 and n <= self.buckets[-1]:
             # fused single-shot prefill (flash attention over the bucket)
             lpad = _bucket(n, self.buckets)
@@ -564,11 +650,16 @@ class Engine:
             pages = np.asarray(
                 self.slots.page_table[slot][: lpad // ps], np.int32
             )
-            fn = self._prefill_fn(lpad, sp.prompt_logprobs)
+            with_mm = req.mm is not None
+            mm_dev = None
+            if with_mm:
+                mm_dev, pos_delta = self._prep_mm(req, n, lpad)
+            fn = self._prefill_fn(lpad, sp.prompt_logprobs, with_mm)
             self.k_pool, self.v_pool, tok, lp, plp = fn(
                 self.params, self.k_pool, self.v_pool,
                 jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
                 temp, topk, topp, key, adapter_row,
+                **({"mm": mm_dev} if with_mm else {}),
             )
         else:
             # incremental prefill: skip the cached prefix, process the rest
@@ -600,12 +691,14 @@ class Engine:
         self.active[slot] = active
         # seed device state (async; ordering preserved by dispatch stream)
         (self._d_tokens, self._d_lengths, self._d_active,
-         self._d_temp, self._d_topk, self._d_topp, self._d_adapter) = self._set_slot_fn(
+         self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+         self._d_pos_delta) = self._set_slot_fn(
             self._d_tokens, self._d_lengths, self._d_active,
             self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+            self._d_pos_delta,
             jnp.int32(slot), tok, jnp.int32(n),
             jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
-            adapter_row,
+            adapter_row, jnp.int32(pos_delta),
         )
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)
@@ -632,6 +725,7 @@ class Engine:
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
             self._d_temp, self._d_topk, self._d_topp, self._d_key, self._d_adapter,
+            self._d_pos_delta,
         )
         self._d_tokens = out_tokens
         self._dispatch_seq += 1
@@ -640,7 +734,14 @@ class Engine:
         self._inflight.append(_StepOutput(self._dispatch_seq, out_tokens, out_logprobs, slots))
 
     def _drain(self, force: bool = False) -> None:
-        if not self._inflight or (not force and len(self._inflight) < self.LOOKAHEAD):
+        if not self._inflight:
+            if force:
+                # no decode steps in flight (e.g. a scoring-only request that
+                # never dispatched): release finished slots NOW, or the
+                # engine spins forever with a non-empty `active`
+                self._process_deferred(self._dispatch_seq, drained_all=True)
+            return
+        if not force and len(self._inflight) < self.LOOKAHEAD:
             return
         # one batched host fetch for every queued step (per-step fetches pay a
         # full host<->device round-trip each; this pays one per LOOKAHEAD)

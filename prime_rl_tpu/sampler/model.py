@@ -198,12 +198,20 @@ def prefill(
     attn_impl: str = "auto",
     want_prompt_logprobs: bool = False,
     adapter_idx: jax.Array | None = None,  # scalar int32: LoRA bank row (0 = none)
+    mm: dict | None = None,
 ):
     """Returns (k_pool, v_pool, last_hidden [D], prompt_logprobs [Lpad]|None).
 
     ``prompt_logprobs[i] = logp(token_i | tokens_<i)`` (position 0 is the
     uniform pad) — the scoring surface for OPD/prefill-scoring
     (reference: utils/client.py:599 prefill_logprobs).
+
+    ``mm`` (VLM serving prefill, reference: vLLM multimodal prefill role):
+    precomputed vision embeddings + mRoPE positions, all device arrays —
+      vis_embed [R, D] merged image embeddings,
+      ds_feats [n_ds, R, D] DeepStack feature maps,
+      img_slot [1, Lpad] row index per vision-token position,
+      positions [1, Lpad, rot//2] per-frequency mRoPE positions.
     """
     _, lpad = input_ids.shape
     page_size = k_pool[0].shape[2]
@@ -215,11 +223,21 @@ def prefill(
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
+    img_mask = None
+    if mm is not None:
+        img_mask = (
+            (input_ids == spec.image_token_id) | (input_ids == spec.video_token_id)
+        )[..., None]
+        gathered = jnp.take(mm["vis_embed"].astype(compute_dtype), mm["img_slot"], axis=0)
+        h = jnp.where(img_mask, gathered, h)
+        positions = mm["positions"]  # [1, Lpad, rot//2] per-frequency
+
     from prime_rl_tpu.models.qwen3 import layer_windows_list
 
     windows = layer_windows_list(spec)
+    n_ds = mm["ds_feats"].shape[0] if mm is not None else 0
     k_out, v_out = [], []
-    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
+    for li, (lp, k_l, v_l, win) in enumerate(zip(params["layers"], k_pool, v_pool, windows)):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
@@ -236,6 +254,12 @@ def prefill(
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
         v_out.append(_write_pages(v_l, v_w.astype(v_l.dtype), pages))
+        if li < n_ds:
+            # DeepStack: add the li-th visual feature map at image slots
+            # (HF Qwen3VLTextModel._deepstack_process; training analogue in
+            # models/qwen3_vl.forward)
+            inj = jnp.take(mm["ds_feats"][li].astype(compute_dtype), mm["img_slot"], axis=0)
+            h = jnp.where(img_mask, h + inj, h)
     k_pool, v_pool = k_out, v_out
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
 
@@ -438,9 +462,16 @@ def decode(
     compute_dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     adapter_idx: jax.Array | None = None,  # [S] int32 per-slot LoRA bank rows
+    pos_delta: jax.Array | None = None,  # [S] int32 rope-position offset (mRoPE)
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
     over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
+
+    ``pos_delta`` shifts the ROPE position only (cache indexing still runs on
+    token counts): for a VLM prompt, mRoPE compresses each image block to a
+    grid, so post-prompt text positions run at ``token_index + delta`` with a
+    per-request constant delta (HF get_rope_index decode semantics). Text
+    requests carry delta 0.
 
     The layer loop is unrolled in Python over per-layer cache buffers so XLA
     lowers the token scatters as IN-PLACE updates on the donated pool —
@@ -451,6 +482,8 @@ def decode(
     page_size = k_pool[0].shape[2]
     inv_freq, rope_scaling = _rope(spec)
     positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
+    if pos_delta is not None:
+        positions = positions + pos_delta[:, None]
 
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, tokens[:, None], axis=0)  # [S, 1, D]

@@ -47,6 +47,26 @@ def _sampling_from_body(body: dict, default_max_tokens: int = 512) -> SamplingPa
     )
 
 
+def _mm_from_body(body: dict):
+    """VLM inputs on the generate wire: ``mm.pixel_values`` as either a
+    nested list or ``{"b64": <base64 f32 LE>, "shape": [P, patch_dim]}``,
+    plus ``mm.image_grid_thw`` [[t, h, w], ...] (HF-processor layout)."""
+    mm = body.get("mm")
+    if not mm:
+        return None
+    import base64
+
+    import numpy as np
+
+    pv = mm["pixel_values"]
+    if isinstance(pv, dict):
+        arr = np.frombuffer(base64.b64decode(pv["b64"]), dtype="<f4").reshape(pv["shape"])
+    else:
+        arr = np.asarray(pv, np.float32)
+    return {"pixel_values": arr,
+            "image_grid_thw": np.asarray(mm["image_grid_thw"], np.int64)}
+
+
 @web.middleware
 async def _quiet_disconnects(request: web.Request, handler):
     """Per-request error isolation (VERDICT r1 weak #6): a client that
@@ -94,13 +114,14 @@ class InferenceServer:
         self._metrics = {"requests": 0, "tokens_generated": 0, "prompt_tokens": 0}
 
     async def _submit(self, prompt: list[int], sp: SamplingParams,
-                      request_id: str | None = None) -> GenerationResult:
+                      request_id: str | None = None,
+                      mm: dict | None = None) -> GenerationResult:
         """Submit + await, with per-request error isolation: a client
         disconnect / handler cancellation aborts the engine request instead
         of leaking a slot or surfacing an unhandled traceback (VERDICT r1
         weak #6)."""
         request_id = request_id or f"req-{uuid.uuid4().hex[:16]}"
-        fut = self.engine.submit(prompt, sp, request_id=request_id)
+        fut = self.engine.submit(prompt, sp, request_id=request_id, mm=mm)
         try:
             result = await asyncio.wrap_future(fut)
         except asyncio.CancelledError:
@@ -145,7 +166,8 @@ class InferenceServer:
         if token_ids is None:
             raise web.HTTPBadRequest(text="token_ids required")
         sp = _sampling_from_body(body)
-        result = await self._submit(token_ids, sp, request_id=body.get("request_id"))
+        result = await self._submit(token_ids, sp, request_id=body.get("request_id"),
+                                    mm=_mm_from_body(body))
         # prompt_logprobs wire format mirrors the reference: one entry per
         # prompt token, None for the leading token, {token_id: {logprob}} else
         plp = None
