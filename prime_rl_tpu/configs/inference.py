@@ -77,6 +77,9 @@ class InferenceConfig(BaseConfig):
     seed: int = 0
     # int8 weight-only serving quantization (halves decode weight bandwidth)
     quantization: Literal["int8"] | None = None
+    # MoE router replay: record per-token expert routing during decode and
+    # return it with each completion (reference: routed_experts wire field)
+    collect_routed_experts: bool = False
     # disaggregated weight plane subscription (None = HTTP /update_weights only)
     weight_plane: WeightPlaneConfig | None = None
     # multi-LoRA serving bank (None = base model only; /load_lora_adapter 501s)

@@ -51,7 +51,8 @@ def run_colocated(config: RLConfig) -> None:
         max_slots=icfg.scheduler.max_batch_size,
         max_seq_len=icfg.max_model_len,
     )
-    engine = Engine(placeholder, spec, cache_cfg, seed=icfg.seed)
+    engine = Engine(placeholder, spec, cache_cfg, seed=icfg.seed,
+                    collect_routed_experts=icfg.collect_routed_experts)
     engine.pause()  # no serving until real weights land
     tokenizer = get_tokenizer(icfg.tokenizer.name or icfg.model.name)
     server = InferenceServer(engine, tcfg.model.name, tokenizer)

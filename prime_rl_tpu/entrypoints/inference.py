@@ -60,7 +60,8 @@ def build_server(config: InferenceConfig):
         f"slots={cache_cfg.max_slots} max_len={config.max_model_len}"
     )
     engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
-                    lora_config=config.lora)
+                    lora_config=config.lora,
+                    collect_routed_experts=config.collect_routed_experts)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

@@ -50,6 +50,8 @@ class FixedCompletionEnv(Environment):
             logprobs=[0.0] * n_p + list(result.logprobs),
             temperatures=[1.0] * n_p + [sampling.temperature] * n_c,
             reward=reward,
+            routed_experts=([None] * n_p + list(result.routed_experts)
+                            if result.routed_experts is not None else None),
         )
         return Episode(traces=[trace], reward=reward,
                        metrics={"reward": reward}, info={"completion": completion})

@@ -38,11 +38,13 @@ class RepeatAfterMeEnv(Environment):
             [{"role": "user", "content": f"Say {task_data['word']}"}]
         )
         first = await client.generate(prompt, sampling)
-        msg1 = builder.add_completion(first.token_ids, first.logprobs, sampling.temperature)
+        msg1 = builder.add_completion(first.token_ids, first.logprobs, sampling.temperature,
+                                      routed_experts=first.routed_experts)
 
         prompt2 = builder.add_context([{"role": "user", "content": "again"}])
         second = await client.generate(prompt2, sampling)
-        msg2 = builder.add_completion(second.token_ids, second.logprobs, sampling.temperature)
+        msg2 = builder.add_completion(second.token_ids, second.logprobs, sampling.temperature,
+                                      routed_experts=second.routed_experts)
 
         a, b = msg1["content"].strip(), msg2["content"].strip()
         consistency = difflib.SequenceMatcher(None, a[:16], b[:16]).ratio() if a else 0.0

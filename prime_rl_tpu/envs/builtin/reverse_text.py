@@ -57,6 +57,8 @@ class ReverseTextEnv(Environment):
             logprobs=[0.0] * n_p + list(result.logprobs),
             temperatures=[1.0] * n_p + [sampling.temperature] * n_c,
             reward=reward,
+            routed_experts=([None] * n_p + list(result.routed_experts)
+                            if result.routed_experts is not None else None),
             metrics={"completion_len": float(n_c)},
         )
         return Episode(

@@ -20,6 +20,9 @@ class TokenCompletion:
     prompt_len: int
     policy_version: int = -1
     prompt_logprobs: list[float] | None = None
+    # MoE router replay: [n_gen, NL_moe, K] expert ids (engine
+    # collect_routed_experts), None otherwise
+    routed_experts: list | None = None
 
 
 class InferenceClient:
@@ -68,6 +71,7 @@ class InferenceClient:
             prompt_len=body["usage"]["prompt_tokens"],
             policy_version=body.get("policy_version", -1),
             prompt_logprobs=plp,
+            routed_experts=choice.get("routed_experts"),
         )
 
     async def prefill_logprobs(self, token_ids: list[int]) -> list[float]:

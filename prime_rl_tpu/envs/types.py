@@ -29,6 +29,9 @@ class Trace:
     reward: float | None = None
     metrics: dict[str, float] = field(default_factory=dict)
     messages: list[dict] | None = None  # optional chat view for logging
+    # MoE router replay: per-token [NL, K] expert-id rows (None entries =
+    # context tokens / not recorded)
+    routed_experts: list | None = None
 
     def __post_init__(self):
         n = len(self.token_ids)

@@ -67,17 +67,22 @@ def forward(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     collect_aux: bool = False,
+    routed_experts: jax.Array | None = None,  # [B, L, NL, K] int32 replay (-1 = own)
 ):
     """Token ids -> final normed hidden states [B, L, D]. With
     ``collect_aux``: (hidden, load-balance aux loss summed over layers) —
     the training hookup for the switch-style balance term
-    (reference: models/layers/moe.py load_balance_coeff)."""
+    (reference: models/layers/moe.py load_balance_coeff).
+
+    ``routed_experts`` replays the sampler's per-token expert selection
+    layer-by-layer (reference: modeling forward routed_experts router
+    replay); rows of -1 (context tokens) keep the trainer's own routing."""
     inv_freq = rope_frequencies(spec.head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
     b, l, d = h.shape
 
-    def block(carry, lp):
+    def block(carry, lp, forced=None):
         h, aux = carry
         cast = {k: (v.astype(compute_dtype) if v.ndim >= 2 and k != "router" else v)
                 for k, v in lp.items()}
@@ -89,6 +94,7 @@ def forward(
             lp["router"],  # router stays f32
             cast["expert_gate"], cast["expert_up"], cast["expert_down"],
             spec.num_experts_per_tok, spec.norm_topk_prob,
+            forced_experts=forced,
         )
         return h + out.reshape(b, l, d), aux + routing.load_balance_loss
 
@@ -100,10 +106,15 @@ def forward(
             prevent_cse=False,
         )
 
-    def scan_body(carry, lp):
-        return block(carry, lp), None
-
-    (h, aux), _ = jax.lax.scan(scan_body, (h, jnp.float32(0.0)), params["layers"])
+    if routed_experts is None:
+        (h, aux), _ = jax.lax.scan(lambda c, lp: (block(c, lp), None),
+                                   (h, jnp.float32(0.0)), params["layers"])
+    else:
+        # [B, L, NL, K] -> scan-major [NL, B*L, K]
+        forced = jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
+            spec.num_layers, b * l, spec.num_experts_per_tok)
+        (h, aux), _ = jax.lax.scan(lambda c, xs: (block(c, xs[0], xs[1]), None),
+                                   (h, jnp.float32(0.0)), (params["layers"], forced))
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     return (h, aux) if collect_aux else h
 

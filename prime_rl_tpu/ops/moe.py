@@ -39,6 +39,7 @@ def route_topk(
     n_group: int = 1,
     topk_group: int = 1,
     routed_scaling: float = 1.0,
+    forced_experts: jax.Array | None = None,  # [T, K] int32; row of -1 = own routing
 ) -> RouterOutput:
     logits = jnp.dot(x.astype(jnp.float32), router_w.astype(jnp.float32))  # [T, E]
     if router_b is not None:
@@ -77,6 +78,27 @@ def route_topk(
         weights, expert_ids = jax.lax.top_k(probs, top_k)  # [T, K]
         if norm_topk_prob:
             weights = weights / jnp.maximum(jnp.sum(weights, axis=-1, keepdims=True), 1e-9)
+    if forced_experts is not None:
+        # router replay (reference: models/layers/moe.py routed_experts):
+        # the SELECTION comes from the sampler's recorded routing; combine
+        # weights are recomputed from THIS router's scores at those experts.
+        # Tokens with no recording (first slot < 0, e.g. prompt context)
+        # keep their own routing.
+        valid = forced_experts[:, :1] >= 0  # [T, 1]
+        f_ids = jnp.maximum(forced_experts, 0)
+        if sigmoid_noaux:
+            f_w = jnp.take_along_axis(scores, f_ids, axis=-1)
+            if norm_topk_prob:
+                f_w = f_w / (jnp.sum(f_w, axis=-1, keepdims=True) + 1e-20)
+            f_w = f_w * routed_scaling
+        elif softmax_topk:
+            f_w = jax.nn.softmax(jnp.take_along_axis(logits, f_ids, axis=-1), axis=-1)
+        else:
+            f_w = jnp.take_along_axis(probs, f_ids, axis=-1)
+            if norm_topk_prob:
+                f_w = f_w / jnp.maximum(jnp.sum(f_w, axis=-1, keepdims=True), 1e-9)
+        expert_ids = jnp.where(valid, f_ids, expert_ids).astype(jnp.int32)
+        weights = jnp.where(valid, f_w, weights)
     e = router_w.shape[1]
     # Switch-style load-balance aux: E * sum_e f_e * p_e
     counts = jnp.zeros((e,), jnp.float32).at[expert_ids.reshape(-1)].add(1.0)
@@ -111,6 +133,7 @@ def moe_mlp(
     x_experts: jax.Array | None = None,  # [T, D'] expert input when it differs
     # from the routing input (NemotronH LatentMoE: route at model dim,
     # compute at latent dim)
+    forced_experts: jax.Array | None = None,  # [T, K] router replay (-1 row = own)
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -127,7 +150,8 @@ def moe_mlp(
                          router_b=router_b, softmax_topk=softmax_topk,
                          sigmoid_noaux=sigmoid_noaux, correction_bias=correction_bias,
                          n_group=n_group, topk_group=topk_group,
-                         routed_scaling=routed_scaling)
+                         routed_scaling=routed_scaling,
+                         forced_experts=forced_experts)
 
     flat_experts = routing.expert_ids.reshape(-1)  # [T*K]
     order = jnp.argsort(flat_experts)  # stable ascending by expert

@@ -12,12 +12,24 @@ from prime_rl_tpu.transport.types import TrainingSample
 
 
 def trace_to_sample(trace: Trace, env_name: str) -> TrainingSample:
+    routed = None
+    if trace.routed_experts is not None:
+        # [L, NL, K] int32; -1 rows where no routing was recorded (context
+        # tokens / the last sampled token) -> trainer uses its own routing
+        shape = next((np.asarray(r).shape for r in trace.routed_experts
+                      if r is not None), None)
+        if shape is not None:
+            routed = np.full((len(trace.token_ids), *shape), -1, np.int32)
+            for i, r in enumerate(trace.routed_experts):
+                if r is not None:
+                    routed[i] = np.asarray(r, np.int32)
     return TrainingSample(
         token_ids=np.asarray(trace.token_ids, np.int32),
         mask=np.asarray(trace.sampled_mask, bool),
         logprobs=np.asarray(trace.logprobs, np.float32),
         temperatures=np.asarray(trace.temperatures, np.float32),
         env_name=env_name,
+        routed_experts=routed,
     )
 
 

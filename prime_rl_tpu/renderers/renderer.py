@@ -107,6 +107,7 @@ class TraceBuilder:
         self.sampled_mask: list[bool] = []
         self.logprobs: list[float] = []
         self.temperatures: list[float] = []
+        self.routed: list = []  # per-token [NL, K] expert ids or None
         self._after_completion = False
         self._completion_terminated = True
 
@@ -121,19 +122,26 @@ class TraceBuilder:
         )
         self.token_ids.extend(ids)
         self.sampled_mask.extend([False] * len(ids))
+        self.routed.extend([None] * len(ids))
         self.logprobs.extend([0.0] * len(ids))
         self.temperatures.extend([1.0] * len(ids))
         self._after_completion = False
         return list(self.token_ids)
 
     def add_completion(self, token_ids: list[int], logprobs: list[float],
-                       temperature: float) -> dict:
+                       temperature: float, routed_experts: list | None = None) -> dict:
         """Append the engine's sampled tokens; returns the parsed message
-        (also recorded so the next render stays prefix-consistent)."""
+        (also recorded so the next render stays prefix-consistent).
+        ``routed_experts``: per-token [NL, K] MoE routing rows (router
+        replay) aligned to ``token_ids``."""
         self.token_ids.extend(int(t) for t in token_ids)
         self.sampled_mask.extend([True] * len(token_ids))
         self.logprobs.extend(float(x) for x in logprobs)
         self.temperatures.extend([temperature] * len(token_ids))
+        if routed_experts is not None and len(routed_experts) == len(token_ids):
+            self.routed.extend(routed_experts)
+        else:
+            self.routed.extend([None] * len(token_ids))
         message = self.renderer.parse_response(token_ids)
         self.messages.append(message)
         self._after_completion = True
@@ -153,6 +161,8 @@ class TraceBuilder:
             reward=reward,
             metrics=metrics or {},
             messages=list(self.messages),
+            routed_experts=(list(self.routed)
+                            if any(r is not None for r in self.routed) else None),
         )
 
 

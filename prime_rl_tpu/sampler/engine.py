@@ -66,6 +66,10 @@ class GenerationResult:
     prompt_len: int
     prompt_logprobs: list[float] | None = None
     policy_version: int = -1
+    # router replay (collect_routed_experts): [n_gen, NL_moe, K] int32 expert
+    # ids per generated token; the final token's row is -1 (its forward never
+    # ran). None when collection is off / nothing was recorded.
+    routed_experts: "np.ndarray | None" = None
 
 
 @dataclass
@@ -88,6 +92,9 @@ class _Active:
     slot: int
     generated: list[int] = field(default_factory=list)
     logprobs: list[float] = field(default_factory=list)
+    # router-replay recording: routed[i] = expert ids [NL_moe, K] of
+    # generated[i] (the last token's routing is never computed - padded -1)
+    routed: list = field(default_factory=list)
     prompt_logprobs_handle: jax.Array | None = None
     first_token_handle: tuple | None = None  # (token_dev, logprob_dev)
     done: bool = False
@@ -101,6 +108,7 @@ class _StepOutput:
     tokens: jax.Array  # [S] device
     logprobs: jax.Array  # [S] device
     slots: list[int]  # slots active at dispatch time
+    routed: "jax.Array | None" = None  # [S, NL_moe, K] routing of the INPUT tokens
 
 
 def _bucket(n: int, buckets: list[int]) -> int:
@@ -127,9 +135,11 @@ class Engine:
         seed: int = 0,
         quantize: str | None = None,
         lora_config=None,  # ServingLoRAConfig: enables the multi-LoRA bank
+        collect_routed_experts: bool = False,  # record decode-time MoE routing
     ):
         self.spec = spec
         self.compute_dtype = compute_dtype
+        self._collect_routed = bool(collect_routed_experts and spec.is_moe)
         self.quantize = quantize
         self.lora_config = lora_config
         self._lora_bank: dict[str, jax.Array] | None = None
@@ -199,22 +209,27 @@ class Engine:
     def _build_decode(self):
         spec, dtype, impl = self.spec, self.compute_dtype, self._decode_attn_impl
         lora_on = self._lora_bank is not None
+        collect = self._collect_routed
 
         # NOTE: `tokens` is NOT donated — each step's sampled tokens are kept
         # as a drain handle while the next step consumes them as input
         @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10))
         def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
                       temp, top_k, top_p, key, adapter, pos_delta):
-            k_pool, v_pool, logits = smodel.decode(
+            out = smodel.decode(
                 params, spec, k_pool, v_pool, tokens, lengths, page_table,
                 compute_dtype=dtype, attn_impl=impl,
                 adapter_idx=adapter if lora_on else None,
-                pos_delta=pos_delta,
+                pos_delta=pos_delta, collect_routing=collect,
             )
+            if collect:
+                k_pool, v_pool, logits, routed = out
+            else:
+                (k_pool, v_pool, logits), routed = out, None
             step_key, next_key = jax.random.split(key)
             out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
             new_lengths = lengths + active.astype(jnp.int32)
-            return k_pool, v_pool, out_tokens, out_logprobs, new_lengths, next_key
+            return k_pool, v_pool, out_tokens, out_logprobs, new_lengths, next_key, routed
 
         return decode_fn
 
@@ -721,7 +736,7 @@ class Engine:
     def _dispatch_decode(self) -> None:
         slots = sorted(s for s, a in self.active.items() if not a.done)
         (self.k_pool, self.v_pool, out_tokens, out_logprobs,
-         self._d_lengths, self._d_key) = self._decode_fn(
+         self._d_lengths, self._d_key, routed) = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
             self._d_temp, self._d_topk, self._d_topp, self._d_key, self._d_adapter,
@@ -731,7 +746,8 @@ class Engine:
         self._dispatch_seq += 1
         for s in slots:
             self._shadow_lengths[s] += 1
-        self._inflight.append(_StepOutput(self._dispatch_seq, out_tokens, out_logprobs, slots))
+        self._inflight.append(_StepOutput(self._dispatch_seq, out_tokens, out_logprobs,
+                                          slots, routed))
 
     def _drain(self, force: bool = False) -> None:
         if not self._inflight:
@@ -747,12 +763,17 @@ class Engine:
         # full host<->device round-trip each; this pays one per LOOKAHEAD)
         steps = list(self._inflight)
         self._inflight.clear()
-        fetched = jax.device_get([(st.tokens, st.logprobs) for st in steps])
-        for step, (tokens, logprobs) in zip(steps, fetched):
+        fetched = jax.device_get([(st.tokens, st.logprobs, st.routed) for st in steps])
+        for step, (tokens, logprobs, routed) in zip(steps, fetched):
             for s in step.slots:
                 a = self.active.get(s)
                 if a is None or a.done:
                     continue  # finished earlier; extra tokens discarded
+                if routed is not None:
+                    # this step CONSUMED the slot's previous token: its
+                    # routing belongs to generated[len(a.routed)]
+                    if len(a.routed) < len(a.generated) + (a.first_token_handle is not None):
+                        a.routed.append(np.asarray(routed[s]))
                 if a.first_token_handle is not None:
                     self._fetch_first_token(a)
                     self._post_append_checks(a)
@@ -809,6 +830,13 @@ class Engine:
         # reserved until every already-dispatched step has drained
         self._d_active = self._deactivate_fn(self._d_active, jnp.int32(a.slot))
         self._deferred_release.append((a.slot, self._dispatch_seq))
+        routed = None
+        if self._collect_routed and a.routed and a.generated:
+            rows = [np.asarray(r, np.int32) for r in a.routed[: len(a.generated)]]
+            pad = np.full_like(rows[0], -1)
+            while len(rows) < len(a.generated):
+                rows.append(pad)
+            routed = np.stack(rows)
         a.req.future.set_result(
             GenerationResult(
                 token_ids=list(a.generated),
@@ -817,6 +845,7 @@ class Engine:
                 prompt_len=len(a.req.prompt),
                 prompt_logprobs=plp,
                 policy_version=self.policy_version,
+                routed_experts=routed,
             )
         )
 

@@ -84,14 +84,16 @@ def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0, adapter_id
     return q, k, v
 
 
-def _mlp(x, lp, spec, adapter_idx=None):
+def _mlp(x, lp, spec, adapter_idx=None, collect_routing: bool = False):
     """Dense SwiGLU or MoE sparse MLP — decided PER LAYER ("router" in the
-    layer dict), so glm4_moe's first-k dense layers just work. x: [B, T, D]."""
+    layer dict), so glm4_moe's first-k dense layers just work. x: [B, T, D].
+    ``collect_routing``: also return the per-token expert ids [B*T, K]
+    (router-replay recording; None for dense layers)."""
     if "router" in lp:
         from prime_rl_tpu.ops.moe import moe_mlp
 
         b, t, d = x.shape
-        out, _ = moe_mlp(
+        out, _routing = moe_mlp(
             x.reshape(b * t, d), lp["router"],
             lp["expert_gate"], lp["expert_up"], lp["expert_down"],
             spec.num_experts_per_tok, spec.norm_topk_prob,
@@ -109,11 +111,12 @@ def _mlp(x, lp, spec, adapter_idx=None):
         if "shared_gate" in lp:
             out = out + _mm(swiglu(_mm(x, lp["shared_gate"]), _mm(x, lp["shared_up"])),
                             lp["shared_down"])
-        return out
+        return (out, _routing.expert_ids) if collect_routing else out
     lora = lp.get("lora")
     h = swiglu(_mm_l(x, lp["gate"], lora, "gate", adapter_idx),
                _mm_l(x, lp["up"], lora, "up", adapter_idx))
-    return _mm_l(h, lp["down"], lora, "down", adapter_idx)
+    out = _mm_l(h, lp["down"], lora, "down", adapter_idx)
+    return (out, None) if collect_routing else out
 
 
 def _obias(lp: dict, dtype):
@@ -463,6 +466,7 @@ def decode(
     attn_impl: str = "auto",
     adapter_idx: jax.Array | None = None,  # [S] int32 per-slot LoRA bank rows
     pos_delta: jax.Array | None = None,  # [S] int32 rope-position offset (mRoPE)
+    collect_routing: bool = False,  # also return routed experts [S, NL, K]
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
     over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
@@ -496,6 +500,7 @@ def decode(
 
     windows = layer_windows_list(spec)
     k_out, v_out = [], []
+    routed = []
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
@@ -509,11 +514,21 @@ def decode(
         )  # [S, NH, HD]
         h = h + _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
                       lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
-        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+        mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx,
+                       collect_routing=collect_routing)
+        if collect_routing:
+            mlp_out, ids = mlp_out
+            if ids is not None:
+                routed.append(ids)  # [S, K]
+        h = h + mlp_out
         k_out.append(k_l)
         v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     logits = logits_from_hidden(params, spec, h[:, 0], compute_dtype)  # [S, V]
+    if collect_routing:
+        routed_arr = (jnp.stack(routed, axis=1) if routed
+                      else jnp.zeros((s, 0, 0), jnp.int32))  # [S, NL_moe, K]
+        return k_out, v_out, logits, routed_arr
     return k_out, v_out, logits
 
 

@@ -244,8 +244,19 @@ def rows_to_arrays(rows: list[PackedRow], seq_len: int, batch_rows: int,
     shape = (B, L)
     mm = (_assemble_mm(row_slots, shape, vlm_spec, max_mm_patches)
           if vlm_spec is not None else {})
+    routed = None
+    if any(s.routed_experts is not None for _, _, s in row_slots):
+        # router replay stream [B, L, NL, K]; -1 rows = no recording (context
+        # tokens / non-replayed samples) -> trainer's own routing
+        nl, k = next(s.routed_experts.shape[1:]
+                     for _, _, s in row_slots if s.routed_experts is not None)
+        routed = np.full((B, L, nl, k), -1, np.int32)
+        for b, start, s in row_slots:
+            if s.routed_experts is not None:
+                routed[b, start : start + len(s)] = s.routed_experts
     return MicroBatchArrays(
         **mm,
+        routed_experts=routed,
         input_ids=input_ids,
         loss_mask=loss_mask,
         advantages=advantages,

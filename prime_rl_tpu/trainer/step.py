@@ -59,6 +59,9 @@ class MicroBatchArrays(NamedTuple):
     rl_weights: Array | None = None
     ce_weights: Array | None = None
     ref_kl_weights: Array | None = None
+    # router replay: sampler-recorded expert selection [N, B, L, NL, K]
+    # (-1 rows = trainer's own routing; reference: routed_experts replay)
+    routed_experts: Array | None = None
     # VLM streams (present iff the model is a VLM family; trainer/batch.py
     # _assemble_mm builds them uniformly for every micro-batch)
     mm_patches: Array | None = None  # f32 [N, P, patch_dim]
@@ -106,6 +109,8 @@ def model_logprobs(
     collect_aux = spec.is_moe and model_cfg.moe_aux_coef > 0
     if collect_aux:
         extra["collect_aux"] = True
+    if mb.routed_experts is not None and spec.is_moe:
+        extra["routed_experts"] = mb.routed_experts
     if mb.mm_patches is not None:
         extra["mm"] = {
             "patches": mb.mm_patches,
@@ -227,25 +232,27 @@ def make_train_step(
 
         return jax.tree_util.tree_map_with_path(mask_leaf, grads)
 
-    def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
+    def accum_grads(params, batch: MicroBatchArrays, scales: Scales):
         def accum(carry, mb):
             grads_acc, loss_acc, metrics_acc = carry
-            (loss, metrics), grads = grad_fn(state.params, mb, scales)
+            (loss, metrics), grads = grad_fn(params, mb, scales)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
             return (grads_acc, loss_acc + loss, metrics_acc), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
         # trace once to get the metrics pytree structure
         metrics_shape = jax.eval_shape(
-            lambda: loss_fn(state.params, jax.tree.map(lambda x: x[0], batch), scales)[1]
+            lambda: loss_fn(params, jax.tree.map(lambda x: x[0], batch), scales)[1]
         )
         zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
 
         (grads, loss, metrics), _ = jax.lax.scan(
             accum, (zero_grads, jnp.zeros(()), zero_metrics), batch
         )
-        grads = apply_freeze(grads)
+        return apply_freeze(grads), loss, metrics
+
+    def apply_update(state: TrainState, grads):
         grad_norm = optax.global_norm(grads)
         opt_state_in = state.opt_state
         if state_out_shardings is not None:
@@ -270,20 +277,41 @@ def make_train_step(
 
             opt_state = jax.tree.map(to_home, opt_state, state_out_shardings.opt_state)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), grad_norm
+
+    if state_out_shardings is None:
+        def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
+            grads, loss, metrics = accum_grads(state.params, batch, scales)
+            new_state, grad_norm = apply_update(state, grads)
+            metrics = dict(metrics)
+            metrics["loss"] = loss
+            metrics["grad_norm"] = grad_norm
+            return new_state, metrics
+
+        # The caller device_puts the batch with batch_sharding(); jit respects
+        # those committed shardings and the donated state keeps its layout.
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # Host-offloaded optimizer: TWO programs, not one. Inside a single jit,
+    # XLA overlaps the opt-state host->device prefetch with the backward, so
+    # the streamed state co-resides with peak backward activations — at long
+    # context that overflows HBM (observed as a TPU worker crash at 64k).
+    # Splitting guarantees the update program's peak is params+grads+state
+    # only. ``state_out_shardings`` pins the output layout (state returns to
+    # pinned host memory).
+    grads_jit = jax.jit(accum_grads)
+    update_jit = jax.jit(apply_update, donate_argnums=(0, 1),
+                         out_shardings=(state_out_shardings, None))
+
+    def split_step(state: TrainState, batch: MicroBatchArrays, scales: Scales):
+        grads, loss, metrics = grads_jit(state.params, batch, scales)
+        new_state, grad_norm = update_jit(state, grads)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
-    # The caller device_puts the batch with batch_sharding(); jit respects
-    # those committed shardings and the donated state keeps its layout.
-    # ``state_out_shardings`` pins the output state layout (host-offloaded
-    # optimizer state must return to pinned host memory).
-    if state_out_shardings is not None:
-        return jax.jit(step_fn, donate_argnums=(0,),
-                       out_shardings=(state_out_shardings, None))
-    return jax.jit(step_fn, donate_argnums=(0,))
+    return split_step
 
 
 def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None,
