@@ -23,6 +23,7 @@ from prime_rl_tpu.configs.orchestrator import (
     OrchestratorConfig,
 )
 from prime_rl_tpu.configs.rl import RLConfig
+from prime_rl_tpu.configs.router import RouterConfig
 from prime_rl_tpu.configs.shared import (
     AttentionConfig,
     BaseConfig,
