@@ -21,4 +21,9 @@ class RouterConfig(BaseConfig):
     # reuse); round_robin; least_loaded (active-request-scorer analogue)
     policy: Literal["consistent_hash", "round_robin", "least_loaded"] = "consistent_hash"
     health_interval: float = 2.0
+    # P/D disaggregation: prefill-role engine URLs; prompts >= pd_threshold
+    # tokens prefill there and inject into a decode backend (reference:
+    # docs/inference.md optimized P/D + llm-d non_cached_tokens)
+    prefill_backends: list[str] = Field(default_factory=list)
+    pd_threshold: int = 16
     log: LogConfig = LogConfig()

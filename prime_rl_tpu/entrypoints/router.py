@@ -25,7 +25,9 @@ def main() -> None:
     get_logger().info(
         f"router up on :{config.port} policy={config.policy} backends={backends}")
     Router(backends, policy=config.policy,
-           health_interval=config.health_interval).run(config.host, config.port)
+           health_interval=config.health_interval,
+           prefill_backends=config.prefill_backends,
+           pd_threshold=config.pd_threshold).run(config.host, config.port)
 
 
 if __name__ == "__main__":

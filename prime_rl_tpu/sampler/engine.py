@@ -56,6 +56,10 @@ class SamplingParams:
     cache_salt: str | None = None
     # serve base + this loaded adapter (multi-LoRA bank; None = base model)
     adapter: str | None = None
+    # P/D disaggregation: prefill-role engines return the request's KV pages
+    # + first sampled token instead of decoding (reference: optimized P/D
+    # deployment, docs/inference.md)
+    extract_kv: bool = False
 
 
 @dataclass
@@ -70,6 +74,9 @@ class GenerationResult:
     # ids per generated token; the final token's row is -1 (its forward never
     # ran). None when collection is off / nothing was recorded.
     routed_experts: "np.ndarray | None" = None
+    # P/D prefill extraction: {"k": [NL, NKV, n_pages, PS, HD] np, "v": same,
+    # "pos_delta": int} — the decode engine injects these (inject below)
+    kv: dict | None = None
 
 
 @dataclass
@@ -84,6 +91,9 @@ class _Request:
     # VLM inputs (host numpy): {"pixel_values": [P, patch_dim] f32,
     # "image_grid_thw": [n, 3]} — HF-processor layout
     mm: dict | None = None
+    # P/D decode-side injection: {"k", "v", "first_token", "first_logprob",
+    # "pos_delta"} — KV produced by a prefill-role engine
+    inject: dict | None = None
 
 
 @dataclass
@@ -97,6 +107,7 @@ class _Active:
     routed: list = field(default_factory=list)
     prompt_logprobs_handle: jax.Array | None = None
     first_token_handle: tuple | None = None  # (token_dev, logprob_dev)
+    kv: dict | None = None  # P/D extraction payload, attached at finish
     done: bool = False
 
 
@@ -369,9 +380,9 @@ class Engine:
 
     def submit(self, prompt: list[int], params: SamplingParams | None = None,
                on_token=None, request_id: str | None = None,
-               mm: dict | None = None) -> Future:
+               mm: dict | None = None, inject: dict | None = None) -> Future:
         req = _Request(list(prompt), params or SamplingParams(), Future(), on_token,
-                       request_id=request_id, mm=mm)
+                       request_id=request_id, mm=mm, inject=inject)
         with self._lock:
             self.pending.append(req)
             if request_id is not None:
@@ -599,7 +610,8 @@ class Engine:
         hashes: list[int] = []
         # mm requests skip prefix reuse: identical image-pad token runs would
         # false-share pages across DIFFERENT images (the hash sees only ids)
-        if self.slots.cache is not None and not sp.prompt_logprobs and req.mm is None:
+        if (self.slots.cache is not None and not sp.prompt_logprobs
+                and req.mm is None and req.inject is None and not sp.extract_kv):
             # shareable: full pages strictly before the last prompt token
             # (at least one token is always computed → last_hidden exists)
             n_shareable = ((n - 1) // ps) * ps
@@ -613,7 +625,15 @@ class Engine:
         slot, n_shared = got
         self.stats["requests_admitted"] += 1
         self.stats["prefill_tokens_cached"] += n_shared * ps
-        self._admit(req, slot, n, n_shared)
+        try:
+            self._admit(req, slot, n, n_shared)
+        except Exception as e:
+            # per-request isolation: a bad payload (e.g. a mismatched P/D
+            # inject blob) rejects THIS request; the engine loop survives
+            self.slots.lengths[slot] = 0
+            self.slots.release(slot)
+            self.active.pop(slot, None)
+            self._reject(req, e)
         return True
 
     def _acquire_want(self, req: _Request, n: int) -> int:
@@ -648,6 +668,8 @@ class Engine:
         self.slots.lengths[slot] = n
         self._shadow_lengths[slot] = n
         self._d_table = jnp.asarray(self.slots.page_table)
+        if req.inject is not None:
+            return self._admit_injected(req, slot, n)
         self.stats["prefill_tokens_computed"] += n - shared_tokens
         adapter_row = jnp.int32(self.adapters.get(sp.adapter, 0) if sp.adapter else 0)
         seed = sp.seed if sp.seed is not None else (self._dispatch_seq + slot + 1)
@@ -701,6 +723,18 @@ class Engine:
             tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
+        if sp.extract_kv:
+            # P/D prefill role: hand the request's KV pages + first token to
+            # the caller and release the slot — no decode happens here
+            # (reference: optimized P/D deployment; NIXL KV transfer role)
+            n_pages = -(-n // ps)
+            rows = jnp.asarray(self.slots.page_table[slot][:n_pages], jnp.int32)
+            k_np, v_np = jax.device_get(self._gather_pages_fn()(
+                self.k_pool, self.v_pool, rows))
+            active.kv = {"k": k_np, "v": v_np, "pos_delta": int(pos_delta)}
+            self.active[slot] = active
+            self._finish(active, "length")
+            return
         if sp.prompt_logprobs and plp is not None:
             active.prompt_logprobs_handle = plp
         self.active[slot] = active
@@ -717,6 +751,71 @@ class Engine:
         )
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)
+
+    def _gather_pages_fn(self):
+        """Jitted page gather for P/D extraction: pools + page rows ->
+        ([NL, NKV, n_pages, PS, HD] k, same v)."""
+        if getattr(self, "_gather_fn", None) is None:
+            @jax.jit
+            def gather(k_pool, v_pool, rows):
+                k = jnp.stack([jnp.take(kl, rows, axis=1) for kl in k_pool])
+                v = jnp.stack([jnp.take(vl, rows, axis=1) for vl in v_pool])
+                return k, v
+
+            self._gather_fn = gather
+        return self._gather_fn
+
+    def _admit_injected(self, req: _Request, slot: int, n: int) -> None:
+        """P/D decode role: write a prefill engine's KV pages into this
+        engine's pool and start decoding from the shipped first token."""
+        sp = req.params
+        ps = self.config.page_size
+        inj = req.inject
+        n_pages = -(-n // ps)
+        rows = jnp.asarray(self.slots.page_table[slot][:n_pages], jnp.int32)
+        k_np, v_np = np.asarray(inj["k"]), np.asarray(inj["v"])
+        if k_np.shape[2] != n_pages:
+            raise ValueError(
+                f"injected KV has {k_np.shape[2]} pages, request needs {n_pages} "
+                "(page_size must match between prefill and decode engines)")
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scatter(k_pool, v_pool, k_new, v_new, rows):
+            from prime_rl_tpu.sampler.model import _write_pages
+
+            k_out = [_write_pages(kl, k_new[i].astype(kl.dtype), rows)
+                     for i, kl in enumerate(k_pool)]
+            v_out = [_write_pages(vl, v_new[i].astype(vl.dtype), rows)
+                     for i, vl in enumerate(v_pool)]
+            return k_out, v_out
+
+        if getattr(self, "_scatter_fns", None) is None:
+            self._scatter_fns = {}
+        fn = self._scatter_fns.setdefault(n_pages, scatter)
+        self.k_pool, self.v_pool = fn(self.k_pool, self.v_pool,
+                                      jnp.asarray(k_np), jnp.asarray(v_np), rows)
+        self.stats["prefill_tokens_cached"] += n  # imported, not computed
+
+        first_tok = int(inj["first_token"])
+        first_lp = float(inj.get("first_logprob", 0.0))
+        pos_delta = int(inj.get("pos_delta", 0))
+        adapter_row = jnp.int32(self.adapters.get(sp.adapter, 0) if sp.adapter else 0)
+        active = _Active(req, slot)
+        active.first_token_handle = (np.int32(first_tok), np.float32(first_lp))
+        self.active[slot] = active
+        (self._d_tokens, self._d_lengths, self._d_active,
+         self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+         self._d_pos_delta) = self._set_slot_fn(
+            self._d_tokens, self._d_lengths, self._d_active,
+            self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+            self._d_pos_delta,
+            jnp.int32(slot), jnp.int32(first_tok), jnp.int32(n),
+            jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
+            adapter_row, jnp.int32(pos_delta),
+        )
+        if sp.max_tokens <= 1:
+            self._fetch_first_token(active)
+            self._finish(active, "length")
 
     def _finalize_scoring_only(self, a: _Active) -> None:
         self._fetch_first_token(a)
@@ -846,6 +945,7 @@ class Engine:
                 prompt_logprobs=plp,
                 policy_version=self.policy_version,
                 routed_experts=routed,
+                kv=a.kv,
             )
         )
 

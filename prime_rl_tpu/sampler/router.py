@@ -67,10 +67,20 @@ class HashRing:
 
 class Router:
     def __init__(self, backends: list[str], policy: str = "consistent_hash",
-                 health_interval: float = 2.0, request_timeout: float = 600.0):
+                 health_interval: float = 2.0, request_timeout: float = 600.0,
+                 prefill_backends: list[str] | None = None,
+                 pd_threshold: int = 16):
         self.all_backends = [b.rstrip("/") for b in backends]
         self.policy = policy
         self.health_interval = health_interval
+        # P/D disaggregation (reference: docs/inference.md optimized P/D):
+        # prompts >= pd_threshold tokens prefill on a prefill-role engine,
+        # then the KV blob injects into the session-affine decode engine.
+        # Below the threshold (llm-d non_cached_tokens), skip remote prefill.
+        self.prefill_backends = [b.rstrip("/") for b in (prefill_backends or [])]
+        self.pd_threshold = pd_threshold
+        self.prefill_live: set[str] = set(self.prefill_backends)
+        self.prefill_inflight: dict[str, int] = {b: 0 for b in self.prefill_backends}
         self.ring = HashRing(self.all_backends)
         self.live: set[str] = set(self.all_backends)
         self.inflight: dict[str, int] = {b: 0 for b in self.all_backends}
@@ -143,6 +153,11 @@ class Router:
         backend = self._pick(self._session_key(request, body))
         if backend is None:
             return web.json_response({"error": "no live backends"}, status=503)
+        if (self.prefill_backends and request.method == "POST"
+                and request.path.endswith("/inference/v1/generate")):
+            pd = await self._maybe_pd(request, body, backend)
+            if pd is not None:
+                return pd
         url = f"{backend}/{request.match_info['tail']}"
         if request.query_string:
             url += f"?{request.query_string}"
@@ -171,12 +186,78 @@ class Router:
         finally:
             self.inflight[backend] -= 1
 
+    async def _maybe_pd(self, request: web.Request, body: bytes,
+                        decode_backend: str) -> web.Response | None:
+        """Disaggregated generate: prefill on a prefill-role engine, inject
+        the KV into the decode engine. Returns None to fall through to the
+        plain proxy (short prompt / no live prefill engines)."""
+        try:
+            parsed = json.loads(body)
+        except Exception:
+            return None
+        ids = parsed.get("token_ids") or []
+        live_p = [b for b in self.prefill_backends if b in self.prefill_live]
+        if len(ids) < self.pd_threshold or not live_p or parsed.get("mm"):
+            return None
+        from prime_rl_tpu.transport.types import pack, unpack
+
+        prefill_b = min(live_p, key=lambda b: self.prefill_inflight[b])
+        sp = parsed.get("sampling_params", {})
+        self.prefill_inflight[prefill_b] += 1
+        try:
+            async with self._session.post(
+                f"{prefill_b}/pd/prefill",
+                data=pack({"token_ids": ids, "sampling_params": sp}),
+            ) as r:
+                if r.status != 200:
+                    return None  # fall back to monolithic serving
+                blob = unpack(await r.read())
+        except Exception as e:
+            get_logger().warning(f"router: P/D prefill failed on {prefill_b}: {e}")
+            self.prefill_live.discard(prefill_b)
+            return None
+        finally:
+            self.prefill_inflight[prefill_b] -= 1
+
+        inject = {
+            "token_ids": ids, "sampling_params": sp,
+            "request_id": parsed.get("request_id"),
+            "k": blob["k"], "v": blob["v"],
+            "first_token": blob["first_token"],
+            "first_logprob": blob["first_logprob"],
+            "pos_delta": blob["pos_delta"],
+        }
+        self.inflight[decode_backend] += 1
+        try:
+            async with self._session.post(f"{decode_backend}/pd/inject",
+                                          data=pack(inject)) as r:
+                return web.Response(body=await r.read(), status=r.status,
+                                    content_type="application/json")
+        except Exception as e:
+            get_logger().warning(f"router: P/D inject failed on {decode_backend}: {e}")
+            self.live.discard(decode_backend)
+            return web.json_response({"error": f"decode backend error: {e}"}, status=502)
+        finally:
+            self.inflight[decode_backend] -= 1
+
     # -- health ---------------------------------------------------------------
 
     async def _health_loop(self) -> None:
         logger = get_logger()
         while True:
             await asyncio.sleep(self.health_interval)
+            for b in self.prefill_backends:
+                try:
+                    async with self._session.get(
+                        f"{b}/liveness", timeout=ClientTimeout(total=2.0)
+                    ) as r:
+                        ok = r.status == 200
+                except Exception:
+                    ok = False
+                if ok:
+                    self.prefill_live.add(b)
+                else:
+                    self.prefill_live.discard(b)
             for b in self.all_backends:
                 try:
                     async with self._session.get(

@@ -101,6 +101,8 @@ class InferenceServer:
             web.post("/v1/chat/completions", self.chat_completions),
             web.post("/v1/completions", self.completions),
             web.get("/v1/models", self.models),
+            web.post("/pd/prefill", self.pd_prefill),
+            web.post("/pd/inject", self.pd_inject),
             web.post("/abort", self.abort),
             web.post("/pause", self.pause),
             web.post("/resume", self.resume),
@@ -192,6 +194,65 @@ class InferenceServer:
                 "completion_tokens": len(result.token_ids),
                 "total_tokens": result.prompt_len + len(result.token_ids),
             },
+            "policy_version": result.policy_version,
+        })
+
+    # -- P/D disaggregation (reference: optimized P/D deployment,
+    # docs/inference.md — prefill and decode roles on separate engines;
+    # the KV moves as one msgpack blob of raw typed bytes) ----------------
+
+    async def pd_prefill(self, request: web.Request) -> web.Response:
+        from prime_rl_tpu.transport.types import pack, unpack
+
+        body = unpack(await request.read())
+        sp = _sampling_from_body(body)
+        sp.extract_kv = True
+        result = await self._submit(list(body["token_ids"]), sp,
+                                    request_id=body.get("request_id"))
+        if result.kv is None:
+            raise web.HTTPInternalServerError(text="prefill produced no KV")
+        payload = {
+            "first_token": result.token_ids[0],
+            "first_logprob": (result.logprobs[0] if result.logprobs else 0.0),
+            "k": result.kv["k"],
+            "v": result.kv["v"],
+            "pos_delta": result.kv["pos_delta"],
+            "policy_version": result.policy_version,
+        }
+        return web.Response(body=pack(payload),
+                            content_type="application/x-msgpack")
+
+    async def pd_inject(self, request: web.Request) -> web.Response:
+        from prime_rl_tpu.transport.types import unpack
+
+        body = unpack(await request.read())
+        sp = _sampling_from_body(body)
+        request_id = body.get("request_id") or f"req-{uuid.uuid4().hex[:16]}"
+        fut = self.engine.submit(
+            list(body["token_ids"]), sp, request_id=request_id,
+            inject={
+                "k": body["k"], "v": body["v"],
+                "first_token": body["first_token"],
+                "first_logprob": body.get("first_logprob", 0.0),
+                "pos_delta": body.get("pos_delta", 0),
+            },
+        )
+        try:
+            result = await asyncio.wrap_future(fut)
+        except asyncio.CancelledError:
+            self.engine.abort(request_id)
+            raise
+        self._metrics["requests"] += 1
+        self._metrics["tokens_generated"] += len(result.token_ids)
+        return web.json_response({
+            "choices": [{
+                "index": 0,
+                "token_ids": result.token_ids,
+                "logprobs": result.logprobs if sp.logprobs else None,
+                "finish_reason": result.finish_reason,
+            }],
+            "usage": {"prompt_tokens": result.prompt_len,
+                      "completion_tokens": len(result.token_ids)},
             "policy_version": result.policy_version,
         })
 
