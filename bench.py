@@ -37,6 +37,7 @@ def main() -> None:
     p.add_argument("--block-q", type=int, default=None)
     p.add_argument("--block-kv", type=int, default=None)
     p.add_argument("--attn-impl", default=None, help="auto|pallas|xla")
+    p.add_argument("--grad-accum-dtype", default=None, help="float32|bfloat16")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
@@ -71,6 +72,8 @@ def main() -> None:
         cfg.model.attn.block_kv = args.block_kv
     if args.attn_impl:
         cfg.model.attn.impl = args.attn_impl
+    if args.grad_accum_dtype:
+        cfg.model.grad_accum_dtype = args.grad_accum_dtype
     spec = get_spec(args.model)
 
     optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)

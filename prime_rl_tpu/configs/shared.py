@@ -129,6 +129,12 @@ class ModelConfig(BaseConfig):
     # optimizer; forward/backward run in bfloat16 on the MXU.
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
     param_dtype: Literal["bfloat16", "float32"] = "float32"
+    # Gradient accumulation dtype. "bfloat16" differentiates against a
+    # pre-cast bf16 param tree and accumulates in bf16 — halves both the
+    # per-micro-batch grad tree and the accumulator (the long-context HBM
+    # lever; ~= torch FSDP bf16 reduce numerics). f32 masters still drive
+    # the optimizer update.
+    grad_accum_dtype: Literal["float32", "bfloat16"] = "float32"
     # Context parallel style (reference: docs/scaling.md:106-118)
     cp_style: Literal["ulysses", "ring"] = "ulysses"
     # Chunk size for the vocab-chunked fused logprob/entropy LM head

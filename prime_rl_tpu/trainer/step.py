@@ -232,24 +232,38 @@ def make_train_step(
 
         return jax.tree_util.tree_map_with_path(mask_leaf, grads)
 
+    accum_bf16 = (getattr(model_cfg, "grad_accum_dtype", "float32") == "bfloat16"
+                  and base_params is None)
+
     def accum_grads(params, batch: MicroBatchArrays, scales: Scales):
+        # bf16 accumulation: differentiate against a pre-cast bf16 tree so
+        # the per-micro-batch grad tree AND the accumulator are half-size —
+        # the long-context HBM lever (f32 masters never enter the grad path)
+        gp = params
+        if accum_bf16:
+            gp = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
         def accum(carry, mb):
             grads_acc, loss_acc, metrics_acc = carry
-            (loss, metrics), grads = grad_fn(params, mb, scales)
+            (loss, metrics), grads = grad_fn(gp, mb, scales)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
             return (grads_acc, loss_acc + loss, metrics_acc), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        zero_grads = jax.tree.map(jnp.zeros_like, gp)
         # trace once to get the metrics pytree structure
         metrics_shape = jax.eval_shape(
-            lambda: loss_fn(params, jax.tree.map(lambda x: x[0], batch), scales)[1]
+            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales)[1]
         )
         zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
 
         (grads, loss, metrics), _ = jax.lax.scan(
             accum, (zero_grads, jnp.zeros(()), zero_metrics), batch
         )
+        if accum_bf16:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         return apply_freeze(grads), loss, metrics
 
     def apply_update(state: TrainState, grads):

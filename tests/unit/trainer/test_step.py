@@ -123,3 +123,24 @@ def test_moe_aux_loss_and_freeze():
     np.testing.assert_array_equal(np.asarray(new_state.params["embed"]), embed_before)
     assert not np.array_equal(np.asarray(new_state.params["layers"]["expert_gate"]),
                               gate_before)  # still training
+
+
+def test_bf16_grad_accumulation_close_to_f32(setup):
+    """grad_accum_dtype=bfloat16 halves grad memory; the resulting update
+    must stay close to the f32-accumulated one (long-context HBM lever)."""
+    cfg, spec, mesh_info, optimizer, make_state, train_step = setup
+    cfg16 = cfg.model_copy(deep=True)
+    cfg16.model.grad_accum_dtype = "bfloat16"
+    step16 = make_train_step(spec, cfg16.model, cfg16.loss, optimizer, mesh_info)
+
+    batch, scales = _batch(spec, mesh_info)
+    s_f32, m_f32 = train_step(make_state(), batch, scales)
+    batch, scales = _batch(spec, mesh_info)
+    s_b16, m_b16 = step16(make_state(), batch, scales)
+    assert np.isfinite(float(m_b16["loss"]))
+    assert abs(float(m_b16["loss"]) - float(m_f32["loss"])) < 1e-3
+    gn32, gn16 = float(m_f32["grad_norm"]), float(m_b16["grad_norm"])
+    assert abs(gn16 - gn32) / max(gn32, 1e-6) < 0.05
+    a = np.asarray(jax.tree.leaves(s_f32.params)[0], np.float32)
+    b = np.asarray(jax.tree.leaves(s_b16.params)[0], np.float32)
+    np.testing.assert_allclose(a, b, rtol=0.1, atol=2e-3)
