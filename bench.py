@@ -76,7 +76,7 @@ def main() -> None:
         cfg.model.grad_accum_dtype = args.grad_accum_dtype
     spec = get_spec(args.model)
 
-    optimizer, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
+    optimizer, _sched = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
     state = init_train_state(spec, mesh_info, optimizer, seed=0,
                              offload_optimizer=args.offload_optimizer)
     state_out_shardings = (
@@ -84,7 +84,9 @@ def main() -> None:
         if args.offload_optimizer else None
     )
     train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
-                                 state_out_shardings=state_out_shardings)
+                                 state_out_shardings=state_out_shardings,
+                                 optimizer_cfg=cfg.optimizer, schedule=_sched,
+                                 grad_clip=cfg.grad_clip)
 
     loader = FakeDataLoader(
         spec.vocab_size, args.seq_len,

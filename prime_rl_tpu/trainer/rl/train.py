@@ -82,7 +82,9 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     )
     train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info,
                                  base_params=base_params,
-                                 state_out_shardings=state_out_shardings)
+                                 state_out_shardings=state_out_shardings,
+                                 optimizer_cfg=config.optimizer, schedule=schedule,
+                                 grad_clip=config.grad_clip)
 
     def publish_params():
         if base_params is None:

@@ -19,6 +19,7 @@ FSDP backward hooks, reference: trainer/rl/train.py:343-586):
 
 from __future__ import annotations
 
+import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -193,6 +194,31 @@ def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: P
     return loss_fn
 
 
+def _find_adam(node):
+    """Locate the ScaleByAdamState inside an optax chain state (or the
+    matching node of a same-structure shardings pytree)."""
+    if isinstance(node, optax.ScaleByAdamState):
+        return node
+    if isinstance(node, (tuple, list)):
+        for c in node:
+            got = _find_adam(c)
+            if got is not None:
+                return got
+    return None
+
+
+def _replace_adam(node, new_adam):
+    if isinstance(node, optax.ScaleByAdamState):
+        return new_adam
+    if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+        return type(node)(*[_replace_adam(c, new_adam) for c in node])
+    if isinstance(node, tuple):
+        return tuple(_replace_adam(c, new_adam) for c in node)
+    if isinstance(node, list):
+        return [_replace_adam(c, new_adam) for c in node]
+    return node
+
+
 def make_train_step(
     spec: ModelSpec,
     model_cfg,
@@ -201,6 +227,9 @@ def make_train_step(
     mesh_info: MeshInfo,
     base_params: Params | None = None,
     state_out_shardings=None,
+    optimizer_cfg=None,
+    schedule=None,
+    grad_clip: float | None = None,
 ):
     """Build the jitted RL train step.
 
@@ -208,6 +237,12 @@ def make_train_step(
 
     ``base_params``: frozen base weights for LoRA mode — the state then holds
     only adapter params (reference analogue: trainer/lora.py module swap).
+
+    ``optimizer_cfg``/``schedule``/``grad_clip``: when the optimizer is AdamW
+    and the state is host-offloaded, the update runs LEAF-STREAMED — one
+    small program per parameter stack, so only that leaf's moments occupy
+    HBM at a time (whole-tree streaming peaks at ~3x the optimizer state and
+    overflowed v5e HBM at 64k context).
     """
     # Ulysses CP engages when the mesh has a context axis > 1
     cp_mesh = mesh_info.mesh if mesh_info.cp_size > 1 else None
@@ -306,14 +341,20 @@ def make_train_step(
         # those committed shardings and the donated state keeps its layout.
         return jax.jit(step_fn, donate_argnums=(0,))
 
-    # Host-offloaded optimizer: TWO programs, not one. Inside a single jit,
-    # XLA overlaps the opt-state host->device prefetch with the backward, so
-    # the streamed state co-resides with peak backward activations — at long
-    # context that overflows HBM (observed as a TPU worker crash at 64k).
-    # Splitting guarantees the update program's peak is params+grads+state
-    # only. ``state_out_shardings`` pins the output layout (state returns to
+    # Host-offloaded optimizer: separate grad and update programs. Inside a
+    # single jit, XLA overlaps the opt-state host->device prefetch with the
+    # backward, so streamed state co-resides with peak backward activations —
+    # at long context that overflows HBM (observed as a TPU worker crash at
+    # 64k). ``state_out_shardings`` pins the output layout (state returns to
     # pinned host memory).
     grads_jit = jax.jit(accum_grads)
+
+    from prime_rl_tpu.configs.shared import AdamWConfig
+
+    if isinstance(optimizer_cfg, AdamWConfig) and schedule is not None:
+        return _make_streamed_adamw_step(
+            grads_jit, optimizer_cfg, schedule, grad_clip, state_out_shardings)
+
     update_jit = jax.jit(apply_update, donate_argnums=(0, 1),
                          out_shardings=(state_out_shardings, None))
 
@@ -326,6 +367,84 @@ def make_train_step(
         return new_state, metrics
 
     return split_step
+
+
+def _make_streamed_adamw_step(grads_jit, cfg, schedule, grad_clip, state_out_shardings):
+    """Leaf-streamed AdamW for host-offloaded state: one program per param
+    stack (p, g, leaf mu/nu in; p', mu', nu' out), matching optax
+    chain(clip_by_global_norm, adamw) numerics exactly. HBM peak during the
+    update = params + grads + ONE leaf's moments, instead of the whole
+    optimizer state."""
+    b1, b2, eps, wd = cfg.betas[0], cfg.betas[1], cfg.eps, cfg.weight_decay
+    sh_adam = _find_adam(state_out_shardings.opt_state)
+    leaf_fns: dict[str, Any] = {}
+
+    def leaf_fn(p_sh, mu_sh, nu_sh):
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
+                           out_shardings=(p_sh, mu_sh, nu_sh))
+        def fn(p, g, mu, nu, count, gnorm):
+            g = g.astype(jnp.float32)
+            if grad_clip is not None:
+                g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
+            try:
+                mu_d = jax.device_put(mu, mu_sh.with_memory_kind("device"))
+                nu_d = jax.device_put(nu, nu_sh.with_memory_kind("device"))
+            except Exception:
+                mu_d, nu_d = mu, nu
+            mu2 = b1 * mu_d + (1.0 - b1) * g
+            nu2 = b2 * nu_d + (1.0 - b2) * jnp.square(g)
+            cf = count.astype(jnp.float32)
+            mu_hat = mu2 / (1.0 - jnp.power(b1, cf))
+            nu_hat = nu2 / (1.0 - jnp.power(b2, cf))
+            upd = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p.astype(jnp.float32)
+            p2 = (p.astype(jnp.float32) - schedule(count - 1) * upd).astype(p.dtype)
+            try:
+                mu2 = jax.device_put(mu2, mu_sh)
+                nu2 = jax.device_put(nu2, nu_sh)
+            except Exception:
+                pass
+            return p2, mu2, nu2
+
+        return fn
+
+    gnorm_jit = jax.jit(optax.global_norm)
+
+    def streamed_step(state: TrainState, batch: MicroBatchArrays, scales: Scales):
+        grads, loss, metrics = grads_jit(state.params, batch, scales)
+        gnorm = gnorm_jit(grads)
+        adam = _find_adam(state.opt_state)
+        new_count = adam.count + 1
+        p_flat = jax.tree_util.tree_flatten_with_path(state.params)
+        g_flat = jax.tree_util.tree_leaves(grads)
+        mu_flat, mu_def = jax.tree_util.tree_flatten(adam.mu)
+        nu_flat = jax.tree_util.tree_leaves(adam.nu)
+        psh_flat = jax.tree_util.tree_leaves(state_out_shardings.params)
+        mush_flat = jax.tree_util.tree_leaves(sh_adam.mu)
+        nush_flat = jax.tree_util.tree_leaves(sh_adam.nu)
+        new_p, new_mu, new_nu = [], [], []
+        for i, ((path, p), g) in enumerate(zip(p_flat[0], g_flat)):
+            key = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+            fn = leaf_fns.get(key)
+            if fn is None:
+                fn = leaf_fns[key] = leaf_fn(psh_flat[i], mush_flat[i], nush_flat[i])
+            p2, mu2, nu2 = fn(p, g, mu_flat[i], nu_flat[i], new_count, gnorm)
+            new_p.append(p2)
+            new_mu.append(mu2)
+            new_nu.append(nu2)
+        params = jax.tree_util.tree_unflatten(p_flat[1], new_p)
+        new_adam = optax.ScaleByAdamState(
+            count=new_count,
+            mu=jax.tree_util.tree_unflatten(mu_def, new_mu),
+            nu=jax.tree_util.tree_unflatten(mu_def, new_nu),
+        )
+        opt_state = _replace_adam(state.opt_state, new_adam)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = gnorm
+        return new_state, metrics
+
+    return streamed_step
 
 
 def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None,

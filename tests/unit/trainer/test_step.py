@@ -144,3 +144,47 @@ def test_bf16_grad_accumulation_close_to_f32(setup):
     a = np.asarray(jax.tree.leaves(s_f32.params)[0], np.float32)
     b = np.asarray(jax.tree.leaves(s_b16.params)[0], np.float32)
     np.testing.assert_allclose(a, b, rtol=0.1, atol=2e-3)
+
+
+def test_streamed_adamw_matches_fused_update(setup):
+    """Leaf-streamed AdamW (host-offloaded state) must reproduce the optax
+    chain(clip, adamw) update exactly (the long-context update path)."""
+    import optax
+
+    from prime_rl_tpu.configs.shared import AdamWConfig
+    from prime_rl_tpu.trainer.optim import make_optimizer
+
+    cfg, spec, mesh_info, optimizer, make_state, train_step = setup
+    opt_cfg = cfg.optimizer if isinstance(cfg.optimizer, AdamWConfig) else AdamWConfig()
+    optimizer2, schedule = make_optimizer(opt_cfg, cfg.scheduler, cfg.grad_clip)
+
+    s_ref = make_state()
+    batch, scales = _batch(spec, mesh_info)
+    ref_step = make_train_step(spec, cfg.model, cfg.loss, optimizer2, mesh_info)
+    s_ref2, m_ref = ref_step(s_ref, batch, scales)
+
+    s_str = make_state()
+    sos = jax.tree.map(lambda x: x.sharding, s_str)
+    str_step = make_train_step(spec, cfg.model, cfg.loss, optimizer2, mesh_info,
+                               state_out_shardings=sos, optimizer_cfg=opt_cfg,
+                               schedule=schedule, grad_clip=cfg.grad_clip)
+    batch, scales = _batch(spec, mesh_info)
+    s_str2, m_str = str_step(s_str, batch, scales)
+
+    # the two grad programs compile separately -> different fusion/summation
+    # order; tolerances cover that float noise, not algorithmic drift
+    np.testing.assert_allclose(float(m_str["grad_norm"]), float(m_ref["grad_norm"]),
+                               rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s_ref2.params),
+        jax.tree_util.tree_leaves_with_path(s_str2.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                                   atol=1e-5, err_msg=str(pa))
+    from prime_rl_tpu.trainer.step import _find_adam
+
+    a1, a2 = _find_adam(s_ref2.opt_state), _find_adam(s_str2.opt_state)
+    assert int(a1.count) == int(a2.count) == 1
+    mu1 = jax.tree_util.tree_leaves(a1.mu)[0]
+    mu2 = jax.tree_util.tree_leaves(a2.mu)[0]
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-3, atol=2e-5)
