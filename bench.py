@@ -34,10 +34,14 @@ def main() -> None:
                    help="activation-checkpoint mode: none|full|save_attn|offload_attn|selective")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in host memory (long-context)")
+    p.add_argument("--offload-params", action="store_true",
+                   help="also park f32 masters in host memory (64k lever)")
     p.add_argument("--block-q", type=int, default=None)
     p.add_argument("--block-kv", type=int, default=None)
     p.add_argument("--attn-impl", default=None, help="auto|pallas|xla")
     p.add_argument("--grad-accum-dtype", default=None, help="float32|bfloat16")
+    p.add_argument("--dispatch-micro-batches", action="store_true",
+                   help="one device program per micro-batch (bounds program wall time)")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
@@ -78,15 +82,17 @@ def main() -> None:
 
     optimizer, _sched = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
     state = init_train_state(spec, mesh_info, optimizer, seed=0,
-                             offload_optimizer=args.offload_optimizer)
+                             offload_optimizer=args.offload_optimizer,
+                             offload_params=args.offload_params)
     state_out_shardings = (
         __import__("jax").tree.map(lambda x: x.sharding, state)
-        if args.offload_optimizer else None
+        if (args.offload_optimizer or args.offload_params) else None
     )
     train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
                                  state_out_shardings=state_out_shardings,
                                  optimizer_cfg=cfg.optimizer, schedule=_sched,
-                                 grad_clip=cfg.grad_clip)
+                                 grad_clip=cfg.grad_clip,
+                                 dispatch_micro_batches=args.dispatch_micro_batches)
 
     loader = FakeDataLoader(
         spec.vocab_size, args.seq_len,

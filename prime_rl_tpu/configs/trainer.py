@@ -195,6 +195,16 @@ class TrainerConfig(BaseConfig):
     # park optimizer state in host memory (reference: CPUOffloadOptimizer,
     # trainer/optim.py:17-108) — frees ~2x param bytes of HBM
     offload_optimizer: bool = False
+    # also park the f32 master weights in pinned host memory: the grads
+    # program runs on a bf16 device copy and the leaf-streamed AdamW update
+    # is the only consumer of the masters (64k-context lever; requires
+    # offload_optimizer + AdamW)
+    offload_params: bool = False
+    # execute each micro-batch as its own device program (host-side
+    # accumulation, identical math): bounds single-program wall time —
+    # remote TPU runtimes (axon tunnel) kill programs running over ~100 s,
+    # which multi-micro-batch 64k-context steps exceed
+    dispatch_micro_batches: bool = False
     # multi-tenant LoRA runs: route batches by TrainingBatch.run_idx to
     # per-tenant adapter states (requires model.lora; reference: runs.py)
     multi_run: bool = False

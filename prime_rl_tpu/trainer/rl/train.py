@@ -76,15 +76,19 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             logger.info(f"multi-run: up to {config.max_runs} concurrent LoRA tenants")
     else:
         state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
-                                 params=init_params, offload_optimizer=config.offload_optimizer)
+                                 params=init_params,
+                                 offload_optimizer=config.offload_optimizer,
+                                 offload_params=config.offload_params)
     state_out_shardings = (
-        jax.tree.map(lambda x: x.sharding, state) if config.offload_optimizer else None
+        jax.tree.map(lambda x: x.sharding, state)
+        if (config.offload_optimizer or config.offload_params) else None
     )
     train_step = make_train_step(spec, config.model, config.loss, optimizer, mesh_info,
                                  base_params=base_params,
                                  state_out_shardings=state_out_shardings,
                                  optimizer_cfg=config.optimizer, schedule=schedule,
-                                 grad_clip=config.grad_clip)
+                                 grad_clip=config.grad_clip,
+                                 dispatch_micro_batches=config.dispatch_micro_batches)
 
     def publish_params():
         if base_params is None:

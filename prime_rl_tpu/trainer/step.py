@@ -230,6 +230,7 @@ def make_train_step(
     optimizer_cfg=None,
     schedule=None,
     grad_clip: float | None = None,
+    dispatch_micro_batches: bool = False,
 ):
     """Build the jitted RL train step.
 
@@ -301,6 +302,47 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         return apply_freeze(grads), loss, metrics
 
+    # dispatch_micro_batches: execute ONE micro-batch per device program and
+    # accumulate across host dispatches (donated accumulators). Identical
+    # math to the in-scan accumulation; bounds single-program wall time —
+    # remote TPU runtimes (the axon tunnel) kill programs running over
+    # ~100 s, which a 4-micro-batch 64k-context step exceeds.
+    def _mb_cast(params):
+        if not accum_bf16:
+            return params
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+    @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
+    def one_mb_jit(gp, mb, scales, g_acc, loss_acc, metrics_acc):
+        (loss, metrics), grads = grad_fn(gp, mb, scales)
+        g_acc = jax.tree.map(jnp.add, g_acc, grads)
+        metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
+        return g_acc, loss_acc + loss, metrics_acc
+
+    cast_mb_jit = jax.jit(_mb_cast)
+    zeros_jit = jax.jit(lambda p: jax.tree.map(jnp.zeros_like, p))
+
+    @jax.jit
+    def finalize_grads_jit(grads):
+        if accum_bf16:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        return apply_freeze(grads)
+
+    def dispatched_accum(params, batch: MicroBatchArrays, scales: Scales):
+        gp = cast_mb_jit(params) if accum_bf16 else params
+        n = batch.input_ids.shape[0]
+        g_acc = zeros_jit(gp)
+        metrics_shape = jax.eval_shape(
+            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales)[1])
+        loss = jnp.zeros(())
+        metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
+        for i in range(n):
+            mb = jax.tree.map(lambda x: x[i] if x is not None else None, batch)
+            g_acc, loss, metrics = one_mb_jit(gp, mb, scales, g_acc, loss, metrics)
+        return finalize_grads_jit(g_acc), loss, metrics
+
     def apply_update(state: TrainState, grads):
         grad_norm = optax.global_norm(grads)
         opt_state_in = state.opt_state
@@ -329,6 +371,19 @@ def make_train_step(
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), grad_norm
 
     if state_out_shardings is None:
+        if dispatch_micro_batches:
+            update_jit0 = jax.jit(apply_update, donate_argnums=(0,))
+
+            def dispatched_step(state, batch, scales):
+                grads, loss, metrics = dispatched_accum(state.params, batch, scales)
+                new_state, grad_norm = update_jit0(state, grads)
+                metrics = dict(metrics)
+                metrics["loss"] = loss
+                metrics["grad_norm"] = grad_norm
+                return new_state, metrics
+
+            return dispatched_step
+
         def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
             grads, loss, metrics = accum_grads(state.params, batch, scales)
             new_state, grad_norm = apply_update(state, grads)
@@ -347,7 +402,7 @@ def make_train_step(
     # at long context that overflows HBM (observed as a TPU worker crash at
     # 64k). ``state_out_shardings`` pins the output layout (state returns to
     # pinned host memory).
-    grads_jit = jax.jit(accum_grads)
+    grads_jit = dispatched_accum if dispatch_micro_batches else jax.jit(accum_grads)
 
     from prime_rl_tpu.configs.shared import AdamWConfig
 
@@ -379,6 +434,18 @@ def _make_streamed_adamw_step(grads_jit, cfg, schedule, grad_clip, state_out_sha
     sh_adam = _find_adam(state_out_shardings.opt_state)
     leaf_fns: dict[str, Any] = {}
 
+    def _stream_in(x, sh):
+        try:
+            return jax.device_put(x, sh.with_memory_kind("device"))
+        except Exception:
+            return x
+
+    def _stream_out(x, sh):
+        try:
+            return jax.device_put(x, sh)
+        except Exception:
+            return x
+
     def leaf_fn(p_sh, mu_sh, nu_sh):
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3),
                            out_shardings=(p_sh, mu_sh, nu_sh))
@@ -386,31 +453,50 @@ def _make_streamed_adamw_step(grads_jit, cfg, schedule, grad_clip, state_out_sha
             g = g.astype(jnp.float32)
             if grad_clip is not None:
                 g = g * jnp.minimum(1.0, grad_clip / jnp.maximum(gnorm, 1e-12))
-            try:
-                mu_d = jax.device_put(mu, mu_sh.with_memory_kind("device"))
-                nu_d = jax.device_put(nu, nu_sh.with_memory_kind("device"))
-            except Exception:
-                mu_d, nu_d = mu, nu
+            p_d = _stream_in(p, p_sh).astype(jnp.float32)
+            mu_d = _stream_in(mu, mu_sh)
+            nu_d = _stream_in(nu, nu_sh)
             mu2 = b1 * mu_d + (1.0 - b1) * g
             nu2 = b2 * nu_d + (1.0 - b2) * jnp.square(g)
             cf = count.astype(jnp.float32)
             mu_hat = mu2 / (1.0 - jnp.power(b1, cf))
             nu_hat = nu2 / (1.0 - jnp.power(b2, cf))
-            upd = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p.astype(jnp.float32)
-            p2 = (p.astype(jnp.float32) - schedule(count - 1) * upd).astype(p.dtype)
-            try:
-                mu2 = jax.device_put(mu2, mu_sh)
-                nu2 = jax.device_put(nu2, nu_sh)
-            except Exception:
-                pass
-            return p2, mu2, nu2
+            upd = mu_hat / (jnp.sqrt(nu_hat) + eps) + wd * p_d
+            p2 = _stream_out((p_d - schedule(count - 1) * upd).astype(p.dtype), p_sh)
+            return p2, _stream_out(mu2, mu_sh), _stream_out(nu2, nu_sh)
 
         return fn
 
     gnorm_jit = jax.jit(optax.global_norm)
 
+    # masters may live in pinned host (offload_params): the grads program
+    # then consumes a bf16 DEVICE copy built here (one cast program; its
+    # transient f32 leaf is bounded by the largest stack)
+    def _device_kind(sh):
+        try:
+            return sh.with_memory_kind("device")
+        except Exception:
+            return sh
+
+    params_offloaded = any(
+        getattr(s, "memory_kind", "device") == "pinned_host"
+        for s in jax.tree_util.tree_leaves(state_out_shardings.params)
+    )
+    cast_shardings = jax.tree.map(_device_kind, state_out_shardings.params)
+
+    def _cast_leaf(x, sh):
+        x = _stream_in(x, sh)
+        return x.astype(jnp.bfloat16) if jnp.issubdtype(x.dtype, jnp.floating) else x
+
+    cast_in_jit = jax.jit(
+        lambda params: jax.tree.map(_cast_leaf, params, state_out_shardings.params),
+        out_shardings=cast_shardings,
+    )
+
     def streamed_step(state: TrainState, batch: MicroBatchArrays, scales: Scales):
-        grads, loss, metrics = grads_jit(state.params, batch, scales)
+        gp = cast_in_jit(state.params) if params_offloaded else state.params
+        grads, loss, metrics = grads_jit(gp, batch, scales)
+        del gp
         gnorm = gnorm_jit(grads)
         adam = _find_adam(state.opt_state)
         new_count = adam.count + 1
@@ -511,6 +597,7 @@ def init_train_state(
     seed: int = 0,
     params: Params | None = None,
     offload_optimizer: bool = False,
+    offload_params: bool = False,
 ) -> TrainState:
     """Sharded-init the train state. With ``params=None``, random-init directly
     into the sharded layout (single jit, no host materialization).
@@ -528,9 +615,11 @@ def init_train_state(
             return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
 
         shapes = jax.eval_shape(init_fn)
-        shardings = state_shardings(shapes, mesh_info, offload_optimizer)
+        shardings = state_shardings(shapes, mesh_info, offload_optimizer, offload_params)
         return jax.jit(init_fn, out_shardings=shardings)()
     shardings = model_base.param_shardings(params, mesh_info)
+    if offload_params:
+        shardings = jax.tree.map(_to_host_kind, shardings)
     params = jax.device_put(params, shardings)
     opt_shardings = state_shardings_for_opt(optimizer, params, mesh_info)
     if offload_optimizer:
@@ -611,9 +700,13 @@ def init_lora_train_state(
 
 
 def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo,
-                    offload_optimizer: bool = False):
+                    offload_optimizer: bool = False, offload_params: bool = False):
     """Shardings for a full TrainState shape pytree: params by rule, optimizer
-    leaves by shape-matching against the param tree, scalars replicated."""
+    leaves by shape-matching against the param tree, scalars replicated.
+
+    ``offload_params`` parks the float32 MASTER weights in pinned host memory
+    too (long-context: the grads program then runs on a bf16 device copy and
+    the leaf-streamed update is the only consumer of the masters)."""
     param_shardings = model_base.param_shardings(state_shapes.params, mesh_info)
     by_shape: dict[tuple, NamedSharding] = {}
     for (path, leaf), (_, sh) in zip(
@@ -626,6 +719,8 @@ def state_shardings(state_shapes: TrainState, mesh_info: MeshInfo,
         sh = by_shape.get(tuple(leaf.shape), replicated)
         return _to_host_kind(sh) if offload_optimizer and leaf.ndim >= 2 else sh
 
+    if offload_params:
+        param_shardings = jax.tree.map(_to_host_kind, param_shardings)
     return TrainState(
         params=param_shardings,
         opt_state=jax.tree.map(opt_leaf, state_shapes.opt_state),

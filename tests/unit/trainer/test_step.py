@@ -188,3 +188,21 @@ def test_streamed_adamw_matches_fused_update(setup):
     mu1 = jax.tree_util.tree_leaves(a1.mu)[0]
     mu2 = jax.tree_util.tree_leaves(a2.mu)[0]
     np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-3, atol=2e-5)
+
+
+def test_dispatched_micro_batches_match_scan(setup):
+    """One-program-per-micro-batch accumulation (axon wall-time bound) must
+    match the in-scan accumulation step for step."""
+    cfg, spec, mesh_info, optimizer, make_state, train_step = setup
+    d_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
+                             dispatch_micro_batches=True)
+    batch, scales = _batch(spec, mesh_info)
+    s_ref, m_ref = train_step(make_state(), batch, scales)
+    batch, scales = _batch(spec, mesh_info)
+    s_d, m_d = d_step(make_state(), batch, scales)
+    np.testing.assert_allclose(float(m_d["loss"]), float(m_ref["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_d["grad_norm"]), float(m_ref["grad_norm"]),
+                               rtol=1e-4)
+    a = np.asarray(jax.tree.leaves(s_ref.params)[0])
+    b = np.asarray(jax.tree.leaves(s_d.params)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
