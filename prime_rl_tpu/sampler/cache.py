@@ -36,6 +36,11 @@ class CacheConfig:
     # largest bucket — or with a cached prefix — prefill in chunks of this
     # size instead of being rejected
     prefill_chunk: int = 1024
+    # host-offload KV tier (reference: docs/inference.md KV Cache Offload,
+    # GPU->DRAM): evicted prefix-cache pages spill their CONTENT to host RAM
+    # up to this budget; later prefix hits restore them into fresh device
+    # pages instead of recomputing. 0 = off.
+    host_cache_mb: int = 0
 
     @property
     def pages_per_slot(self) -> int:
@@ -129,8 +134,11 @@ class PrefixCache:
         self.entries[h] = _CacheEntry(page, refs=0, tick=self._tick)
         return True
 
-    def evict(self, need: int) -> list[int]:
-        """Free up to ``need`` idle pages, least-recently-used first."""
+    def evict(self, need: int, sink=None) -> list[int]:
+        """Free up to ``need`` idle pages, least-recently-used first.
+        ``sink(hash, page)`` is called per eviction BEFORE the page returns
+        to the free list — the host-offload tier's spill hook (reference:
+        docs/inference.md KV Cache Offload, GPU->DRAM tier)."""
         idle = sorted(
             ((h, e) for h, e in self.entries.items() if e.refs <= 0),
             key=lambda kv: kv[1].tick,
@@ -138,6 +146,8 @@ class PrefixCache:
         out = []
         for h, e in idle[:need]:
             del self.entries[h]
+            if sink is not None:
+                sink(h, e.page)
             out.append(e.page)
         return out
 
@@ -211,12 +221,14 @@ class SlotTable:
         self.cache = PrefixCache() if enable_prefix_cache else None
         self.epoch = 0
         self._meta: dict[int, _SlotMeta] = {}
+        # host-offload tier spill hook: sink(hash, page) on each eviction
+        self.evict_sink = None
 
     def _reclaim(self, need_pages: int) -> None:
         """Evict idle cache pages back into the free list if short."""
         short = need_pages - self.alloc.num_free
         if short > 0 and self.cache is not None:
-            self.alloc.free.extend(self.cache.evict(short))
+            self.alloc.free.extend(self.cache.evict(short, sink=self.evict_sink))
 
     def acquire(self, num_tokens: int, prompt_hashes: list[int] | None = None
                 ) -> tuple[int, int] | None:

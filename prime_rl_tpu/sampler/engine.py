@@ -163,6 +163,14 @@ class Engine:
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
         self.slots = SlotTable(self.config, enable_prefix_cache=self.config.enable_prefix_cache)
+        # host-offload KV tier: hash -> (k [NL,NKV,1,PS,HD], v) host arrays
+        self._host_tier: "dict[int, tuple] | None" = None
+        self._host_tier_bytes = 0
+        if self.config.host_cache_mb > 0 and self.config.enable_prefix_cache:
+            from collections import OrderedDict
+
+            self._host_tier = OrderedDict()
+            self.slots.evict_sink = self._spill_page
         self.pending: deque[_Request] = deque()
         self.active: dict[int, _Active] = {}
         self.paused = False
@@ -487,6 +495,9 @@ class Engine:
         # cached prefix KV was computed under the old weights — flush (the
         # version-salt analogue of reference dispatcher.py:437-441)
         self.slots.flush_cache()
+        if self._host_tier is not None:
+            self._host_tier.clear()
+            self._host_tier_bytes = 0
         if version is not None:
             self.policy_version = version
 
@@ -623,6 +634,8 @@ class Engine:
         if got is None:
             return False
         slot, n_shared = got
+        if hashes and self._host_tier is not None and n_shared < len(hashes):
+            n_shared += self._restore_host_pages(hashes, n_shared, slot)
         self.stats["requests_admitted"] += 1
         self.stats["prefill_tokens_cached"] += n_shared * ps
         try:
@@ -752,6 +765,64 @@ class Engine:
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)
 
+    def _spill_page(self, h: int, page: int) -> None:
+        """Evict sink: copy one page's KV to the host tier (LRU, bounded)."""
+        rows = jnp.asarray([page], jnp.int32)
+        k_np, v_np = jax.device_get(self._gather_pages_fn()(
+            self.k_pool, self.v_pool, rows))
+        nbytes = k_np.nbytes + v_np.nbytes
+        budget = self.config.host_cache_mb * (1 << 20)
+        while self._host_tier and self._host_tier_bytes + nbytes > budget:
+            _, (ko, vo) = self._host_tier.popitem(last=False)
+            self._host_tier_bytes -= ko.nbytes + vo.nbytes
+        if nbytes <= budget:
+            self._host_tier[h] = (k_np, v_np)
+            self._host_tier_bytes += nbytes
+            self.stats["kv_pages_spilled"] = self.stats.get("kv_pages_spilled", 0) + 1
+
+    def _restore_host_pages(self, hashes: list[int], n_shared: int, slot: int) -> int:
+        """Continue a device prefix-cache chain from the host tier: upload
+        matching page contents into the slot's next owned pages. Returns the
+        number of pages restored."""
+        if self._host_tier is None:
+            return 0
+        chain = []
+        for h in hashes[n_shared:]:
+            got = self._host_tier.get(h)
+            if got is None:
+                break
+            self._host_tier.move_to_end(h)
+            chain.append(got)
+        if not chain:
+            return 0
+        rows = jnp.asarray(
+            self.slots.page_table[slot][n_shared : n_shared + len(chain)], jnp.int32)
+        k_new = jnp.asarray(np.concatenate([k for k, _ in chain], axis=2))
+        v_new = jnp.asarray(np.concatenate([v for _, v in chain], axis=2))
+        self.k_pool, self.v_pool = self._scatter_pages(k_new, v_new, rows)
+        self.stats["kv_pages_restored"] = self.stats.get("kv_pages_restored", 0) + len(chain)
+        return len(chain)
+
+    def _scatter_pages(self, k_new, v_new, rows):
+        """Jitted per-page-count scatter into the pools (shared by P/D
+        injection and the host-tier restore)."""
+        n_pages = int(rows.shape[0])
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def scatter(k_pool, v_pool, k_new, v_new, rows):
+            from prime_rl_tpu.sampler.model import _write_pages
+
+            k_out = [_write_pages(kl, k_new[i].astype(kl.dtype), rows)
+                     for i, kl in enumerate(k_pool)]
+            v_out = [_write_pages(vl, v_new[i].astype(vl.dtype), rows)
+                     for i, vl in enumerate(v_pool)]
+            return k_out, v_out
+
+        if getattr(self, "_scatter_fns", None) is None:
+            self._scatter_fns = {}
+        fn = self._scatter_fns.setdefault(n_pages, scatter)
+        return fn(self.k_pool, self.v_pool, k_new, v_new, rows)
+
     def _gather_pages_fn(self):
         """Jitted page gather for P/D extraction: pools + page rows ->
         ([NL, NKV, n_pages, PS, HD] k, same v)."""
@@ -779,21 +850,8 @@ class Engine:
                 f"injected KV has {k_np.shape[2]} pages, request needs {n_pages} "
                 "(page_size must match between prefill and decode engines)")
 
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def scatter(k_pool, v_pool, k_new, v_new, rows):
-            from prime_rl_tpu.sampler.model import _write_pages
-
-            k_out = [_write_pages(kl, k_new[i].astype(kl.dtype), rows)
-                     for i, kl in enumerate(k_pool)]
-            v_out = [_write_pages(vl, v_new[i].astype(vl.dtype), rows)
-                     for i, vl in enumerate(v_pool)]
-            return k_out, v_out
-
-        if getattr(self, "_scatter_fns", None) is None:
-            self._scatter_fns = {}
-        fn = self._scatter_fns.setdefault(n_pages, scatter)
-        self.k_pool, self.v_pool = fn(self.k_pool, self.v_pool,
-                                      jnp.asarray(k_np), jnp.asarray(v_np), rows)
+        self.k_pool, self.v_pool = self._scatter_pages(
+            jnp.asarray(k_np), jnp.asarray(v_np), rows)
         self.stats["prefill_tokens_cached"] += n  # imported, not computed
 
         first_tok = int(inj["first_token"])

@@ -272,3 +272,27 @@ def test_abort_pending_and_active(setup):
     engine.run_until_idle()
     assert active_fut.result(timeout=5).finish_reason == "aborted"
     assert pend_fut.result(timeout=5).finish_reason == "aborted"
+
+
+def test_kv_host_offload_tier():
+    """Evicted prefix-cache pages spill to host RAM and restore into fresh
+    device pages on a later prefix hit (reference: KV Cache Offload,
+    GPU->DRAM tier) — restored prefixes must decode identically."""
+    spec = debug_spec(num_layers=2, vocab_size=128)
+    params = jax.tree.map(lambda x: x * 3.0,
+                          qwen3.init_params(spec, jax.random.key(0)))
+    # tiny pool: 7 usable pages; each request wants 5 -> the second request
+    # must evict the first's cached prefix (which spills to the host tier)
+    cfg = CacheConfig(num_pages=8, page_size=16, max_slots=2, max_seq_len=128,
+                      host_cache_mb=64)
+    engine = Engine(params, spec, cfg, compute_dtype=jnp.float32)
+    sp = SamplingParams(max_tokens=4, temperature=0.0, ignore_eos=True)
+
+    p1 = list(range(3, 3 + 64))
+    p2 = list(range(70, 70 + 64))
+    r1a = engine.generate([p1], [sp])[0]
+    engine.generate([p2], [sp])  # evicts p1's cached pages -> host tier
+    assert engine.stats.get("kv_pages_spilled", 0) > 0
+    r1b = engine.generate([p1], [sp])[0]  # device miss -> host restore
+    assert engine.stats.get("kv_pages_restored", 0) > 0
+    assert r1b.token_ids == r1a.token_ids
