@@ -39,6 +39,7 @@ class InferenceClient:
         *,
         prompt_logprobs: bool = False,
         cache_salt: str | None = None,
+        mm: dict | None = None,
     ) -> TokenCompletion:
         payload: dict[str, Any] = {
             "token_ids": token_ids,
@@ -54,6 +55,19 @@ class InferenceClient:
         }
         if cache_salt is not None:
             payload["cache_salt"] = cache_salt
+        if mm is not None:
+            # VLM inputs on the generate wire (server _mm_from_body contract):
+            # pixel_values as base64 f32 LE + shape, grid as nested lists
+            import base64
+
+            import numpy as np
+
+            pv = np.ascontiguousarray(np.asarray(mm["pixel_values"], np.float32))
+            payload["mm"] = {
+                "pixel_values": {"b64": base64.b64encode(pv.tobytes()).decode(),
+                                 "shape": list(pv.shape)},
+                "image_grid_thw": np.asarray(mm["image_grid_thw"]).tolist(),
+            }
         r = await self._client.post(f"{self.base_url}/inference/v1/generate", json=payload)
         r.raise_for_status()
         body = r.json()

@@ -32,6 +32,10 @@ class Trace:
     # MoE router replay: per-token [NL, K] expert-id rows (None entries =
     # context tokens / not recorded)
     routed_experts: list | None = None
+    # VLM inputs: {"pixel_values": [P, patch_dim] f32, "image_grid_thw":
+    # [N, 3] i64} (HF-processor layout; reference trajectories.py:35-66
+    # mm_kwargs contract) — rides the wire to TrainingSample.mm_kwargs
+    mm_kwargs: dict | None = None
 
     def __post_init__(self):
         n = len(self.token_ids)

@@ -396,7 +396,27 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
     import json
     from pathlib import Path
 
-    if name in BUILTIN_SPECS:
+    if name == "debug_vlm":
+        # ByteTokenizer-compatible tiny VLM for the offline VLM RL debug loop
+        # (vision token ids sit above the 260-token byte vocab); lazy so the
+        # base module never imports models/vision at import time
+        from prime_rl_tpu.models.vision import VisionSpec
+
+        spec = ModelSpec(
+            family="qwen3_vl", vocab_size=512, hidden_size=128, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+            rope_theta=1e6, tie_embeddings=False, qk_norm=True,
+            eos_token_id=258, pad_token_id=256,
+            mrope_section=(8, 4, 4), vision_start_token_id=300,
+            image_token_id=301, video_token_id=302,
+            vision=VisionSpec(
+                depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+                in_channels=3, patch_size=4, temporal_patch_size=2,
+                spatial_merge_size=2, out_hidden_size=128,
+                num_position_embeddings=16, deepstack_visual_indexes=(0,),
+            ),
+        )
+    elif name in BUILTIN_SPECS:
         spec = BUILTIN_SPECS[name]
     elif (Path(name) / "config.json").exists():
         cfg = json.loads((Path(name) / "config.json").read_text())

@@ -101,10 +101,12 @@ def forward(
             mm["vis_pos_w"], mm["vis_rope_coords"],
             compute_dtype=compute_dtype,
         )
+        # inject where the host-side prep assigned a slot (slot >= 0), NOT by
+        # token id: an image token the policy SAMPLED has no pixels behind it
+        # and must stay a plain text token
         img_slot = mm["img_slot"]
-        img_mask = (
-            (input_ids == spec.image_token_id) | (input_ids == spec.video_token_id)
-        )[..., None]
+        img_mask = (img_slot >= 0)[..., None]
+        img_slot = jnp.maximum(img_slot, 0)
         gathered = jnp.take(merged.astype(compute_dtype), img_slot, axis=0)  # [B, L, D]
         h = jnp.where(img_mask, gathered, h)
         rope_pos = _mrope_positions(spec, mm["mm_position_ids"])

@@ -303,9 +303,14 @@ def prep_mrope_position_ids(
             continue
         # text span [st, i)
         text_len = i - st
+        g = next(grid_iter, None)
+        if g is None:
+            # more vision-token runs than provided grids: a sampled/spurious
+            # image token in an RL completion — treat the rest as plain text
+            break
         pos[:, st:i] = np.arange(st_idx, st_idx + text_len)
         st_idx += text_len
-        t, hh, ww = next(grid_iter)
+        t, hh, ww = g
         gh, gw = int(hh) // merge_size, int(ww) // merge_size
         n = int(t) * gh * gw
         t_ix = np.arange(t).repeat(gh * gw)
@@ -324,13 +329,19 @@ def prep_mrope_position_ids(
 
 
 def prep_image_slots(token_ids: np.ndarray, image_token_id: int,
-                     video_token_id: int, base: int = 0) -> np.ndarray:
+                     video_token_id: int, base: int = 0,
+                     max_slots: int | None = None) -> np.ndarray:
     """[L] int32: for each vision-token position, its row in the merged
     image-embed buffer (``base`` offsets into the micro-batch-wide buffer);
-    0 elsewhere (positions are additionally masked by token id in-model)."""
+    -1 elsewhere — the in-model inject mask is ``slot >= 0``. ``max_slots``
+    caps assignment at the merged-row count the grids actually provide, so
+    sampled/spurious image tokens in an RL completion stay plain text."""
     is_vis = (token_ids == image_token_id) | (token_ids == video_token_id)
-    slots = np.zeros(len(token_ids), np.int32)
-    slots[is_vis] = base + np.arange(int(is_vis.sum()), dtype=np.int32)
+    slots = np.full(len(token_ids), -1, np.int32)
+    vis_idx = np.nonzero(is_vis)[0]
+    if max_slots is not None:
+        vis_idx = vis_idx[:max_slots]
+    slots[vis_idx] = base + np.arange(len(vis_idx), dtype=np.int32)
     return slots
 
 

@@ -23,6 +23,9 @@ def trace_to_sample(trace: Trace, env_name: str) -> TrainingSample:
             for i, r in enumerate(trace.routed_experts):
                 if r is not None:
                     routed[i] = np.asarray(r, np.int32)
+    mm = None
+    if trace.mm_kwargs:
+        mm = {k: np.asarray(v) for k, v in trace.mm_kwargs.items()}
     return TrainingSample(
         token_ids=np.asarray(trace.token_ids, np.int32),
         mask=np.asarray(trace.sampled_mask, bool),
@@ -30,6 +33,7 @@ def trace_to_sample(trace: Trace, env_name: str) -> TrainingSample:
         temperatures=np.asarray(trace.temperatures, np.float32),
         env_name=env_name,
         routed_experts=routed,
+        mm_kwargs=mm,
     )
 
 

@@ -336,8 +336,10 @@ class Engine:
         sel = mrope_dim_select(tuple(spec.mrope_section), spec.head_dim // 2)
         pf = mpos[sel].T.astype(np.int32)  # [n, rot//2] per-frequency positions
         pf = np.pad(pf, ((0, lpad - n), (0, 0)))
-        slots = np.zeros((lpad,), np.int32)
-        slots[:n] = prep_image_slots(ids_np, spec.image_token_id, spec.video_token_id)
+        slots = np.full((lpad,), -1, np.int32)
+        slots[:n] = prep_image_slots(
+            ids_np, spec.image_token_id, spec.video_token_id,
+            max_slots=int(grid.prod(axis=1).sum()) // vspec.merge_unit)
 
         merged, ds = self._vision_fn()(
             self.params, jnp.asarray(pixels), jnp.asarray(meta["seg_ids"]),

@@ -227,11 +227,13 @@ def prefill(
     h = jnp.take(embed, input_ids, axis=0)
 
     img_mask = None
+    img_slot = None
     if mm is not None:
-        img_mask = (
-            (input_ids == spec.image_token_id) | (input_ids == spec.video_token_id)
-        )[..., None]
-        gathered = jnp.take(mm["vis_embed"].astype(compute_dtype), mm["img_slot"], axis=0)
+        # slot >= 0 (host-assigned) gates injection — not token id; see
+        # models/qwen3_vl.forward
+        img_slot = jnp.maximum(mm["img_slot"], 0)
+        img_mask = (mm["img_slot"] >= 0)[..., None]
+        gathered = jnp.take(mm["vis_embed"].astype(compute_dtype), img_slot, axis=0)
         h = jnp.where(img_mask, gathered, h)
         positions = mm["positions"]  # [1, Lpad, rot//2] per-frequency
 
@@ -261,7 +263,7 @@ def prefill(
             # DeepStack: add the li-th visual feature map at image slots
             # (HF Qwen3VLTextModel._deepstack_process; training analogue in
             # models/qwen3_vl.forward)
-            inj = jnp.take(mm["ds_feats"][li].astype(compute_dtype), mm["img_slot"], axis=0)
+            inj = jnp.take(mm["ds_feats"][li].astype(compute_dtype), img_slot, axis=0)
             h = jnp.where(img_mask, h + inj, h)
     k_pool, v_pool = k_out, v_out
     h = rms_norm(h, params["final_norm"], spec.rms_eps)

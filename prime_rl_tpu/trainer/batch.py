@@ -125,7 +125,7 @@ def _assemble_mm(row_slots, shape, vlm_spec, pad_patches: int):
     vspec = vlm_spec.vision
     B, L = shape
     mu = vspec.merge_unit
-    img_slot = np.zeros((B, L), np.int32)
+    img_slot = np.full((B, L), -1, np.int32)  # -1 = not a vision position
     mm_position_ids = np.zeros((3, B, L), np.int32)
     pixels, segs, idxs, ws, coords = [], [], [], [], []
     seg_base = 0  # running frame count (vision segment ids are 1-based)
@@ -152,7 +152,7 @@ def _assemble_mm(row_slots, shape, vlm_spec, pad_patches: int):
         )
         slots = prep_image_slots(
             s.token_ids, vlm_spec.image_token_id, vlm_spec.video_token_id,
-            base=merged_base,
+            base=merged_base, max_slots=meta["seg_ids"].shape[0] // mu,
         )
         img_slot[b, sl] = slots
         seg_base += int(meta["seg_ids"].max(initial=0))

@@ -224,6 +224,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 f"train step shape {shape_key} (compilation #{len(seen_shapes)})"
             )
         tokens = int(batch.loss_mask.size) * world
+        mm_seg = getattr(batch, "mm_vis_seg_ids", None)
+        mm_patches = None if mm_seg is None else int((np.asarray(mm_seg) > 0).sum())
         batch = step_lib.put_batch(
             batch if world > 1 else jax.tree.map(jnp.asarray, batch), mesh_info)
         scales = Scales(
@@ -271,6 +273,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             "publish_s": pub_s,
             "rl_tokens": counts["rl"],
         }
+        if mm_patches is not None:
+            record["mm_patches"] = mm_patches  # real (non-pad) vision patches
         if progress.step % 50 == 0:
             record.update(device_memory_stats())
         if is_main:
