@@ -179,8 +179,16 @@ def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq):
         indices = jax.vmap(
             lambda qi, ki, wi, a, b: mla_topk_indices(qi, ki, wi, a, b, spec.index_topk)
         )(q_idx, k_idx, w_idx, ks, ke)
+        # TPU: fused gathered-flash Pallas kernel (scores never leave VMEM);
+        # CPU/tests: the XLA chunked-gather op (pallas interpret is too slow)
+        if jax.default_backend() not in ("cpu",):
+            from prime_rl_tpu.ops.sparse_mla_pallas import (
+                sparse_mla_attention as sparse_attn,
+            )
+        else:
+            sparse_attn = sparse_mla_attention
         out_lat = jax.vmap(
-            lambda qq, kk, ii: sparse_mla_attention(qq, kk, ii, scale, kvl)
+            lambda qq, kk, ii: sparse_attn(qq, kk, ii, scale, kvl)
         )(sparse_q, kv, indices)
     else:
         out_lat = jax.vmap(
