@@ -125,6 +125,28 @@ class ModelSpec:
     rope_yarn_beta_fast: float = 32.0
     rope_yarn_beta_slow: float = 1.0
     rope_yarn_truncate: bool = True
+    # minimax_m2 / afmoe / laguna axes (reference: trainer/models/minimax_m2/,
+    # afmoe/, laguna/ modeling files):
+    # "head" = per-head q/k RMSNorm (qwen3); "layer" = one RMSNorm over the
+    # full flattened q_dim/kv_dim (MiniMax-M2 qk_norm_type="per_layer",
+    # reference layers/attn.py:77-83,135-137)
+    qk_norm_scope: str = "head"
+    # attention output gating: "" = none; "sigmoid" = elementwise
+    # out * sigmoid(W_g x) with W_g: [D, q_dim] (afmoe/qwen3.5 gated attn,
+    # reference afmoe/modeling_afmoe.py:79,94); "softplus_head" = per-head
+    # scalar out * softplus(W_g x) with W_g: [D, H] (laguna
+    # modeling_laguna.py:124,130-131)
+    attn_gate: str = ""
+    # afmoe sandwich norms: post-attention and post-MLP RMSNorms applied to
+    # the block OUTPUT before the residual add (modeling_afmoe.py:238-296)
+    sandwich_norm: bool = False
+    # laguna: absolute shared-expert hidden dim (SwiGLU, fed the same normed
+    # input as the routed experts — modeling_laguna.py:173-177,212-216);
+    # glm4_moe instead uses n_shared_experts * moe_intermediate_size
+    shared_expert_size: int = 0
+    # laguna: sliding-window layers use their own rope base (10k local vs
+    # 500k full — configuration_laguna.py:124-127). 0 = same theta everywhere.
+    rope_theta_local: float = 0.0
 
     @property
     def is_moe(self) -> bool:
@@ -152,13 +174,21 @@ class ModelSpec:
         d, l = self.hidden_size, self.num_layers
         if self.layer_pattern:
             return self._hybrid_flops_per_token(seq_len)
-        per_layer = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)  # qkvo (o: q_dim x d)
+        attn_proj = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)  # qkvo (o: q_dim x d)
+        if self.attn_gate == "sigmoid":
+            attn_proj += 2 * d * self.q_dim
+        elif self.attn_gate == "softplus_head":
+            attn_proj += 2 * d * self.num_heads
+        moe_mlp_f = 0.0
         if self.is_moe:
-            per_layer += 2 * 3 * d * self.moe_intermediate_size * self.num_experts_per_tok
-            per_layer += 2 * d * self.num_experts  # router
-        else:
-            per_layer += 2 * 3 * d * self.intermediate_size
-        dense = l * per_layer + 2 * d * self.vocab_size
+            moe_mlp_f = 2 * 3 * d * self.moe_intermediate_size * self.num_experts_per_tok
+            moe_mlp_f += 2 * d * self.num_experts  # router
+            shared = self.shared_expert_size or self.n_shared_experts * self.moe_intermediate_size
+            moe_mlp_f += 2 * 3 * d * shared
+        dense_mlp_f = 2 * 3 * d * self.intermediate_size
+        k_dense = self.first_k_dense_replace if self.is_moe else l
+        dense = l * attn_proj + k_dense * dense_mlp_f + (l - k_dense) * (moe_mlp_f or dense_mlp_f)
+        dense += 2 * d * self.vocab_size
         attn = l * 2 * 2 * seq_len * self.q_dim  # scores + values (causal: /2, but count full for parity)
         return 3 * (dense + attn)  # fwd(1) + bwd(2)
 
@@ -223,12 +253,22 @@ class ModelSpec:
             return total
         per_layer = d * (self.q_dim + 2 * self.kv_dim) + self.q_dim * d + 2 * d
         if self.qk_norm:
-            per_layer += 2 * self.head_dim
+            per_layer += (self.q_dim + self.kv_dim) if self.qk_norm_scope == "layer" \
+                else 2 * self.head_dim
+        if self.attn_gate == "sigmoid":
+            per_layer += d * self.q_dim
+        elif self.attn_gate == "softplus_head":
+            per_layer += d * self.num_heads
+        if self.sandwich_norm:
+            per_layer += 2 * d
+        moe_p = dense_p = 3 * d * self.intermediate_size
         if self.is_moe:
-            per_layer += 3 * d * self.moe_intermediate_size * self.num_experts + d * self.num_experts
-        else:
-            per_layer += 3 * d * self.intermediate_size
-        total = l * per_layer + self.vocab_size * d + d
+            moe_p = 3 * d * self.moe_intermediate_size * self.num_experts + d * self.num_experts
+            shared = self.shared_expert_size or self.n_shared_experts * self.moe_intermediate_size
+            moe_p += 3 * d * shared
+        k_dense = self.first_k_dense_replace if self.is_moe else l
+        total = l * per_layer + k_dense * dense_p + (l - k_dense) * moe_p
+        total += self.vocab_size * d + d
         if not self.tie_embeddings:
             total += d * self.vocab_size
         return total
@@ -343,6 +383,17 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         mamba_num_heads=128, mamba_head_dim=64, mamba_n_groups=8,
         mamba_state_size=128, mamba_conv_kernel=4, mamba_chunk_size=128,
     ),
+    # MiniMax-M2.1 class (reference: minimax_m2/configuration_minimax_m2.py
+    # defaults): sigmoid+bias routing, per-layer qk-norm, partial rotary
+    "MiniMaxAI/MiniMax-M2": ModelSpec(
+        family="minimax_m2", vocab_size=200064, hidden_size=6144, num_layers=92,
+        num_heads=48, num_kv_heads=8, head_dim=128, intermediate_size=24576,
+        rope_theta=5e6, rms_eps=1e-6, tie_embeddings=False, qk_norm=True,
+        qk_norm_scope="layer", max_position_embeddings=131072,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+        num_experts=256, num_experts_per_tok=8, moe_intermediate_size=24576,
+        norm_topk_prob=True, router_sigmoid=True, partial_rotary_factor=0.5,
+    ),
     # ByteTokenizer-compatible tiny model for the offline sync-GRPO debug loop
     # (vocab 512 covers the 260-token byte vocab; eos = <|im_end|> = 258)
     "debug": ModelSpec(
@@ -355,6 +406,35 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         num_kv_heads=2, head_dim=32, intermediate_size=256, rope_theta=1e6,
         tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+    ),
+    # tiny gated-MoE family debug specs (minimax_m2 / afmoe / laguna axes)
+    "debug_minimax": ModelSpec(
+        family="minimax_m2", vocab_size=512, hidden_size=128, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rope_theta=5e6, tie_embeddings=True, qk_norm=True, qk_norm_scope="layer",
+        eos_token_id=258, pad_token_id=256, partial_rotary_factor=0.5,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+        router_sigmoid=True, norm_topk_prob=True,
+    ),
+    "debug_afmoe": ModelSpec(
+        family="afmoe", vocab_size=512, hidden_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rope_theta=1e4, rms_eps=1e-5, tie_embeddings=True, qk_norm=True,
+        eos_token_id=258, pad_token_id=256, attn_gate="sigmoid",
+        sandwich_norm=True, sliding_window=64, sliding_window_pattern=2,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+        n_shared_experts=2, first_k_dense_replace=1, router_sigmoid=True,
+        norm_topk_prob=True,
+    ),
+    "debug_laguna": ModelSpec(
+        family="laguna", vocab_size=512, hidden_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rope_theta=5e5, rope_theta_local=1e4, tie_embeddings=True, qk_norm=True,
+        eos_token_id=258, pad_token_id=256, attn_gate="softplus_head",
+        sliding_window=64, sliding_window_pattern=2,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+        shared_expert_size=96, first_k_dense_replace=1, router_sigmoid=True,
+        norm_topk_prob=True, routed_scaling_factor=1.5,
     ),
     # hybrid-Mamba debug spec exercising all four nemotron_h block types
     "debug_nemotron": ModelSpec(
@@ -428,6 +508,29 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
     return spec
 
 
+def _window_pattern_from_layer_types(
+    layer_types: list, sliding_window: int, default_pattern: int
+) -> tuple[int, int]:
+    """(sliding_window, pattern) from an HF ``layer_types`` list. Supports
+    the periodic "every n-th layer full" layouts the built-in families use
+    (afmoe configuration_afmoe.py:91-95; laguna all-full default); raises on
+    aperiodic mixes."""
+    if not sliding_window:
+        return 0, 1
+    if not layer_types:
+        return sliding_window, max(default_pattern, 1)
+    is_full = [t == "full_attention" for t in layer_types]
+    if all(is_full):
+        return 0, 1
+    if not any(is_full):
+        return sliding_window, 1
+    n = len(is_full)
+    for pat in range(2, n + 1):
+        if all(f == (i % pat == pat - 1) for i, f in enumerate(is_full)):
+            return sliding_window, pat
+    raise ValueError(f"unsupported aperiodic layer_types layout: {layer_types}")
+
+
 def spec_from_hf_config(cfg: dict) -> ModelSpec:
     arch = (cfg.get("architectures") or ["Qwen3ForCausalLM"])[0].lower()
     if "qwen3vl" in arch.replace("_", ""):
@@ -444,6 +547,12 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         family = "glm4_moe"
     elif "qwen3moe" in arch.replace("_", ""):
         family = "qwen3_moe"
+    elif "minimaxm2" in arch.replace("_", ""):
+        family = "minimax_m2"
+    elif "afmoe" in arch:
+        family = "afmoe"
+    elif "laguna" in arch:
+        family = "laguna"
     elif "qwen3" in arch:
         family = "qwen3"
     elif "llama" in arch:
@@ -518,6 +627,80 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
             rms_eps=float(cfg.get("layer_norm_epsilon", 1e-5)),
             attn_bias=bool(cfg.get("attention_bias", False)),
         )
+    if family == "minimax_m2":
+        # reference: minimax_m2/configuration_minimax_m2.py (rotary_dim ->
+        # partial factor; sigmoid scoring + e_score_correction_bias routing;
+        # qk_norm_type "per_layer" = full-width q/k norms)
+        extra = dict(
+            num_experts=int(cfg.get("num_local_experts", 256)),
+            moe_intermediate_size=cfg["intermediate_size"],
+            qk_norm=bool(cfg.get("use_qk_norm", True)),
+            qk_norm_scope=("layer" if cfg.get("qk_norm_type", "per_layer") == "per_layer"
+                           else "head"),
+            partial_rotary_factor=float(cfg.get("rotary_dim", head_dim)) / head_dim,
+            router_sigmoid=(cfg.get("scoring_func", "sigmoid") == "sigmoid"),
+            attn_bias=bool(cfg.get("attention_bias", False)),
+            norm_topk_prob=True,  # route_norm=True in MoEArgs (modeling_minimax_m2.py:48)
+        )
+    if family == "afmoe":
+        # reference: afmoe/configuration_afmoe.py + modeling_afmoe.py —
+        # sliding layers with a full layer every global_attn_every_n_layers,
+        # sandwich norms, sigmoid attention-output gate, sigmoid-scored MoE
+        # with shared experts and the first num_dense_layers dense
+        lt = cfg.get("layer_types") or []
+        win, pat = _window_pattern_from_layer_types(
+            lt, int(cfg.get("sliding_window", 0) or 0),
+            int(cfg.get("global_attn_every_n_layers", 4)))
+        extra = dict(
+            num_experts=int(cfg.get("num_experts", 0) or 0),
+            first_k_dense_replace=int(cfg.get("num_dense_layers", 0) or 0),
+            n_shared_experts=int(cfg.get("num_shared_experts", 0) or 0),
+            router_sigmoid=(cfg.get("score_func", "sigmoid") == "sigmoid"),
+            routed_scaling_factor=float(cfg.get("route_scale", 1.0)),
+            norm_topk_prob=bool(cfg.get("route_norm", True)),
+            n_group=int(cfg.get("n_group", 1) or 1),
+            topk_group=int(cfg.get("topk_group", 1) or 1),
+            qk_norm=True, attn_gate="sigmoid", sandwich_norm=True,
+            sliding_window=win, sliding_window_pattern=pat,
+        )
+    if family == "laguna":
+        # reference: laguna/configuration_laguna.py + modeling_laguna.py —
+        # per-head softplus attention gate, per-layer-type rope theta
+        # (full 500k / sliding 10k), sigmoid+bias routing with a separate
+        # absolute-size shared expert; first mlp_layer_types "dense" layers
+        # map to first_k_dense_replace
+        lt = cfg.get("layer_types") or []
+        win, pat = _window_pattern_from_layer_types(
+            lt, int(cfg.get("sliding_window", 0) or 0), 0)
+        mlt = cfg.get("mlp_layer_types") or ["dense"] + ["sparse"] * (cfg["num_hidden_layers"] - 1)
+        k_dense = next((i for i, t in enumerate(mlt) if t == "sparse"), len(mlt))
+        if any(t != "sparse" for t in mlt[k_dense:]):
+            raise ValueError("laguna: only dense-prefix mlp_layer_types layouts are supported")
+        heads_pl = cfg.get("num_attention_heads_per_layer")
+        if heads_pl and len(set(heads_pl)) > 1:
+            raise ValueError("laguna: varying num_attention_heads_per_layer is not supported")
+        rp = cfg.get("rope_parameters") or cfg.get("rope_scaling") or {}
+        theta_full = theta_local = float(cfg.get("rope_theta", 500000.0))
+        prf = cfg.get("partial_rotary_factor")
+        if isinstance(rp, dict) and "full_attention" in rp:
+            theta_full = float(rp["full_attention"].get("rope_theta", 500000.0))
+            theta_local = float(rp.get("sliding_attention", {}).get("rope_theta", 10000.0))
+            prf = prf or rp["full_attention"].get("partial_rotary_factor")
+        extra = dict(
+            num_experts=int(cfg.get("num_experts", 0) or 0),
+            first_k_dense_replace=k_dense,
+            shared_expert_size=int(cfg.get("shared_expert_intermediate_size", 0) or 0),
+            router_sigmoid=True, norm_topk_prob=True,
+            routed_scaling_factor=float(cfg.get("moe_routed_scaling_factor", 1.0)),
+            qk_norm=True, attn_gate="softplus_head",
+            sliding_window=win, sliding_window_pattern=pat,
+            rope_theta=theta_full, rope_theta_local=theta_local if win else 0.0,
+            partial_rotary_factor=float(prf or 1.0),
+            attn_bias=bool(cfg.get("attention_bias", False)),
+        )
+        if cfg.get("moe_router_logit_softcapping"):
+            # parity with the reference (modeling_laguna.py:172)
+            raise NotImplementedError("laguna router logit softcapping is not supported")
     if family == "gpt_oss":
         rs = cfg.get("rope_scaling") or {}
         lt = cfg.get("layer_types") or []
@@ -643,6 +826,10 @@ PARAM_SPECS: dict[str, P] = {
     "layers.shared_up": P(None, "fsdp", "tensor"),
     "layers.shared_down": P(None, "tensor", "fsdp"),
     "layers.router_correction_bias": P(None),
+    # minimax/afmoe/laguna extras: attention output gate proj + sandwich norms
+    "layers.attn_gate": P(None, "fsdp", "tensor"),
+    "layers.post_attn_norm": P(None),
+    "layers.post_mlp_norm": P(None),
     # gpt-oss extras: sinks / biases are tiny — replicate
     "layers.sink": P(None),
     "layers.q_bias": P(None),

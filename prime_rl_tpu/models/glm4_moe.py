@@ -57,14 +57,15 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     moe_layers["expert_gate"] = w(ks[1], n_moe, e, d, m)
     moe_layers["expert_up"] = w(ks[2], n_moe, e, d, m)
     moe_layers["expert_down"] = w(ks[3], n_moe, e, m, d)
-    if spec.n_shared_experts:
-        ms = m * spec.n_shared_experts
+    ms = spec.shared_expert_size or m * spec.n_shared_experts
+    if ms:
         moe_layers["shared_gate"] = w(ks[4], n_moe, d, ms)
         moe_layers["shared_up"] = w(ks[5], n_moe, d, ms)
         moe_layers["shared_down"] = w(ks[6], n_moe, ms, d)
 
     base["layers"] = moe_layers
-    base["dense_layers"] = dense_layers
+    if k_dense:
+        base["dense_layers"] = dense_layers
     return base
 
 
@@ -90,6 +91,8 @@ def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
         out = out + jnp.dot(
             swiglu(jnp.dot(x, cast["shared_gate"]), jnp.dot(x, cast["shared_up"])),
             cast["shared_down"])
+    if spec.sandwich_norm:
+        out = rms_norm(out, cast["post_mlp_norm"], spec.rms_eps)
     return h + out, routing.load_balance_loss
 
 
@@ -113,27 +116,41 @@ def forward(
     if lora is not None:
         raise NotImplementedError("glm4_moe LoRA: round 3")
     inv_freq, rope_scaling = rope_setup(spec)
+    # laguna: sliding layers run their own rope base (reference
+    # configuration_laguna.py:124-127 — full 500k / sliding 10k)
+    if spec.rope_theta_local:
+        from prime_rl_tpu.ops.layers import rope_frequencies
+
+        rot_dim = int(spec.head_dim * spec.partial_rotary_factor)
+        inv_freq_local = rope_frequencies(rot_dim, spec.rope_theta_local)
+    else:
+        inv_freq_local = inv_freq
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
+    win_list = qwen3.layer_windows_list(spec)
 
-    def attn(h, lp):
+    def attn(h, lp, window):
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items()}
-        return qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
+        freqs = inv_freq_local if window else inv_freq
+        return qwen3._attn_block(h, cast, spec, segment_ids, position_ids, freqs,
                                  attn_impl, block_q, block_kv, mesh, None, lora_scale,
-                                 cp_style, 0, rope_scaling)
+                                 cp_style, window, rope_scaling)
 
-    def dense_block(h, lp):
-        h = attn(h, lp)
+    def dense_block(h, lp, window):
+        h = attn(h, lp, window)
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items()}
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
-        return h + jnp.dot(swiglu(jnp.dot(x, cast["gate"]), jnp.dot(x, cast["up"])),
-                           cast["down"])
+        out = jnp.dot(swiglu(jnp.dot(x, cast["gate"]), jnp.dot(x, cast["up"])),
+                      cast["down"])
+        if spec.sandwich_norm:
+            out = rms_norm(out, cast["post_mlp_norm"], spec.rms_eps)
+        return h + out
 
-    def moe_block(carry, lp):
+    def moe_block(carry, lp, window):
         h, aux = carry
-        h = attn(h, lp)
+        h = attn(h, lp, window)
         h, lb = glm_moe_block(h, lp, spec, compute_dtype)
         return h, aux + lb
 
@@ -150,15 +167,44 @@ def forward(
                 prevent_cse=False)
         return fn
 
-    dense_block = wrap(dense_block)
-    moe_block = wrap(moe_block)
-
-    # first-k dense layers: python-unrolled (k is tiny)
+    # first-k dense layers: python-unrolled (k is tiny), static windows
     k_dense = spec.first_k_dense_replace
     for i in range(k_dense):
-        h = dense_block(h, jax.tree.map(lambda x: x[i], params["dense_layers"]))
-    (h, aux), _ = jax.lax.scan(lambda c, lp: (moe_block(c, lp), None),
-                               (h, jnp.float32(0.0)), params["layers"])
+        h = wrap(functools.partial(dense_block, window=win_list[i]))(
+            h, jax.tree.map(lambda x: x[i], params["dense_layers"]))
+
+    # MoE layers: scanned; window alternation (afmoe/laguna) is periodic, so
+    # scan super-blocks of one period with the per-layer window a static
+    # python int inside (same trick as qwen3.forward)
+    moe_wins = win_list[k_dense:]
+    n_moe = len(moe_wins)
+    # smallest p such that after python-unrolling the first n_moe % p layers
+    # the tail repeats with period p (keeps scan compile O(period) even when
+    # the dense-first offset breaks divisibility, e.g. 31 MoE layers, pat 4)
+    period, rem = next(
+        (p, n_moe % p) for p in range(1, n_moe + 1)
+        if all(moe_wins[(n_moe % p) + i] == moe_wins[(n_moe % p) + i % p]
+               for i in range(n_moe - (n_moe % p)))
+    )
+    carry = (h, jnp.float32(0.0))
+    for i in range(rem):
+        carry = wrap(functools.partial(moe_block, window=moe_wins[i]))(
+            carry, jax.tree.map(lambda x: x[i], params["layers"]))
+    tail = jax.tree.map(lambda x: x[rem:], params["layers"])
+    blocks = [wrap(functools.partial(moe_block, window=wn))
+              for wn in moe_wins[rem:rem + period]]
+    if period == 1:
+        (h, aux), _ = jax.lax.scan(lambda c, lp: (blocks[0](c, lp), None), carry, tail)
+    else:
+        layers_g = jax.tree.map(
+            lambda x: x.reshape(((n_moe - rem) // period, period) + x.shape[1:]), tail)
+
+        def super_block(c, lp_g):
+            for i in range(period):
+                c = blocks[i](c, jax.tree.map(lambda x: x[i], lp_g))
+            return c, None
+
+        (h, aux), _ = jax.lax.scan(super_block, carry, layers_g)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     return (h, aux) if collect_aux else h
 

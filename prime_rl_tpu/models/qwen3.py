@@ -63,8 +63,17 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
         "down": w(lk[6], nl, spec.intermediate_size, d),
     }
     if spec.qk_norm:
-        layers["q_norm"] = jnp.ones((nl, spec.head_dim), dtype)
-        layers["k_norm"] = jnp.ones((nl, spec.head_dim), dtype)
+        qw = spec.q_dim if spec.qk_norm_scope == "layer" else spec.head_dim
+        kw_ = spec.kv_dim if spec.qk_norm_scope == "layer" else spec.head_dim
+        layers["q_norm"] = jnp.ones((nl, qw), dtype)
+        layers["k_norm"] = jnp.ones((nl, kw_), dtype)
+    if spec.attn_gate == "sigmoid":
+        layers["attn_gate"] = w(jax.random.fold_in(k_layers, 7), nl, d, spec.q_dim)
+    elif spec.attn_gate == "softplus_head":
+        layers["attn_gate"] = w(jax.random.fold_in(k_layers, 7), nl, d, spec.num_heads)
+    if spec.sandwich_norm:
+        layers["post_attn_norm"] = jnp.ones((nl, d), dtype)
+        layers["post_mlp_norm"] = jnp.ones((nl, d), dtype)
     if spec.attn_sinks:
         layers["sink"] = jnp.zeros((nl, spec.num_heads), dtype)
     if spec.attn_bias:
@@ -116,13 +125,20 @@ def _attn_block(
 
     b, l, d = h.shape
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-    q = _p(x, lp["q"], lora, "q", lora_scale).reshape(b, l, spec.num_heads, spec.head_dim)
-    k = _p(x, lp["k"], lora, "k", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    qf = _p(x, lp["q"], lora, "q", lora_scale)
+    kf = _p(x, lp["k"], lora, "k", lora_scale)
+    if spec.qk_norm and spec.qk_norm_scope == "layer":
+        # one RMSNorm over the flattened head dims (MiniMax-M2 "per_layer",
+        # reference layers/attn.py:77-83,135-137)
+        qf = rms_norm(qf, lp["q_norm"], spec.rms_eps)
+        kf = rms_norm(kf, lp["k_norm"], spec.rms_eps)
+    q = qf.reshape(b, l, spec.num_heads, spec.head_dim)
+    k = kf.reshape(b, l, spec.num_kv_heads, spec.head_dim)
     v = _p(x, lp["v"], lora, "v", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
     q = bias(q, "q_bias", spec.num_heads)
     k = bias(k, "k_bias", spec.num_kv_heads)
     v = bias(v, "v_bias", spec.num_kv_heads)
-    if spec.qk_norm:
+    if spec.qk_norm and spec.qk_norm_scope != "layer":
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
     q = apply_rope(q, position_ids, inv_freq, rope_scaling)
@@ -134,10 +150,32 @@ def _attn_block(
     # backward never re-runs the O(L^2) kernel (memory: [B, L, H*D] per layer)
     from jax.ad_checkpoint import checkpoint_name as _ckname
     o = _ckname(o, "attn_out")
+    o = apply_attn_gate(o, x, lp, spec)
     proj = _p(o.reshape(b, l, spec.q_dim), lp["o"], lora, "o", lora_scale)
     if lp.get("o_bias") is not None:
         proj = proj + lp["o_bias"].astype(proj.dtype)
+    if spec.sandwich_norm:
+        # afmoe: norm the block OUTPUT before the residual add
+        # (reference modeling_afmoe.py:279-288)
+        proj = rms_norm(proj, lp["post_attn_norm"], spec.rms_eps)
     return h + proj
+
+
+def apply_attn_gate(o: jax.Array, x: jax.Array, lp: dict, spec: ModelSpec) -> jax.Array:
+    """Attention-output gating. o: [B, L, H, HD]; x: the normed block input.
+    "sigmoid": elementwise out * sigmoid(x @ Wg) over the flat q_dim (afmoe
+    modeling_afmoe.py:79,94; qwen3.5 gated attention). "softplus_head":
+    per-head scalar out * softplus(x @ Wg) (laguna modeling_laguna.py:130)."""
+    if not spec.attn_gate:
+        return o
+    b, l = o.shape[:2]
+    g = jnp.dot(x, lp["attn_gate"])
+    if spec.attn_gate == "sigmoid":
+        return o * jax.nn.sigmoid(g).reshape(b, l, spec.num_heads, spec.head_dim)
+    if spec.attn_gate == "softplus_head":
+        g = jax.nn.softplus(g.astype(jnp.float32)).astype(o.dtype)
+        return o * g[..., None]
+    raise ValueError(f"unknown attn_gate {spec.attn_gate!r}")
 
 
 def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec,
@@ -147,7 +185,10 @@ def _mlp_block(h: jax.Array, lp: dict[str, jax.Array], spec: ModelSpec,
     x = rms_norm(h, lp["mlp_norm"], spec.rms_eps)
     gate = _p(x, lp["gate"], lora, "gate", lora_scale)
     up = _p(x, lp["up"], lora, "up", lora_scale)
-    return h + _p(swiglu(gate, up), lp["down"], lora, "down", lora_scale)
+    out = _p(swiglu(gate, up), lp["down"], lora, "down", lora_scale)
+    if spec.sandwich_norm:
+        out = rms_norm(out, lp["post_mlp_norm"], spec.rms_eps)
+    return h + out
 
 
 def forward(

@@ -69,14 +69,20 @@ def _qkv(x, lp, spec, positions, inv_freq, rope_scaling: float = 1.0, adapter_id
     rope. x: [B, T, D]."""
     b, t, _ = x.shape
     lora = lp.get("lora")
-    q = _mm_l(x, lp["q"], lora, "q", adapter_idx).reshape(b, t, spec.num_heads, spec.head_dim)
-    k = _mm_l(x, lp["k"], lora, "k", adapter_idx).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    qf = _mm_l(x, lp["q"], lora, "q", adapter_idx)
+    kf = _mm_l(x, lp["k"], lora, "k", adapter_idx)
+    if spec.qk_norm and spec.qk_norm_scope == "layer":
+        # MiniMax-M2 "per_layer": one norm over the flat head dims
+        qf = rms_norm(qf, lp["q_norm"], spec.rms_eps)
+        kf = rms_norm(kf, lp["k_norm"], spec.rms_eps)
+    q = qf.reshape(b, t, spec.num_heads, spec.head_dim)
+    k = kf.reshape(b, t, spec.num_kv_heads, spec.head_dim)
     v = _mm_l(x, lp["v"], lora, "v", adapter_idx).reshape(b, t, spec.num_kv_heads, spec.head_dim)
     if lp.get("q_bias") is not None:
         q = q + lp["q_bias"].astype(q.dtype).reshape(1, 1, spec.num_heads, spec.head_dim)
         k = k + lp["k_bias"].astype(k.dtype).reshape(1, 1, spec.num_kv_heads, spec.head_dim)
         v = v + lp["v_bias"].astype(v.dtype).reshape(1, 1, spec.num_kv_heads, spec.head_dim)
-    if spec.qk_norm:
+    if spec.qk_norm and spec.qk_norm_scope != "layer":
         q = rms_norm(q, lp["q_norm"], spec.rms_eps)
         k = rms_norm(k, lp["k_norm"], spec.rms_eps)
     q = apply_rope(q, positions, inv_freq, rope_scaling)
@@ -111,11 +117,15 @@ def _mlp(x, lp, spec, adapter_idx=None, collect_routing: bool = False):
         if "shared_gate" in lp:
             out = out + _mm(swiglu(_mm(x, lp["shared_gate"]), _mm(x, lp["shared_up"])),
                             lp["shared_down"])
+        if spec.sandwich_norm and "post_mlp_norm" in lp:
+            out = rms_norm(out, lp["post_mlp_norm"], spec.rms_eps)
         return (out, _routing.expert_ids) if collect_routing else out
     lora = lp.get("lora")
     h = swiglu(_mm_l(x, lp["gate"], lora, "gate", adapter_idx),
                _mm_l(x, lp["up"], lora, "up", adapter_idx))
     out = _mm_l(h, lp["down"], lora, "down", adapter_idx)
+    if spec.sandwich_norm and "post_mlp_norm" in lp:
+        out = rms_norm(out, lp["post_mlp_norm"], spec.rms_eps)
     return (out, None) if collect_routing else out
 
 
@@ -166,6 +176,36 @@ def _rope(spec: ModelSpec):
     from prime_rl_tpu.models.qwen3 import rope_setup
 
     return rope_setup(spec)
+
+
+def _freqs_for(spec: ModelSpec, inv_freq, window: int):
+    """Per-layer rope frequencies: laguna sliding layers run their own theta
+    (reference configuration_laguna.py:124-127); everyone else shares."""
+    if window and spec.rope_theta_local:
+        from prime_rl_tpu.ops.layers import rope_frequencies
+
+        rot_dim = int(spec.head_dim * spec.partial_rotary_factor)
+        return rope_frequencies(rot_dim, spec.rope_theta_local)
+    return inv_freq
+
+
+def _gated_o(o: jax.Array, x: jax.Array, lp: dict, spec: ModelSpec) -> jax.Array:
+    """Attention-output gating (afmoe sigmoid / laguna per-head softplus;
+    training analogue: models/qwen3.apply_attn_gate). o: [..., NH, HD]; x:
+    the normed block input with the SAME leading dims as o."""
+    if not spec.attn_gate or "attn_gate" not in lp:
+        return o
+    g = _mm(x, lp["attn_gate"])
+    if spec.attn_gate == "sigmoid":
+        return o * jax.nn.sigmoid(g).reshape(o.shape)
+    g = jax.nn.softplus(g.astype(jnp.float32)).astype(o.dtype)
+    return o * g[..., None]
+
+
+def _post_attn(proj: jax.Array, lp: dict, spec: ModelSpec) -> jax.Array:
+    if spec.sandwich_norm and "post_attn_norm" in lp:
+        return rms_norm(proj, lp["post_attn_norm"], spec.rms_eps)
+    return proj
 
 
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
@@ -245,11 +285,14 @@ def prefill(
     for li, (lp, k_l, v_l, win) in enumerate(zip(params["layers"], k_pool, v_pool, windows)):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
+        q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
+                       rope_scaling, adapter_idx)
         o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                       window=win, sinks=lp.get("sink"))
-        h = h + _mm_l(o.reshape(1, lpad, spec.q_dim), lp["o"], lp.get("lora"), "o",
-                      adapter_idx) + _obias(lp, h.dtype)
+        o = _gated_o(o, x, lp, spec)
+        proj = _mm_l(o.reshape(1, lpad, spec.q_dim), lp["o"], lp.get("lora"), "o",
+                     adapter_idx) + _obias(lp, h.dtype)
+        h = h + _post_attn(proj, lp, spec)
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
         # scatter K/V into this slot's pages. dynamic_update_slice per page
         # (NOT .at[].set with an index array) — XLA lowers dus-in-loop as an
@@ -353,7 +396,8 @@ def prefill_chunk(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
+        q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
+                       rope_scaling, adapter_idx)
         k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         k_l = _write_pages(k_l, k_w.astype(k_l.dtype), pages_chunk)
@@ -362,8 +406,10 @@ def prefill_chunk(
             q[0].astype(compute_dtype), k_l, v_l, q_pos, page_row, valid_hi,
             window=win, sinks=lp.get("sink"),
         )
-        h = h + _mm_l(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"],
-                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        o = _gated_o(o, x[0], lp, spec)
+        proj = _mm_l(o.reshape(1, c, spec.q_dim).astype(compute_dtype), lp["o"],
+                     lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        h = h + _post_attn(proj, lp, spec)
         h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
         k_out.append(k_l)
         v_out.append(v_l)
@@ -506,7 +552,8 @@ def decode(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, inv_freq, rope_scaling, adapter_idx)
+        q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
+                       rope_scaling, adapter_idx)
         # write the new token's K/V in place (see _write_tokens)
         k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
         v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
@@ -514,8 +561,10 @@ def decode(
             q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl,
             window=win, sinks=lp.get("sink"),
         )  # [S, NH, HD]
-        h = h + _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
-                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        o = _gated_o(o, x[:, 0], lp, spec)
+        proj = _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
+                     lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
+        h = h + _post_attn(proj, lp, spec)
         mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx,
                        collect_routing=collect_routing)
         if collect_routing:
