@@ -147,6 +147,18 @@ class ModelSpec:
     # laguna: sliding-window layers use their own rope base (10k local vs
     # 500k full — configuration_laguna.py:124-127). 0 = same theta everywhere.
     rope_theta_local: float = 0.0
+    # qwen3_next (Qwen3.5 / Qwen3-Next) hybrid axes (reference:
+    # trainer/models/qwen3_5_moe/modeling_qwen3_5_moe.py GatedDeltaNet +
+    # gated attention; HF Qwen3NextConfig field names): per-layer pattern
+    # string, L = GatedDeltaNet linear attention, A = gated full attention.
+    gdn_pattern: str = ""
+    gdn_k_heads: int = 0   # linear_num_key_heads
+    gdn_v_heads: int = 0   # linear_num_value_heads
+    gdn_k_dim: int = 0     # linear_key_head_dim
+    gdn_v_dim: int = 0     # linear_value_head_dim
+    gdn_conv_kernel: int = 4  # linear_conv_kernel_dim
+    # Qwen2-MoE-style scalar sigmoid gate on the shared expert output
+    shared_expert_gate: bool = False
 
     @property
     def is_moe(self) -> bool:
@@ -159,6 +171,18 @@ class ModelSpec:
     @property
     def mamba_conv_dim(self) -> int:
         return self.mamba_inter + 2 * self.mamba_n_groups * self.mamba_state_size
+
+    @property
+    def gdn_key_dim(self) -> int:
+        return self.gdn_k_heads * self.gdn_k_dim
+
+    @property
+    def gdn_value_dim(self) -> int:
+        return self.gdn_v_heads * self.gdn_v_dim
+
+    @property
+    def gdn_conv_dim(self) -> int:
+        return 2 * self.gdn_key_dim + self.gdn_value_dim
 
     @property
     def q_dim(self) -> int:
@@ -174,6 +198,8 @@ class ModelSpec:
         d, l = self.hidden_size, self.num_layers
         if self.layer_pattern:
             return self._hybrid_flops_per_token(seq_len)
+        if self.gdn_pattern:
+            return self._gdn_flops_per_token(seq_len)
         attn_proj = 2 * d * (self.q_dim + 2 * self.kv_dim + self.q_dim)  # qkvo (o: q_dim x d)
         if self.attn_gate == "sigmoid":
             attn_proj += 2 * d * self.q_dim
@@ -225,6 +251,31 @@ class ModelSpec:
             flops += f
         return 3 * flops
 
+    def _gdn_flops_per_token(self, seq_len: int, chunk: int = 64) -> float:
+        """qwen3_next hybrid: GDN layers cost O(chunk) per token (intra-chunk
+        quadratic blocks + fast-weight state matmuls); attention layers pay
+        the usual O(seq_len) term; every layer runs the MoE MLP."""
+        d = self.hidden_size
+        kd, vd = self.gdn_key_dim, self.gdn_value_dim
+        hv, dk, dv = self.gdn_v_heads, self.gdn_k_dim, self.gdn_v_dim
+        moe = 2 * 3 * d * self.moe_intermediate_size * self.num_experts_per_tok
+        moe += 2 * d * self.num_experts
+        moe += 2 * 3 * d * self.shared_expert_size
+        flops = 2.0 * d * self.vocab_size
+        for ch in self.gdn_pattern:
+            if ch == "L":
+                f = 2 * d * (2 * kd + 2 * vd + 2 * hv)        # in projections
+                f += 2 * self.gdn_conv_dim * self.gdn_conv_kernel
+                f += hv * (2 * chunk * (dk + dv) + 4 * dk * dv)  # delta rule
+                f += 2 * vd * d                               # out proj
+            elif ch == "A":
+                f = 2 * d * (2 * self.q_dim + 2 * self.kv_dim + self.q_dim)
+                f += 2 * 2 * seq_len * self.q_dim
+            else:
+                raise ValueError(f"bad gdn_pattern char {ch!r}")
+            flops += f + moe
+        return 3 * flops
+
     def num_params(self) -> int:
         d, l = self.hidden_size, self.num_layers
         if self.layer_pattern:
@@ -250,6 +301,21 @@ class ModelSpec:
                     p += 2 * latent * self.moe_intermediate_size * self.num_experts
                     p += 2 * d * self.moe_shared_expert_size
                 total += p
+            return total
+        if self.gdn_pattern:
+            kd, vd, hv = self.gdn_key_dim, self.gdn_value_dim, self.gdn_v_heads
+            moe_p = 3 * d * self.moe_intermediate_size * self.num_experts + d * self.num_experts
+            moe_p += 3 * d * self.shared_expert_size + (d if self.shared_expert_gate else 0)
+            total = self.vocab_size * d + d + (0 if self.tie_embeddings else d * self.vocab_size)
+            for ch in self.gdn_pattern:
+                if ch == "L":
+                    p = d * (2 * kd + 2 * vd + 2 * hv)
+                    p += self.gdn_conv_dim * self.gdn_conv_kernel
+                    p += 2 * hv + self.gdn_v_dim + vd * d
+                else:
+                    p = d * (2 * self.q_dim + 2 * self.kv_dim) + self.q_dim * d
+                    p += 2 * self.head_dim
+                total += p + moe_p + 2 * d
             return total
         per_layer = d * (self.q_dim + 2 * self.kv_dim) + self.q_dim * d + 2 * d
         if self.qk_norm:
@@ -407,6 +473,31 @@ BUILTIN_SPECS: dict[str, ModelSpec] = {
         tie_embeddings=True, qk_norm=True, eos_token_id=258, pad_token_id=256,
         num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
     ),
+    # Qwen3-Next-80B-A3B class (HF Qwen3NextConfig defaults; reference
+    # qwen3_5_moe hybrid): 48 layers LLLA, 512 experts top-10
+    "Qwen/Qwen3-Next-80B-A3B-Instruct": ModelSpec(
+        family="qwen3_next", vocab_size=151936, hidden_size=2048, num_layers=48,
+        num_heads=16, num_kv_heads=2, head_dim=256, intermediate_size=5632,
+        rope_theta=10000.0, rms_eps=1e-6, tie_embeddings=False, qk_norm=True,
+        max_position_embeddings=262144, eos_token_id=151645, pad_token_id=151643,
+        num_experts=512, num_experts_per_tok=10, moe_intermediate_size=512,
+        norm_topk_prob=True, shared_expert_size=512, shared_expert_gate=True,
+        attn_gate="sigmoid", partial_rotary_factor=0.25,
+        gdn_pattern="LLLA" * 12, gdn_k_heads=16, gdn_v_heads=32,
+        gdn_k_dim=128, gdn_v_dim=128, gdn_conv_kernel=4,
+    ),
+    # tiny qwen3_next debug spec: both layer types + MoE + shared gate
+    "debug_qwen3_next": ModelSpec(
+        family="qwen3_next", vocab_size=512, hidden_size=128, num_layers=4,
+        num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+        rope_theta=1e4, tie_embeddings=True, qk_norm=True,
+        eos_token_id=258, pad_token_id=256,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=64,
+        norm_topk_prob=True, shared_expert_size=96, shared_expert_gate=True,
+        attn_gate="sigmoid", partial_rotary_factor=0.25,
+        gdn_pattern="LLLA", gdn_k_heads=2, gdn_v_heads=4,
+        gdn_k_dim=16, gdn_v_dim=16, gdn_conv_kernel=4,
+    ),
     # tiny gated-MoE family debug specs (minimax_m2 / afmoe / laguna axes)
     "debug_minimax": ModelSpec(
         family="minimax_m2", vocab_size=512, hidden_size=128, num_layers=2,
@@ -547,6 +638,8 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
         family = "glm4_moe"
     elif "qwen3moe" in arch.replace("_", ""):
         family = "qwen3_moe"
+    elif "qwen3next" in arch.replace("_", "") or "qwen3_5" in arch:
+        family = "qwen3_next"
     elif "minimaxm2" in arch.replace("_", ""):
         family = "minimax_m2"
     elif "afmoe" in arch:
@@ -626,6 +719,27 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
             topk_group=int(cfg.get("topk_group", 1) or 1),
             rms_eps=float(cfg.get("layer_norm_epsilon", 1e-5)),
             attn_bias=bool(cfg.get("attention_bias", False)),
+        )
+    if family == "qwen3_next":
+        # reference: qwen3_5_moe/modeling_qwen3_5_moe.py + HF Qwen3NextConfig —
+        # layer_types linear_attention/full_attention, GDN dims, gated full
+        # attention (fused q+gate proj), MoE with sigmoid-gated shared expert
+        lt = cfg.get("layer_types") or [
+            "full_attention" if (i + 1) % 4 == 0 else "linear_attention"
+            for i in range(cfg["num_hidden_layers"])
+        ]
+        extra = dict(
+            gdn_pattern="".join("A" if t == "full_attention" else "L" for t in lt),
+            gdn_k_heads=int(cfg.get("linear_num_key_heads", 16)),
+            gdn_v_heads=int(cfg.get("linear_num_value_heads", 32)),
+            gdn_k_dim=int(cfg.get("linear_key_head_dim", 128)),
+            gdn_v_dim=int(cfg.get("linear_value_head_dim", 128)),
+            gdn_conv_kernel=int(cfg.get("linear_conv_kernel_dim", 4)),
+            attn_gate="sigmoid", qk_norm=True,
+            partial_rotary_factor=float(cfg.get("partial_rotary_factor", 0.25)),
+            num_experts=int(cfg.get("num_experts", 0) or 0),
+            shared_expert_size=int(cfg.get("shared_expert_intermediate_size", 0) or 0),
+            shared_expert_gate=True,
         )
     if family == "minimax_m2":
         # reference: minimax_m2/configuration_minimax_m2.py (rotary_dim ->
@@ -826,6 +940,16 @@ PARAM_SPECS: dict[str, P] = {
     "layers.shared_up": P(None, "fsdp", "tensor"),
     "layers.shared_down": P(None, "tensor", "fsdp"),
     "layers.router_correction_bias": P(None),
+    # qwen3_next GatedDeltaNet mixer (lin_layers.* stack): projections shard
+    # like q/k/v; tiny per-head vectors replicate; conv rides conv_w's rule
+    "layers.in_q": P(None, "fsdp", "tensor"),
+    "layers.in_k": P(None, "fsdp", "tensor"),
+    "layers.in_v": P(None, "fsdp", "tensor"),
+    "layers.in_z": P(None, "fsdp", "tensor"),
+    "layers.in_b": P(None, "fsdp", None),
+    "layers.in_a": P(None, "fsdp", None),
+    "layers.gdn_norm": P(None),
+    "layers.shared_expert_gate_w": P(None),
     # minimax/afmoe/laguna extras: attention output gate proj + sandwich norms
     "layers.attn_gate": P(None, "fsdp", "tensor"),
     "layers.post_attn_norm": P(None),
@@ -871,7 +995,7 @@ PARAM_SPECS: dict[str, P] = {
 
 # nemotron_h hybrid stacks reuse the layers.* rules field-by-field
 _LAYER_STACK_PREFIXES = ("dense_layers.", "mamba_layers.", "attn_layers.",
-                         "mlp_layers.", "moe_layers.")
+                         "mlp_layers.", "moe_layers.", "lin_layers.")
 
 # vision tower (qwen3_vl): big matmuls shard over (fsdp, tensor); norms,
 # biases and the position table replicate. Stacked blocks carry a leading
