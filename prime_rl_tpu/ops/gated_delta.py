@@ -86,6 +86,9 @@ def chunk_gated_delta_rule(
     if segment_ids is not None:
         prev = jnp.pad(segment_ids, ((0, 0), (1, 0)))[:, :s]
         reset = (segment_ids != prev)  # first position of every segment
+        # pad tokens neither decay nor write: g=0 keeps the carried state
+        # exact through trailing pad (serving needs the state AT `length`)
+        g = jnp.where((segment_ids != 0)[..., None], g, 0.0)
 
     def pad_t(x):
         return jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))

@@ -63,12 +63,46 @@ class KVPool:
             config.page_size,
             spec.head_dim,
         )
-        self.k = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
-        self.v = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
+        kinds = layer_kinds(spec)
+        self.k = [jnp.zeros(shape, dtype) if kd == "A" else None for kd in kinds]
+        self.v = [jnp.zeros(shape, dtype) if kd == "A" else None for kd in kinds]
 
     def hbm_bytes(self) -> int:
-        per = self.k[0].size * self.k[0].dtype.itemsize
-        return 2 * per * len(self.k)
+        per = next(b.size * b.dtype.itemsize for b in self.k if b is not None)
+        return 2 * per * sum(1 for b in self.k if b is not None)
+
+
+def layer_kinds(spec: ModelSpec) -> list[str]:
+    """Per-layer cache kind: "A" = paged-KV attention, "L" = recurrent
+    GatedDeltaNet (conv + fast-weight state). Homogeneous transformers are
+    all "A"."""
+    if spec.gdn_pattern:
+        return list(spec.gdn_pattern)
+    return ["A"] * spec.num_layers
+
+
+class RecurrentPool:
+    """Per-slot recurrent decode state for GDN layers (the vLLM hybrid-model
+    "mamba cache" analogue): one entry per L layer with
+      conv  [max_slots, conv_dim, K]   rolling raw conv inputs
+      state [max_slots, Hv, Dk, Dv]    fast-weight delta-rule state (f32)
+    Slots are re-initialized at admit (prefill writes the row), so stale
+    rows from finished requests are never read."""
+
+    def __init__(self, spec: ModelSpec, config: CacheConfig, dtype=jnp.bfloat16):
+        s = config.max_slots
+        self.conv = []
+        self.state = []
+        for kd in layer_kinds(spec):
+            if kd == "L":
+                self.conv.append(jnp.zeros(
+                    (s, spec.gdn_conv_dim, spec.gdn_conv_kernel), dtype))
+                self.state.append(jnp.zeros(
+                    (s, spec.gdn_v_heads, spec.gdn_k_dim, spec.gdn_v_dim),
+                    jnp.float32))
+            else:
+                self.conv.append(None)
+                self.state.append(None)
 
 
 def hash_pages(tokens: list[int], page_size: int, salt: object = None) -> list[int]:

@@ -34,7 +34,7 @@ import numpy as np
 
 from prime_rl_tpu.models.base import ModelSpec, Params
 from prime_rl_tpu.sampler import model as smodel
-from prime_rl_tpu.sampler.cache import CacheConfig, KVPool, SlotTable
+from prime_rl_tpu.sampler.cache import CacheConfig, KVPool, RecurrentPool, SlotTable
 from prime_rl_tpu.sampler.sampling import sample_tokens
 from prime_rl_tpu.utils.logger import get_logger
 
@@ -162,11 +162,19 @@ class Engine:
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
-        self.slots = SlotTable(self.config, enable_prefix_cache=self.config.enable_prefix_cache)
+        # hybrid (GDN) models carry per-slot recurrent state instead of KV
+        # pages for their linear-attention layers; prefix caching / chunked
+        # prefill / P/D operate on pages only, so they are disabled (vLLM
+        # restricts hybrid models the same way)
+        self.is_hybrid = bool(spec.gdn_pattern)
+        rpool = RecurrentPool(spec, self.config, dtype=compute_dtype)
+        self.r_conv, self.r_state = rpool.conv, rpool.state
+        prefix_ok = self.config.enable_prefix_cache and not self.is_hybrid
+        self.slots = SlotTable(self.config, enable_prefix_cache=prefix_ok)
         # host-offload KV tier: hash -> (k [NL,NKV,1,PS,HD], v) host arrays
         self._host_tier: "dict[int, tuple] | None" = None
         self._host_tier_bytes = 0
-        if self.config.host_cache_mb > 0 and self.config.enable_prefix_cache:
+        if self.config.host_cache_mb > 0 and prefix_ok:
             from collections import OrderedDict
 
             self._host_tier = OrderedDict()
@@ -232,23 +240,25 @@ class Engine:
 
         # NOTE: `tokens` is NOT donated — each step's sampled tokens are kept
         # as a drain handle while the next step consumes them as input
-        @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10))
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 4, 10, 13, 14))
         def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
-                      temp, top_k, top_p, key, adapter, pos_delta):
+                      temp, top_k, top_p, key, adapter, pos_delta, r_conv, r_state):
             out = smodel.decode(
                 params, spec, k_pool, v_pool, tokens, lengths, page_table,
                 compute_dtype=dtype, attn_impl=impl,
                 adapter_idx=adapter if lora_on else None,
                 pos_delta=pos_delta, collect_routing=collect,
+                r_conv=r_conv, r_state=r_state,
             )
             if collect:
-                k_pool, v_pool, logits, routed = out
+                k_pool, v_pool, logits, routed, r_conv, r_state = out
             else:
-                (k_pool, v_pool, logits), routed = out, None
+                (k_pool, v_pool, logits, r_conv, r_state), routed = out, None
             step_key, next_key = jax.random.split(key)
             out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
             new_lengths = lengths + active.astype(jnp.int32)
-            return k_pool, v_pool, out_tokens, out_logprobs, new_lengths, next_key, routed
+            return (k_pool, v_pool, out_tokens, out_logprobs, new_lengths, next_key,
+                    routed, r_conv, r_state)
 
         return decode_fn
 
@@ -278,17 +288,26 @@ class Engine:
 
             lora_on = self._lora_bank is not None
 
-            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 11, 12))
             def prefill_fn(params, k_pool, v_pool, ids, length, pages, temp, top_k, top_p,
-                           key, adapter, mm=None):
-                k_pool, v_pool, last_hidden, plp = smodel.prefill(
+                           key, adapter, r_conv, r_state, slot, mm=None):
+                k_pool, v_pool, last_hidden, plp, r_rows = smodel.prefill(
                     params, spec, k_pool, v_pool, ids, length, pages,
                     compute_dtype=dtype, attn_impl=impl, want_prompt_logprobs=want_plp,
                     adapter_idx=adapter if lora_on else None, mm=mm,
                 )
+                # seed this slot's recurrent decode state (GDN layers)
+                r_conv = [
+                    (rc if row is None else rc.at[slot].set(row[0]))
+                    for rc, row in zip(r_conv, r_rows)
+                ]
+                r_state = [
+                    (rs if row is None else rs.at[slot].set(row[1]))
+                    for rs, row in zip(r_state, r_rows)
+                ]
                 logits = smodel.logits_from_hidden(params, spec, last_hidden[None], dtype)
                 tok, lp = sample_tokens(logits, temp, top_k, top_p, key)
-                return k_pool, v_pool, tok[0], lp[0], plp
+                return k_pool, v_pool, tok[0], lp[0], plp, r_conv, r_state
 
             fn = self._prefill_fns[(lpad, want_plp, with_mm)] = prefill_fn
         return fn
@@ -620,6 +639,19 @@ class Engine:
         sp = req.params
         n = max(len(req.prompt), 1)
         ps = self.config.page_size
+        if self.is_hybrid:
+            # hybrid recurrent state is not page-structured: no chunked
+            # prefill continuation, no P/D page extraction/injection
+            if n > self.buckets[-1]:
+                self._reject(req, ValueError(
+                    f"hybrid model: prompt length {n} exceeds the largest "
+                    f"prefill bucket {self.buckets[-1]} (chunked prefill "
+                    "requires paged KV)"))
+                return True
+            if sp.extract_kv or req.inject is not None:
+                self._reject(req, ValueError(
+                    "hybrid model: P/D KV extraction/injection is unsupported"))
+                return True
         hashes: list[int] = []
         # mm requests skip prefix reuse: identical image-pad token runs would
         # false-share pages across DIFFERENT images (the hash sees only ids)
@@ -707,10 +739,12 @@ class Engine:
             if with_mm:
                 mm_dev, pos_delta = self._prep_mm(req, n, lpad)
             fn = self._prefill_fn(lpad, sp.prompt_logprobs, with_mm)
-            self.k_pool, self.v_pool, tok, lp, plp = fn(
+            (self.k_pool, self.v_pool, tok, lp, plp,
+             self.r_conv, self.r_state) = fn(
                 self.params, self.k_pool, self.v_pool,
                 jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
                 temp, topk, topp, key, adapter_row,
+                self.r_conv, self.r_state, jnp.int32(slot),
                 **({"mm": mm_dev} if with_mm else {}),
             )
         else:
@@ -895,11 +929,12 @@ class Engine:
     def _dispatch_decode(self) -> None:
         slots = sorted(s for s, a in self.active.items() if not a.done)
         (self.k_pool, self.v_pool, out_tokens, out_logprobs,
-         self._d_lengths, self._d_key, routed) = self._decode_fn(
+         self._d_lengths, self._d_key, routed,
+         self.r_conv, self.r_state) = self._decode_fn(
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
             self._d_temp, self._d_topk, self._d_topp, self._d_key, self._d_adapter,
-            self._d_pos_delta,
+            self._d_pos_delta, self.r_conv, self.r_state,
         )
         self._d_tokens = out_tokens
         self._dispatch_seq += 1

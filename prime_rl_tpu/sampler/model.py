@@ -115,8 +115,11 @@ def _mlp(x, lp, spec, adapter_idx=None, collect_routing: bool = False):
         )
         out = out.reshape(b, t, d)
         if "shared_gate" in lp:
-            out = out + _mm(swiglu(_mm(x, lp["shared_gate"]), _mm(x, lp["shared_up"])),
-                            lp["shared_down"])
+            shared = _mm(swiglu(_mm(x, lp["shared_gate"]), _mm(x, lp["shared_up"])),
+                         lp["shared_down"])
+            if "shared_expert_gate_w" in lp:  # qwen3_next scalar sigmoid gate
+                shared = jax.nn.sigmoid(_mm(x, lp["shared_expert_gate_w"])) * shared
+            out = out + shared
         if spec.sandwich_norm and "post_mlp_norm" in lp:
             out = rms_norm(out, lp["post_mlp_norm"], spec.rms_eps)
         return (out, _routing.expert_ids) if collect_routing else out
@@ -208,12 +211,102 @@ def _post_attn(proj: jax.Array, lp: dict, spec: ModelSpec) -> jax.Array:
     return proj
 
 
+def _gdn_prefill_mixer(h, lp, spec: ModelSpec, seg, length, compute_dtype):
+    """GatedDeltaNet serving prefill over one padded sequence [1, L, D].
+    Returns (h, conv_row [conv_dim, K], state_row [Hv, Dk, Dv]) — the rolling
+    conv window at ``length`` and the fast-weight state (training math:
+    models/qwen3_next.gdn_mixer; decode continues via _gdn_decode_mixer)."""
+    from prime_rl_tpu.ops.gated_delta import chunk_gated_delta_rule
+    from prime_rl_tpu.ops.mamba import causal_conv1d
+
+    b, l, d = h.shape
+    hk, hv = spec.gdn_k_heads, spec.gdn_v_heads
+    dk, dv = spec.gdn_k_dim, spec.gdn_v_dim
+    kd, vd = spec.gdn_key_dim, spec.gdn_value_dim
+    kk = spec.gdn_conv_kernel
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    raw = jnp.concatenate(
+        [_mm(x, lp["in_q"]), _mm(x, lp["in_k"]), _mm(x, lp["in_v"])], axis=-1)
+    qkv = jax.nn.silu(causal_conv1d(raw, lp["conv_w"], None, seg))
+    q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+    q = q.reshape(b, l, hk, dk)
+    k = k.reshape(b, l, hk, dk)
+    v = v.reshape(b, l, hv, dv)
+    beta = jax.nn.sigmoid(_mm(x, lp["in_b"]))
+    g = -jnp.exp(lp["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        _mm(x, lp["in_a"]).astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
+    r = hv // hk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    core, state = chunk_gated_delta_rule(q, k, v, g, beta, segment_ids=seg)
+    z = _mm(x, lp["in_z"]).reshape(b, l, hv, dv)
+    core = rms_norm(core.astype(compute_dtype), lp["gdn_norm"], spec.rms_eps)
+    core = core * jax.nn.silu(z.astype(jnp.float32)).astype(core.dtype)
+    h = h + _mm(core.reshape(b, l, vd), lp["out_proj"])
+    # rolling conv window: raw inputs at positions [length-K, length)
+    padded = jnp.pad(raw[0], ((kk, 0), (0, 0)))  # [K+L, conv_dim]
+    win = jax.lax.dynamic_slice(padded, (length, 0), (kk, padded.shape[1]))
+    return h, jnp.swapaxes(win, 0, 1).astype(compute_dtype), state[0]
+
+
+def _gdn_decode_mixer(h, lp, spec: ModelSpec, conv_st, rec_st, compute_dtype):
+    """GatedDeltaNet decode step for all S slots. h: [S, 1, D];
+    conv_st [S, conv_dim, K] rolling raw inputs; rec_st [S, Hv, Dk, Dv]."""
+    from prime_rl_tpu.ops.gated_delta import recurrent_gated_delta_rule
+
+    s = h.shape[0]
+    hk, hv = spec.gdn_k_heads, spec.gdn_v_heads
+    dk, dv = spec.gdn_k_dim, spec.gdn_v_dim
+    kd, vd = spec.gdn_key_dim, spec.gdn_value_dim
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)[:, 0]  # [S, D]
+    raw_t = jnp.concatenate(
+        [_mm(x, lp["in_q"]), _mm(x, lp["in_k"]), _mm(x, lp["in_v"])], axis=-1)
+    conv_st = jnp.concatenate(
+        [conv_st[..., 1:], raw_t.astype(conv_st.dtype)[..., None]], axis=-1)
+    qkv = jax.nn.silu(jnp.sum(conv_st.astype(jnp.float32) *
+                              lp["conv_w"].astype(jnp.float32)[None], axis=-1))
+    qkv = qkv.astype(compute_dtype)
+    q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+    q = q.reshape(s, hk, dk)
+    k = k.reshape(s, hk, dk)
+    v = v.reshape(s, hv, dv)
+    beta = jax.nn.sigmoid(_mm(x, lp["in_b"]))
+    g = -jnp.exp(lp["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        _mm(x, lp["in_a"]).astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
+    r = hv // hk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=1)
+        k = jnp.repeat(k, r, axis=1)
+    core, rec_st = recurrent_gated_delta_rule(q, k, v, g, beta, rec_st)
+    z = _mm(x, lp["in_z"]).reshape(s, hv, dv)
+    core = rms_norm(core.astype(compute_dtype), lp["gdn_norm"], spec.rms_eps)
+    core = core * jax.nn.silu(z.astype(jnp.float32)).astype(core.dtype)
+    h = h + _mm(core.reshape(s, vd), lp["out_proj"])[:, None]
+    return h, conv_st, rec_st
+
+
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
     """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
     per-layer dicts). The serving forward unrolls the layer loop in Python so
     each layer's KV buffer is read/written IN PLACE — a scan over stacked
     caches would copy the whole pool every decode step. glm4_moe's first-k
-    dense layers (``dense_layers``) prepend in order."""
+    dense layers (``dense_layers``) prepend in order; qwen3_next interleaves
+    its ``lin_layers`` / ``attn_layers`` stacks by the gdn_pattern."""
+    if spec.gdn_pattern:
+        layers = []
+        li = ai = 0
+        for ch in spec.gdn_pattern:
+            if ch == "L":
+                layers.append({k: v[li] for k, v in params["lin_layers"].items()})
+                li += 1
+            else:
+                layers.append({k: v[ai] for k, v in params["attn_layers"].items()})
+                ai += 1
+        out = {k: v for k, v in params.items()
+               if k not in ("lin_layers", "attn_layers")}
+        out["layers"] = layers
+        return out
     dense = params.get("dense_layers")
     k_dense = 0 if dense is None else next(iter(dense.values())).shape[0]
     layers = [
@@ -257,7 +350,7 @@ def prefill(
       positions [1, Lpad, rot//2] per-frequency mRoPE positions.
     """
     _, lpad = input_ids.shape
-    page_size = k_pool[0].shape[2]
+    page_size = next(b for b in k_pool if b is not None).shape[2]
     n_pages = lpad // page_size
     inv_freq, rope_scaling = _rope(spec)
     positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (1, lpad))
@@ -278,12 +371,26 @@ def prefill(
         positions = mm["positions"]  # [1, Lpad, rot//2] per-frequency
 
     from prime_rl_tpu.models.qwen3 import layer_windows_list
+    from prime_rl_tpu.sampler.cache import layer_kinds
 
     windows = layer_windows_list(spec)
+    kinds = layer_kinds(spec)
     n_ds = mm["ds_feats"].shape[0] if mm is not None else 0
-    k_out, v_out = [], []
-    for li, (lp, k_l, v_l, win) in enumerate(zip(params["layers"], k_pool, v_pool, windows)):
+    k_out, v_out, r_rows = [], [], []
+    for li, (lp, k_l, v_l, win, kind) in enumerate(
+            zip(params["layers"], k_pool, v_pool, windows, kinds)):
         lp = _cast_layer(lp, compute_dtype)
+        if kind == "L":
+            # recurrent GatedDeltaNet layer: no KV pages; emit the slot's
+            # conv window + fast-weight state for the decode pool
+            h, conv_row, state_row = _gdn_prefill_mixer(
+                h, lp, spec, segment_ids, length, compute_dtype)
+            h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_rows.append((conv_row, state_row))
+            continue
+        r_rows.append(None)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)
@@ -323,7 +430,7 @@ def prefill(
         prompt_logprobs = jnp.concatenate(
             [jnp.full((1, 1), -jnp.log(spec.vocab_size), jnp.float32), lp_next[:, :-1]], axis=1
         )[0]
-    return k_pool, v_pool, last_hidden, prompt_logprobs
+    return k_pool, v_pool, last_hidden, prompt_logprobs, r_rows
 
 
 def _chunk_attention_xla(q, k_l, v_l, q_pos, page_row, valid_hi, window=0, sinks=None):
@@ -379,7 +486,7 @@ def prefill_chunk(
     Returns (k_pool, v_pool, last_hidden [D]) at local position valid-1.
     """
     _, c = input_ids.shape
-    page_size = k_pool[0].shape[2]
+    page_size = next(b for b in k_pool if b is not None).shape[2]
     n_pages = c // page_size
     inv_freq, rope_scaling = _rope(spec)
     positions = offset + jnp.arange(c, dtype=jnp.int32)[None, :]  # [1, C]
@@ -515,6 +622,8 @@ def decode(
     adapter_idx: jax.Array | None = None,  # [S] int32 per-slot LoRA bank rows
     pos_delta: jax.Array | None = None,  # [S] int32 rope-position offset (mRoPE)
     collect_routing: bool = False,  # also return routed experts [S, NL, K]
+    r_conv: list | None = None,   # per-layer [S, conv_dim, K] (GDN layers)
+    r_state: list | None = None,  # per-layer [S, Hv, Dk, Dv]
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
     over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
@@ -531,7 +640,7 @@ def decode(
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     s = tokens.shape[0]
-    page_size = k_pool[0].shape[2]
+    page_size = next(b for b in k_pool if b is not None).shape[2]
     inv_freq, rope_scaling = _rope(spec)
     positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
     if pos_delta is not None:
@@ -545,12 +654,35 @@ def decode(
     attn_lengths = lengths + 1
 
     from prime_rl_tpu.models.qwen3 import layer_windows_list
+    from prime_rl_tpu.sampler.cache import layer_kinds
 
     windows = layer_windows_list(spec)
+    kinds = layer_kinds(spec)
+    if r_conv is None:
+        r_conv = [None] * len(kinds)
+        r_state = [None] * len(kinds)
     k_out, v_out = [], []
+    rc_out, rs_out = [], []
     routed = []
-    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
+    for lp, k_l, v_l, win, kind, rc_l, rs_l in zip(
+            params["layers"], k_pool, v_pool, windows, kinds, r_conv, r_state):
         lp = _cast_layer(lp, compute_dtype)
+        if kind == "L":
+            h, rc_l, rs_l = _gdn_decode_mixer(h, lp, spec, rc_l, rs_l, compute_dtype)
+            mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
+                           adapter_idx, collect_routing=collect_routing)
+            if collect_routing:
+                mlp_out, ids = mlp_out
+                if ids is not None:
+                    routed.append(ids)
+            h = h + mlp_out
+            k_out.append(k_l)
+            v_out.append(v_l)
+            rc_out.append(rc_l)
+            rs_out.append(rs_l)
+            continue
+        rc_out.append(rc_l)
+        rs_out.append(rs_l)
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)
@@ -579,8 +711,8 @@ def decode(
     if collect_routing:
         routed_arr = (jnp.stack(routed, axis=1) if routed
                       else jnp.zeros((s, 0, 0), jnp.int32))  # [S, NL_moe, K]
-        return k_out, v_out, logits, routed_arr
-    return k_out, v_out, logits
+        return k_out, v_out, logits, routed_arr, rc_out, rs_out
+    return k_out, v_out, logits, rc_out, rs_out
 
 
 def logits_from_hidden(params: Params, spec: ModelSpec, hidden: jax.Array, compute_dtype=jnp.bfloat16) -> jax.Array:

@@ -129,6 +129,32 @@ def test_packed_equals_separate():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_engine_greedy_matches_training_forward():
+    """Serving path (GDN prefill state handoff + recurrent decode + paged
+    attention layers) must reproduce the training forward token-for-token."""
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    params = jax.tree.map(lambda x: x * 2.0, init_params(SPEC, jax.random.PRNGKey(3)))
+    cache_cfg = CacheConfig(num_pages=32, page_size=16, max_slots=2, max_seq_len=192)
+    engine = Engine(params, SPEC, cache_cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(7)
+    prompt = [int(x) for x in rng.integers(1, 200, 19)]
+    ids = list(prompt)
+    want = []
+    for _ in range(6):
+        arr = jnp.asarray([ids], jnp.int32)
+        h = forward(params, SPEC, arr, jnp.ones_like(arr),
+                    jnp.asarray([list(range(len(ids)))], jnp.int32),
+                    compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+        tok = int(jnp.argmax(h[0, -1] @ get_lm_head(params, SPEC)))
+        want.append(tok)
+        ids.append(tok)
+    got = engine.generate([prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+    assert got.token_ids == want
+
+
 def test_spec_from_hf_config():
     spec = spec_from_hf_config({
         "architectures": ["Qwen3NextForCausalLM"], "vocab_size": 1024,
