@@ -64,8 +64,8 @@ class KVPool:
             spec.head_dim,
         )
         kinds = layer_kinds(spec)
-        self.k = [jnp.zeros(shape, dtype) if kd == "A" else None for kd in kinds]
-        self.v = [jnp.zeros(shape, dtype) if kd == "A" else None for kd in kinds]
+        self.k = [jnp.zeros(shape, dtype) if kd in ("A", "*") else None for kd in kinds]
+        self.v = [jnp.zeros(shape, dtype) if kd in ("A", "*") else None for kd in kinds]
 
     def hbm_bytes(self) -> int:
         per = next(b.size * b.dtype.itemsize for b in self.k if b is not None)
@@ -73,19 +73,22 @@ class KVPool:
 
 
 def layer_kinds(spec: ModelSpec) -> list[str]:
-    """Per-layer cache kind: "A" = paged-KV attention, "L" = recurrent
-    GatedDeltaNet (conv + fast-weight state). Homogeneous transformers are
-    all "A"."""
+    """Per-layer cache kind: "A" = paged-KV attention+MLP pair, "L" =
+    recurrent GatedDeltaNet, "M" = recurrent Mamba-2 mixer, "*" = bare
+    attention (nemotron: no MLP pairing, no rope), "-" = MLP-only,
+    "E" = MoE-only. Homogeneous transformers are all "A"."""
     if spec.gdn_pattern:
         return list(spec.gdn_pattern)
+    if spec.layer_pattern:
+        return list(spec.layer_pattern)
     return ["A"] * spec.num_layers
 
 
 class RecurrentPool:
-    """Per-slot recurrent decode state for GDN layers (the vLLM hybrid-model
-    "mamba cache" analogue): one entry per L layer with
+    """Per-slot recurrent decode state for GDN / Mamba layers (the vLLM
+    hybrid-model "mamba cache" analogue): one entry per recurrent layer with
       conv  [max_slots, conv_dim, K]   rolling raw conv inputs
-      state [max_slots, Hv, Dk, Dv]    fast-weight delta-rule state (f32)
+      state [max_slots, H, P, N]       SSM / fast-weight state (f32)
     Slots are re-initialized at admit (prefill writes the row), so stale
     rows from finished requests are never read."""
 
@@ -100,6 +103,12 @@ class RecurrentPool:
                 self.state.append(jnp.zeros(
                     (s, spec.gdn_v_heads, spec.gdn_k_dim, spec.gdn_v_dim),
                     jnp.float32))
+            elif kd == "M":
+                self.conv.append(jnp.zeros(
+                    (s, spec.mamba_conv_dim, spec.mamba_conv_kernel), dtype))
+                self.state.append(jnp.zeros(
+                    (s, spec.mamba_num_heads, spec.mamba_head_dim,
+                     spec.mamba_state_size), jnp.float32))
             else:
                 self.conv.append(None)
                 self.state.append(None)

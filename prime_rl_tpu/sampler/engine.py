@@ -166,7 +166,7 @@ class Engine:
         # pages for their linear-attention layers; prefix caching / chunked
         # prefill / P/D operate on pages only, so they are disabled (vLLM
         # restricts hybrid models the same way)
-        self.is_hybrid = bool(spec.gdn_pattern)
+        self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
         rpool = RecurrentPool(spec, self.config, dtype=compute_dtype)
         self.r_conv, self.r_state = rpool.conv, rpool.state
         prefix_ok = self.config.enable_prefix_cache and not self.is_hybrid

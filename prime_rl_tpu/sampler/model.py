@@ -286,6 +286,124 @@ def _gdn_decode_mixer(h, lp, spec: ModelSpec, conv_st, rec_st, compute_dtype):
     return h, conv_st, rec_st
 
 
+def _mamba_prefill_mixer(h, lp, spec: ModelSpec, seg, length, compute_dtype):
+    """Mamba-2 serving prefill over one padded sequence [1, L, D]. Returns
+    (h, conv_row [conv_dim, K], ssm_state_row [H, P, N]) — training math:
+    ops/mamba.mamba2_mixer, with dt zeroed at pad so the carried state is
+    exact at ``length``."""
+    from prime_rl_tpu.ops.mamba import causal_conv1d, gated_rms_norm, ssd_chunked
+
+    b, l, d = h.shape
+    nh, p = spec.mamba_num_heads, spec.mamba_head_dim
+    gn = spec.mamba_n_groups * spec.mamba_state_size
+    inter = nh * p
+    kk = spec.mamba_conv_kernel
+    x = rms_norm(h, lp["norm"], spec.rms_eps)
+    proj = _mm(x, lp["in_proj"])
+    if lp.get("in_proj_bias") is not None:
+        proj = proj + lp["in_proj_bias"]
+    gate = proj[..., :inter]
+    raw = proj[..., inter: inter + inter + 2 * gn]  # conv input (x|B|C)
+    dt = jax.nn.softplus(proj[..., inter + inter + 2 * gn:].astype(jnp.float32)
+                         + lp["dt_bias"].astype(jnp.float32))
+    dt = dt * (seg != 0)[..., None]  # pad: no write, no decay
+    xbc = jax.nn.silu(causal_conv1d(raw, lp["conv_w"], lp.get("conv_b"), seg))
+    xs = xbc[..., :inter].reshape(b, l, nh, p)
+    b_in = xbc[..., inter: inter + gn].reshape(b, l, spec.mamba_n_groups, -1)
+    c_in = xbc[..., inter + gn:].reshape(b, l, spec.mamba_n_groups, -1)
+    y, state = ssd_chunked(
+        xs, dt, lp["A_log"], b_in, c_in, lp["D"],
+        chunk_size=spec.mamba_chunk_size, segment_ids=seg,
+        return_final_state=True)
+    y = y.reshape(b, l, inter).astype(compute_dtype)
+    y = gated_rms_norm(y, gate, lp["ssm_norm"])
+    h = h + _mm(y, lp["out_proj"])
+    padded = jnp.pad(raw[0], ((kk, 0), (0, 0)))
+    win = jax.lax.dynamic_slice(padded, (length, 0), (kk, padded.shape[1]))
+    return h, jnp.swapaxes(win, 0, 1).astype(compute_dtype), state[0]
+
+
+def _mamba_decode_mixer(h, lp, spec: ModelSpec, conv_st, ssm_st, compute_dtype):
+    """Mamba-2 decode step for all S slots (HF Mamba2Mixer cached-step math):
+    h [S, 1, D]; conv_st [S, conv_dim, K]; ssm_st [S, H, P, N] f32."""
+    from prime_rl_tpu.ops.mamba import gated_rms_norm
+
+    s = h.shape[0]
+    nh, p = spec.mamba_num_heads, spec.mamba_head_dim
+    g, n = spec.mamba_n_groups, spec.mamba_state_size
+    gn = g * n
+    inter = nh * p
+    x = rms_norm(h, lp["norm"], spec.rms_eps)[:, 0]  # [S, D]
+    proj = _mm(x, lp["in_proj"])
+    if lp.get("in_proj_bias") is not None:
+        proj = proj + lp["in_proj_bias"]
+    gate = proj[:, :inter]
+    raw_t = proj[:, inter: inter + inter + 2 * gn]
+    dt = jax.nn.softplus(proj[:, inter + inter + 2 * gn:].astype(jnp.float32)
+                         + lp["dt_bias"].astype(jnp.float32))  # [S, H]
+    conv_st = jnp.concatenate(
+        [conv_st[..., 1:], raw_t.astype(conv_st.dtype)[..., None]], axis=-1)
+    xbc = jax.nn.silu(jnp.sum(conv_st.astype(jnp.float32) *
+                              lp["conv_w"].astype(jnp.float32)[None], axis=-1)
+                      + (lp["conv_b"].astype(jnp.float32)
+                         if lp.get("conv_b") is not None else 0.0))
+    xs = xbc[:, :inter].reshape(s, nh, p).astype(jnp.float32)
+    b_in = jnp.repeat(xbc[:, inter:inter + gn].reshape(s, g, n), nh // g, axis=1)
+    c_in = jnp.repeat(xbc[:, inter + gn:].reshape(s, g, n), nh // g, axis=1)
+    decay = jnp.exp(-jnp.exp(lp["A_log"].astype(jnp.float32)) * dt)  # [S, H]
+    xd = xs * dt[..., None]  # [S, H, P]
+    ssm_st = ssm_st * decay[..., None, None] + \
+        xd[..., :, None] * b_in.astype(jnp.float32)[..., None, :]
+    y = jnp.einsum("shpn,shn->shp", ssm_st, c_in.astype(jnp.float32))
+    y = y + lp["D"].astype(jnp.float32)[None, :, None] * xs
+    y = y.reshape(s, inter).astype(compute_dtype)
+    y = gated_rms_norm(y, gate, lp["ssm_norm"])
+    h = h + _mm(y, lp["out_proj"])[:, None]
+    return h, conv_st, ssm_st
+
+
+def _bare_attn(h, lp, spec: ModelSpec, x=None):
+    """Nemotron-style bare attention q/k/v (no rope, no qk-norm, "norm" key).
+    Returns (x_normed, q, k, v) with head reshapes."""
+    b, t, _ = h.shape
+    x = rms_norm(h, lp["norm"], spec.rms_eps)
+    q = _mm(x, lp["q"]).reshape(b, t, spec.num_heads, spec.head_dim)
+    k = _mm(x, lp["k"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    v = _mm(x, lp["v"]).reshape(b, t, spec.num_kv_heads, spec.head_dim)
+    return x, q, k, v
+
+
+def _tokenwise_block(h, lp, spec: ModelSpec, collect_routing: bool = False):
+    """Cache-free nemotron layers: "-" relu^2 MLP or "E" LatentMoE (same
+    math as models/nemotron_h._mlp_block/_moe_block). Works for any leading
+    shape. Returns (h, routed_ids|None)."""
+    from prime_rl_tpu.ops.moe import moe_mlp
+
+    def relu2(t):
+        return jnp.square(jax.nn.relu(t))
+
+    x = rms_norm(h, lp["norm"], spec.rms_eps)
+    if "router" not in lp:
+        return h + _mm(relu2(_mm(x, lp["up"])), lp["down"]), None
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    flat = x.reshape(-1, d)
+    lat = _mm(flat, lp["fc1_latent"]) if "fc1_latent" in lp else flat
+    out, routing = moe_mlp(
+        flat, lp["router"], None, lp["expert_up"], lp["expert_down"],
+        spec.num_experts_per_tok, spec.norm_topk_prob,
+        x_experts=lat, sigmoid_noaux=spec.router_sigmoid,
+        correction_bias=lp.get("router_correction_bias"),
+        n_group=spec.n_group, topk_group=spec.topk_group,
+        routed_scaling=spec.routed_scaling_factor,
+    )
+    if "fc2_latent" in lp:
+        out = _mm(out, lp["fc2_latent"])
+    out = out.reshape(*lead, d)
+    out = out + _mm(relu2(_mm(x, lp["shared_up"])), lp["shared_down"])
+    return h + out, (routing.expert_ids if collect_routing else None)
+
+
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
     """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
     per-layer dicts). The serving forward unrolls the layer loop in Python so
@@ -305,6 +423,20 @@ def unstack_params(params: Params, spec: ModelSpec) -> Params:
                 ai += 1
         out = {k: v for k, v in params.items()
                if k not in ("lin_layers", "attn_layers")}
+        out["layers"] = layers
+        return out
+    if spec.layer_pattern:
+        # nemotron_h: interleave the four type-stacks by the pattern string
+        stack_of = {"M": "mamba_layers", "*": "attn_layers",
+                    "-": "mlp_layers", "E": "moe_layers"}
+        idx = {v: 0 for v in stack_of.values()}
+        layers = []
+        for ch in spec.layer_pattern:
+            name = stack_of[ch]
+            i = idx[name]
+            idx[name] += 1
+            layers.append({k: v[i] for k, v in params[name].items()})
+        out = {k: v for k, v in params.items() if k not in stack_of.values()}
         out["layers"] = layers
         return out
     dense = params.get("dense_layers")
@@ -390,7 +522,30 @@ def prefill(
             v_out.append(v_l)
             r_rows.append((conv_row, state_row))
             continue
+        if kind == "M":
+            h, conv_row, state_row = _mamba_prefill_mixer(
+                h, lp, spec, segment_ids, length, compute_dtype)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_rows.append((conv_row, state_row))
+            continue
+        if kind in ("-", "E"):
+            h, _ = _tokenwise_block(h, lp, spec)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_rows.append(None)
+            continue
         r_rows.append(None)
+        if kind == "*":
+            # nemotron bare attention: no rope, no MLP pairing
+            x, q, k, v = _bare_attn(h, lp, spec)
+            o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
+            h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"])
+            k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+            v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+            k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
+            v_out.append(_write_pages(v_l, v_w.astype(v_l.dtype), pages))
+            continue
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)
@@ -667,15 +822,17 @@ def decode(
     for lp, k_l, v_l, win, kind, rc_l, rs_l in zip(
             params["layers"], k_pool, v_pool, windows, kinds, r_conv, r_state):
         lp = _cast_layer(lp, compute_dtype)
-        if kind == "L":
-            h, rc_l, rs_l = _gdn_decode_mixer(h, lp, spec, rc_l, rs_l, compute_dtype)
-            mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
-                           adapter_idx, collect_routing=collect_routing)
-            if collect_routing:
-                mlp_out, ids = mlp_out
-                if ids is not None:
-                    routed.append(ids)
-            h = h + mlp_out
+        if kind in ("L", "M"):
+            mixer = _gdn_decode_mixer if kind == "L" else _mamba_decode_mixer
+            h, rc_l, rs_l = mixer(h, lp, spec, rc_l, rs_l, compute_dtype)
+            if kind == "L":
+                mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
+                               adapter_idx, collect_routing=collect_routing)
+                if collect_routing:
+                    mlp_out, ids = mlp_out
+                    if ids is not None:
+                        routed.append(ids)
+                h = h + mlp_out
             k_out.append(k_l)
             v_out.append(v_l)
             rc_out.append(rc_l)
@@ -683,6 +840,24 @@ def decode(
             continue
         rc_out.append(rc_l)
         rs_out.append(rs_l)
+        if kind in ("-", "E"):
+            h, ids = _tokenwise_block(h, lp, spec, collect_routing=collect_routing)
+            if collect_routing and ids is not None:
+                routed.append(ids)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            continue
+        if kind == "*":
+            x, q, k, v = _bare_attn(h, lp, spec)
+            k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
+            v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
+            o = _decode_attention(
+                q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table,
+                attn_impl)
+            h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
+            k_out.append(k_l)
+            v_out.append(v_l)
+            continue
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)

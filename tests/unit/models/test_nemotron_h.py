@@ -110,3 +110,31 @@ def test_remat_modes_match(params):
             base = out
         else:
             np.testing.assert_allclose(out, base, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_greedy_matches_training_forward(params):
+    """Hybrid Mamba serving: SSD prefill state handoff + single-token
+    recurrent decode (all four block kinds M/*/-/E) must reproduce the
+    training forward token-for-token."""
+    from prime_rl_tpu.models.nemotron_h import get_lm_head
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    big = jax.tree.map(lambda x: x * 2.0, params)
+    cache_cfg = CacheConfig(num_pages=32, page_size=16, max_slots=2, max_seq_len=192)
+    engine = Engine(big, SPEC, cache_cfg, compute_dtype=jnp.float32)
+
+    rng = np.random.default_rng(11)
+    prompt = [int(x) for x in rng.integers(1, 200, 17)]
+    ids = list(prompt)
+    want = []
+    for _ in range(6):
+        arr = jnp.asarray([ids], jnp.int32)
+        h = forward(big, SPEC, arr, jnp.ones_like(arr),
+                    jnp.asarray([list(range(len(ids)))], jnp.int32),
+                    compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+        tok = int(jnp.argmax(h[0, -1] @ get_lm_head(big, SPEC)))
+        want.append(tok)
+        ids.append(tok)
+    got = engine.generate([prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+    assert got.token_ids == want
