@@ -67,7 +67,7 @@ def get_family(spec: ModelSpec) -> Family:
             from prime_rl_tpu.models import mla_moe  # noqa: F401
         if spec.family in ("minimax_m2", "afmoe", "laguna"):
             from prime_rl_tpu.models import gated_moe  # noqa: F401
-        if spec.family == "qwen3_next":
+        if spec.family in ("qwen3_next", "qwen3_next_vl"):
             from prime_rl_tpu.models import qwen3_next  # noqa: F401
         if spec.family not in FAMILIES:
             raise ValueError(f"unknown model family {spec.family!r}")

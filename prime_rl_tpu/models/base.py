@@ -587,6 +587,22 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
                 num_position_embeddings=16, deepstack_visual_indexes=(0,),
             ),
         )
+    elif name == "debug_qwen3_next_vl":
+        # tiny qwen3_5-style hybrid VLM (GDN trunk + vision tower)
+        from prime_rl_tpu.models.vision import VisionSpec
+
+        spec = replace(
+            BUILTIN_SPECS["debug_qwen3_next"],
+            family="qwen3_next_vl", tie_embeddings=False,
+            mrope_section=(2, 1, 1), vision_start_token_id=300,
+            image_token_id=301, video_token_id=302,
+            vision=VisionSpec(
+                depth=2, hidden_size=32, intermediate_size=64, num_heads=4,
+                in_channels=3, patch_size=4, temporal_patch_size=2,
+                spatial_merge_size=2, out_hidden_size=128,
+                num_position_embeddings=16, deepstack_visual_indexes=(0,),
+            ),
+        )
     elif name in BUILTIN_SPECS:
         spec = BUILTIN_SPECS[name]
     elif (Path(name) / "config.json").exists():
@@ -639,6 +655,8 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
     elif "qwen3moe" in arch.replace("_", ""):
         family = "qwen3_moe"
     elif "qwen3next" in arch.replace("_", "") or "qwen3_5" in arch:
+        if "vision_config" in cfg:
+            return _qwen3_next_vl_spec_from_hf_config(cfg)
         family = "qwen3_next"
     elif "minimaxm2" in arch.replace("_", ""):
         family = "minimax_m2"
@@ -855,6 +873,43 @@ def spec_from_hf_config(cfg: dict) -> ModelSpec:
     )
     kw.update(extra)
     return ModelSpec(**kw)
+
+
+def _qwen3_next_vl_spec_from_hf_config(cfg: dict) -> ModelSpec:
+    """qwen3_5-style VLM: qwen3_next text trunk (nested text_config) + the
+    Qwen3-VL vision tower (nested vision_config) + mRoPE ids at top level."""
+    from dataclasses import replace as _replace
+
+    tc = dict(cfg["text_config"])
+    tc.setdefault("architectures", ["Qwen3NextForCausalLM"])
+    base = spec_from_hf_config(tc)
+    vc = cfg["vision_config"]
+    from prime_rl_tpu.models.vision import VisionSpec
+
+    rs = tc.get("rope_scaling") or {}
+    return _replace(
+        base,
+        family="qwen3_next_vl",
+        mrope_section=tuple(rs.get("mrope_section",
+                                   cfg.get("rope_scaling", {}).get("mrope_section",
+                                                                   (16, 8, 8)))),
+        image_token_id=int(cfg.get("image_token_id", 151655)),
+        video_token_id=int(cfg.get("video_token_id", 151656)),
+        vision_start_token_id=int(cfg.get("vision_start_token_id", 151652)),
+        vision=VisionSpec(
+            depth=vc["depth"],
+            hidden_size=vc["hidden_size"],
+            intermediate_size=vc["intermediate_size"],
+            num_heads=vc["num_heads"],
+            in_channels=vc.get("in_channels", 3),
+            patch_size=vc["patch_size"],
+            temporal_patch_size=vc.get("temporal_patch_size", 2),
+            spatial_merge_size=vc.get("spatial_merge_size", 2),
+            out_hidden_size=vc["out_hidden_size"],
+            num_position_embeddings=vc["num_position_embeddings"],
+            deepstack_visual_indexes=tuple(vc.get("deepstack_visual_indexes", ())),
+        ),
+    )
 
 
 def _vlm_spec_from_hf_config(cfg: dict, arch: str) -> ModelSpec:

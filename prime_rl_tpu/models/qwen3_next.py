@@ -181,13 +181,34 @@ def forward(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     collect_aux: bool = False,
+    mm: dict | None = None,
 ):
+    """``mm``: VLM inputs (qwen3_next_vl — reference qwen3_5 pairs this
+    hybrid trunk with the Qwen3-VL vision tower; same dict contract as
+    models/qwen3_vl.forward). GDN layers are position-free, so mRoPE only
+    affects the full-attention layers."""
     if lora is not None:
         raise NotImplementedError("qwen3_next LoRA: later round")
     pat = _pattern(spec)
     inv_freq, rope_scaling = rope_setup(spec)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
+
+    img_mask = img_slot = ds_feats = None
+    if mm is not None:
+        from prime_rl_tpu.models.qwen3_vl import _mrope_positions
+        from prime_rl_tpu.models.vision import vision_forward
+
+        merged, ds_feats = vision_forward(
+            params["vision"], spec.vision,
+            mm["patches"], mm["vis_seg_ids"], mm["vis_pos_idx"],
+            mm["vis_pos_w"], mm["vis_rope_coords"], compute_dtype=compute_dtype,
+        )
+        img_slot = jnp.maximum(mm["img_slot"], 0)
+        img_mask = (mm["img_slot"] >= 0)[..., None]
+        gathered = jnp.take(merged.astype(compute_dtype), img_slot, axis=0)
+        h = jnp.where(img_mask, gathered, h)
+        position_ids = _mrope_positions(spec, mm["mm_position_ids"])
 
     def cast(lp):
         return {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2
@@ -232,7 +253,8 @@ def forward(
     lin_per, attn_per = pat[:period].count("L"), pat[:period].count("A")
     groups = nl // period
 
-    if groups > 1 and (lin_per or attn_per):
+    n_ds = ds_feats.shape[0] if ds_feats is not None else 0
+    if groups > 1 and n_ds == 0 and (lin_per or attn_per):
         def regroup(stack, per):
             return jax.tree.map(
                 lambda x: x.reshape((groups, per) + x.shape[1:]), stack)
@@ -255,13 +277,18 @@ def forward(
         carry, _ = jax.lax.scan(super_block, carry, (lin_g, attn_g))
     else:
         li = ai = 0
-        for ch in pat:
+        for i, ch in enumerate(pat):
             if ch == "L":
                 carry = lin_b(carry, jax.tree.map(lambda x: x[li], params["lin_layers"]))
                 li += 1
             else:
                 carry = attn_b(carry, jax.tree.map(lambda x: x[ai], params["attn_layers"]))
                 ai += 1
+            if i < n_ds:
+                # DeepStack: add the i-th visual feature map at image slots
+                # (same contract as models/qwen3_vl.forward)
+                inj = jnp.take(ds_feats[i].astype(compute_dtype), img_slot, axis=0)
+                carry = (jnp.where(img_mask, carry[0] + inj, carry[0]), carry[1])
 
     h, aux = carry
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
@@ -438,8 +465,52 @@ def params_to_hf_state_dict(params: Params, spec: ModelSpec) -> dict:
     return state
 
 
+# ---------------------------------------------------------------------------
+# qwen3_next_vl: the hybrid trunk + Qwen3-VL vision tower (reference
+# trainer/models/qwen3_5/ — "hybrid DeltaNet VLM" — composes the same way;
+# HF layout convention: text under model.language_model.*, vision under
+# model.visual.*, matching qwen3_vl)
+# ---------------------------------------------------------------------------
+
+def init_params_vl(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
+    from prime_rl_tpu.models.vision import init_vision_params
+
+    kt, kv = jax.random.split(key)
+    params = init_params(spec, kt, dtype=dtype)
+    params["vision"] = init_vision_params(spec.vision, kv, dtype=dtype)
+    return params
+
+
+def params_from_hf_state_dict_vl(state: dict, spec: ModelSpec, dtype=np.float32) -> Params:
+    from prime_rl_tpu.models.qwen3_vl import _retarget_text_keys, _vision_from_hf
+
+    params = params_from_hf_state_dict(_retarget_text_keys(state), spec, dtype=dtype)
+    params["vision"] = jax.tree.map(jnp.asarray,
+                                    _vision_from_hf(state, spec.vision, dtype))
+    return params
+
+
+def params_to_hf_state_dict_vl(params: Params, spec: ModelSpec) -> dict:
+    from prime_rl_tpu.models.qwen3_vl import _vision_to_hf
+
+    text = {k: v for k, v in params.items() if k != "vision"}
+    state = params_to_hf_state_dict(text, spec)
+    out = {}
+    for k, v in state.items():
+        if k.startswith("model."):
+            out["model.language_model." + k[len("model."):]] = v
+        else:
+            out[k] = v
+    out.update(_vision_to_hf(params["vision"], spec.vision))
+    return out
+
+
 from prime_rl_tpu.models import Family, register_family  # noqa: E402
 
 register_family("qwen3_next", Family(
     init_params, forward, params_from_hf_state_dict, params_to_hf_state_dict, get_lm_head,
+))
+register_family("qwen3_next_vl", Family(
+    init_params_vl, forward, params_from_hf_state_dict_vl, params_to_hf_state_dict_vl,
+    get_lm_head,
 ))

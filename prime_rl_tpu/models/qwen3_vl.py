@@ -55,8 +55,11 @@ get_lm_head = qwen3.get_lm_head
 
 
 def _mrope_positions(spec: ModelSpec, mm_position_ids: jax.Array) -> jax.Array:
-    """[3, B, L] grid positions -> [B, L, rot//2] per-frequency positions."""
-    sel = jnp.asarray(mrope_dim_select(tuple(spec.mrope_section), spec.head_dim // 2))
+    """[3, B, L] grid positions -> [B, L, rot//2] per-frequency positions
+    (rot respects partial rotary — qwen3_next_vl rotates only the first
+    quarter of head_dim)."""
+    rot_half = int(spec.head_dim * spec.partial_rotary_factor) // 2
+    sel = jnp.asarray(mrope_dim_select(tuple(spec.mrope_section), rot_half))
     return jnp.transpose(mm_position_ids[sel], (1, 2, 0))
 
 

@@ -352,7 +352,8 @@ class Engine:
             spec.image_token_id, spec.video_token_id,
         )  # [3, n]
         pos_delta = int(mpos.max()) + 1 - n
-        sel = mrope_dim_select(tuple(spec.mrope_section), spec.head_dim // 2)
+        rot_half = int(spec.head_dim * spec.partial_rotary_factor) // 2
+        sel = mrope_dim_select(tuple(spec.mrope_section), rot_half)
         pf = mpos[sel].T.astype(np.int32)  # [n, rot//2] per-frequency positions
         pf = np.pad(pf, ((0, lpad - n), (0, 0)))
         slots = np.full((lpad,), -1, np.int32)

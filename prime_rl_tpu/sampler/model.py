@@ -508,6 +508,16 @@ def prefill(
     windows = layer_windows_list(spec)
     kinds = layer_kinds(spec)
     n_ds = mm["ds_feats"].shape[0] if mm is not None else 0
+
+    def _ds(li, hh):
+        # DeepStack: add the li-th visual feature map at image slots after
+        # layer li, whatever the layer kind (HF Qwen3VLTextModel
+        # _deepstack_process; training analogue in models/qwen3_vl.forward)
+        if li >= n_ds:
+            return hh
+        inj = jnp.take(mm["ds_feats"][li].astype(compute_dtype), img_slot, axis=0)
+        return jnp.where(img_mask, hh + inj, hh)
+
     k_out, v_out, r_rows = [], [], []
     for li, (lp, k_l, v_l, win, kind) in enumerate(
             zip(params["layers"], k_pool, v_pool, windows, kinds)):
@@ -518,6 +528,7 @@ def prefill(
             h, conv_row, state_row = _gdn_prefill_mixer(
                 h, lp, spec, segment_ids, length, compute_dtype)
             h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+            h = _ds(li, h)
             k_out.append(k_l)
             v_out.append(v_l)
             r_rows.append((conv_row, state_row))
@@ -525,12 +536,14 @@ def prefill(
         if kind == "M":
             h, conv_row, state_row = _mamba_prefill_mixer(
                 h, lp, spec, segment_ids, length, compute_dtype)
+            h = _ds(li, h)
             k_out.append(k_l)
             v_out.append(v_l)
             r_rows.append((conv_row, state_row))
             continue
         if kind in ("-", "E"):
             h, _ = _tokenwise_block(h, lp, spec)
+            h = _ds(li, h)
             k_out.append(k_l)
             v_out.append(v_l)
             r_rows.append(None)
@@ -541,6 +554,7 @@ def prefill(
             x, q, k, v = _bare_attn(h, lp, spec)
             o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl)
             h = h + _mm(o.reshape(1, lpad, spec.q_dim), lp["o"])
+            h = _ds(li, h)
             k_w = k[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
             v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
             k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
@@ -564,12 +578,7 @@ def prefill(
         v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
         k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
         v_out.append(_write_pages(v_l, v_w.astype(v_l.dtype), pages))
-        if li < n_ds:
-            # DeepStack: add the li-th visual feature map at image slots
-            # (HF Qwen3VLTextModel._deepstack_process; training analogue in
-            # models/qwen3_vl.forward)
-            inj = jnp.take(mm["ds_feats"][li].astype(compute_dtype), img_slot, axis=0)
-            h = jnp.where(img_mask, h + inj, h)
+        h = _ds(li, h)
     k_pool, v_pool = k_out, v_out
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
 
