@@ -113,8 +113,6 @@ def forward(
     cp_style: str = "ulysses",
     collect_aux: bool = False,
 ):
-    if lora is not None:
-        raise NotImplementedError("glm4_moe LoRA: round 3")
     inv_freq, rope_scaling = rope_setup(spec)
     # laguna: sliding layers run their own rope base (reference
     # configuration_laguna.py:124-127 — full 500k / sliding 10k)
@@ -130,15 +128,20 @@ def forward(
     win_list = qwen3.layer_windows_list(spec)
 
     def attn(h, lp, window):
+        # attention-projection LoRA rides a reserved "_lora" sub-dict inside
+        # the layer pytree so the scan regrouping applies to it for free
+        # (expert LoRA: reference MultiLoRAGroupedExperts analogue not built)
+        ll = lp.get("_lora")
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
-                for k, v in lp.items()}
+                for k, v in lp.items() if k != "_lora"}
         freqs = inv_freq_local if window else inv_freq
         return qwen3._attn_block(h, cast, spec, segment_ids, position_ids, freqs,
-                                 attn_impl, block_q, block_kv, mesh, None, lora_scale,
+                                 attn_impl, block_q, block_kv, mesh, ll, lora_scale,
                                  cp_style, window, rope_scaling)
 
     def dense_block(h, lp, window):
         h = attn(h, lp, window)
+        lp = {k: v for k, v in lp.items() if k != "_lora"}
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items()}
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
@@ -169,6 +172,15 @@ def forward(
 
     # first-k dense layers: python-unrolled (k is tiny), static windows
     k_dense = spec.first_k_dense_replace
+    if lora is not None:
+        ll = lora["layers"]
+        params = dict(params)
+        if k_dense and "dense_layers" in params:
+            params["dense_layers"] = dict(
+                params["dense_layers"],
+                _lora=jax.tree.map(lambda x: x[:k_dense], ll))
+        params["layers"] = dict(params["layers"],
+                                _lora=jax.tree.map(lambda x: x[k_dense:], ll))
     for i in range(k_dense):
         h = wrap(functools.partial(dense_block, window=win_list[i]))(
             h, jax.tree.map(lambda x: x[i], params["dense_layers"]))

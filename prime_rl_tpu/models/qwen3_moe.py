@@ -82,12 +82,12 @@ def forward(
     h = jnp.take(embed, input_ids, axis=0)
     b, l, d = h.shape
 
-    def block(carry, lp, forced=None):
+    def block(carry, lp, forced=None, ll=None):
         h, aux = carry
         cast = {k: (v.astype(compute_dtype) if v.ndim >= 2 and k != "router" else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
-                              attn_impl, block_q, block_kv, mesh, lora, lora_scale, cp_style)
+                              attn_impl, block_q, block_kv, mesh, ll, lora_scale, cp_style)
         x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
         out, routing = moe_mlp(
             x.reshape(b * l, d),
@@ -106,15 +106,26 @@ def forward(
             prevent_cse=False,
         )
 
+    ll_stack = lora["layers"] if lora is not None else None
     if routed_experts is None:
-        (h, aux), _ = jax.lax.scan(lambda c, lp: (block(c, lp), None),
-                                   (h, jnp.float32(0.0)), params["layers"])
+        if ll_stack is None:
+            (h, aux), _ = jax.lax.scan(lambda c, lp: (block(c, lp), None),
+                                       (h, jnp.float32(0.0)), params["layers"])
+        else:
+            (h, aux), _ = jax.lax.scan(
+                lambda c, xs: (block(c, xs[0], ll=xs[1]), None),
+                (h, jnp.float32(0.0)), (params["layers"], ll_stack))
     else:
         # [B, L, NL, K] -> scan-major [NL, B*L, K]
         forced = jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
             spec.num_layers, b * l, spec.num_experts_per_tok)
-        (h, aux), _ = jax.lax.scan(lambda c, xs: (block(c, xs[0], xs[1]), None),
-                                   (h, jnp.float32(0.0)), (params["layers"], forced))
+        if ll_stack is None:
+            (h, aux), _ = jax.lax.scan(lambda c, xs: (block(c, xs[0], xs[1]), None),
+                                       (h, jnp.float32(0.0)), (params["layers"], forced))
+        else:
+            (h, aux), _ = jax.lax.scan(
+                lambda c, xs: (block(c, xs[0], xs[1], xs[2]), None),
+                (h, jnp.float32(0.0)), (params["layers"], forced, ll_stack))
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     return (h, aux) if collect_aux else h
 

@@ -187,8 +187,6 @@ def forward(
     hybrid trunk with the Qwen3-VL vision tower; same dict contract as
     models/qwen3_vl.forward). GDN layers are position-free, so mRoPE only
     affects the full-attention layers."""
-    if lora is not None:
-        raise NotImplementedError("qwen3_next LoRA: later round")
     pat = _pattern(spec)
     inv_freq, rope_scaling = rope_setup(spec)
     embed = params["embed"].astype(compute_dtype)
@@ -210,9 +208,22 @@ def forward(
         h = jnp.where(img_mask, gathered, h)
         position_ids = _mrope_positions(spec, mm["mm_position_ids"])
 
+    if lora is not None:
+        # attention-projection LoRA: select the adapter rows of the full
+        # [nl, ...] stacks that belong to attention layers; ride a reserved
+        # "_lora" sub-dict so the regroup/scan machinery applies unchanged
+        import numpy as _np
+
+        attn_idx = jnp.asarray(_np.nonzero([c == "A" for c in pat])[0])
+        params = dict(params)
+        params["attn_layers"] = dict(
+            params["attn_layers"],
+            _lora=jax.tree.map(lambda x: x[attn_idx], lora["layers"]))
+
     def cast(lp):
         return {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2
-                    and "router" not in k else v) for k, v in lp.items()}
+                    and "router" not in k else v)
+                for k, v in lp.items() if k != "_lora"}
 
     def lin_block(carry, lp):
         h, aux = carry
@@ -223,9 +234,10 @@ def forward(
 
     def attn_block(carry, lp):
         h, aux = carry
+        ll = lp.get("_lora")
         lp = cast(lp)
         h = qwen3._attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
-                              attn_impl, block_q, block_kv, mesh, None, lora_scale,
+                              attn_impl, block_q, block_kv, mesh, ll, lora_scale,
                               cp_style, 0, rope_scaling)
         h, lb = moe_block(h, lp, spec)
         return h, aux + lb

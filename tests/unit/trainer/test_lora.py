@@ -98,3 +98,34 @@ def test_adapter_export(spec):
     assert "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight" in state
     assert state["base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight"].shape == (4, spec.hidden_size)
     assert not any("gate_proj" in k for k in state)
+
+
+@pytest.mark.parametrize("name", ["debug_moe", "debug_laguna", "debug_qwen3_next"])
+def test_lora_active_on_moe_families(name):
+    """Attention-projection LoRA must actually change the forward of the MoE
+    family stacks (regression: the stacked adapter pytree was once passed
+    un-sliced into the per-layer block, silently no-opping)."""
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+
+    spec = get_spec(name)
+    fam = get_family(spec)
+    cfg = LoRAConfig(rank=4)
+    base = fam.init(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    # make the adapter non-trivial (B is zeros at init)
+    lora = jax.tree.map(
+        lambda x: x + 0.05 if x.ndim == 3 else x, lora)
+    ids = jnp.arange(1, 17)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    h0 = fam.forward(base, spec, ids, seg, pos, **kw)
+    h1 = fam.forward(base, spec, ids, seg, pos, lora=lora,
+                     lora_scale=lora_scale(cfg), **kw)
+    assert float(jnp.max(jnp.abs(h0 - h1))) > 1e-5
+    # and zero-B adapters are exactly the identity
+    lora0 = init_lora(spec, cfg, jax.random.key(2))
+    h2 = fam.forward(base, spec, ids, seg, pos, lora=lora0,
+                     lora_scale=lora_scale(cfg), **kw)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h2), atol=1e-6)
