@@ -93,6 +93,9 @@ class OrchestratorConfig(BaseConfig):
     monitor: MonitorConfig = Field(default_factory=lambda: {"type": "file"})
     log: LogConfig = LogConfig()
     ckpt: OrchestratorCheckpointConfig = OrchestratorCheckpointConfig()
+    # uptime heartbeat (reference: utils/heartbeat.py Better Stack pings)
+    heartbeat_url: str | None = None
+    heartbeat_interval: float = 30.0
 
     train_envs: list[EnvSourceConfig] = Field(default_factory=list)
     eval_envs: list[EvalSourceConfig] = Field(default_factory=list)

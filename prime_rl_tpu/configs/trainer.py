@@ -209,6 +209,14 @@ class TrainerConfig(BaseConfig):
     # per-tenant adapter states (requires model.lora; reference: runs.py)
     multi_run: bool = False
     max_runs: int = 8
+    # per-step JSONL export of per-token training tensors for offline
+    # analysis (reference: trainer/rl/token_export.py) — 0 = off, else max
+    # packed rows written per step under <output_dir>/token_export/
+    token_export_rows: int = 0
+    # uptime heartbeat: GET this URL every heartbeat_interval seconds from a
+    # daemon thread (reference: utils/heartbeat.py Better Stack pings)
+    heartbeat_url: str | None = None
+    heartbeat_interval: float = 30.0
 
 
 class SFTDataConfig(BaseConfig):

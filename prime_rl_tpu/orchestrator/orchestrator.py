@@ -612,6 +612,11 @@ class Orchestrator:
         pipeline_view = asyncio.create_task(self._pipeline_view())
         self.lag_monitor = EventLoopLagMonitor().start()
         cfg = self.config
+        heartbeat = None
+        if cfg.heartbeat_url:
+            from prime_rl_tpu.utils.heartbeat import Heartbeat
+
+            heartbeat = Heartbeat(cfg.heartbeat_url, cfg.heartbeat_interval).start()
         try:
             while not self._stop:
                 if cfg.max_steps is not None and self.progress.step >= cfg.max_steps:
@@ -646,6 +651,8 @@ class Orchestrator:
                     await self._ship_batch()
         finally:
             self._stop = True
+            if heartbeat is not None:
+                heartbeat.stop()
             watcher.cancel()
             pipeline_view.cancel()
             for g in self.inflight:

@@ -172,6 +172,16 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
 
     metrics_server = maybe_start_metrics_server(config.metrics_server)
     gc_gate = GarbageCollection(interval=50)
+    exporter = None
+    if config.token_export_rows > 0 and is_main:
+        from prime_rl_tpu.trainer.rl.token_export import TokenExporter
+
+        exporter = TokenExporter(config.output_dir, config.token_export_rows)
+    heartbeat = None
+    if config.heartbeat_url and is_main:
+        from prime_rl_tpu.utils.heartbeat import Heartbeat
+
+        heartbeat = Heartbeat(config.heartbeat_url, config.heartbeat_interval).start()
     if config.trace_path:
         jax.profiler.start_trace(config.trace_path)
 
@@ -217,6 +227,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 state = run.state  # tenant swap: same jit, different pytree
         wait_s = time.perf_counter() - t_wait
 
+        if exporter is not None:
+            exporter.export(progress.step, batch)
         shape_key = tuple(batch.input_ids.shape)
         if shape_key not in seen_shapes:
             seen_shapes.add(shape_key)
@@ -298,6 +310,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         logger.info(f"profiler trace written to {config.trace_path}")
     if metrics_server is not None:
         metrics_server.stop()
+    if heartbeat is not None:
+        heartbeat.stop()
     if run_mgr is not None:
         run_mgr.save_all()
     if bench is None:
