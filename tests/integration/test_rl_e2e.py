@@ -170,3 +170,37 @@ def test_rl_disaggregated_weight_plane(tmp_path, free_port):
     rows = [json.loads(l) for l in open(out / "orchestrator.jsonl")]
     rewards = [r["reward_mean"] for r in rows if "reward_mean" in r]
     assert len(rewards) >= 10
+
+
+@pytest.mark.slow
+def test_rl_hybrid_family_end_to_end(tmp_path, free_port):
+    """The full async loop on the GatedDeltaNet hybrid (debug_qwen3_next):
+    hybrid engine serving (recurrent pools), hybrid training step, colocated
+    weight swap — short run, gated on clean logs + finite losses + policy
+    version advancing (the learning-trend gate stays on the cheaper dense
+    debug model above)."""
+    out = tmp_path / "run"
+    cfg = tmp_path / "rl.toml"
+    text = CONFIG.format(out=out, port_h=free_port(), port_b=free_port())
+    text = text.replace('name = "debug"', 'name = "debug_qwen3_next"')
+    text = text.replace("max_steps = 30", "max_steps = 8")
+    cfg.write_text(text)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, "-m", "prime_rl_tpu.entrypoints.rl", f"@{cfg}"],
+        env=env, cwd=REPO, timeout=900, capture_output=True, text=True,
+    )
+    logs = "\n".join(
+        p.read_text()[-2000:] for p in (out / "logs").glob("*.out") if p.exists()
+    )
+    assert proc.returncode == 0, f"launcher rc={proc.returncode}\n{proc.stdout}\n{logs}"
+    for p in (out / "logs").glob("*.out"):
+        text = p.read_text()
+        assert "Traceback" not in text, f"error in {p.name}:\n{text[-2000:]}"
+    trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
+    losses = [r["loss"] for r in trows if "loss" in r]
+    assert len(losses) >= 6 and all(np.isfinite(losses)), losses
+    orows = [json.loads(l) for l in open(out / "orchestrator.jsonl")]
+    versions = [r["policy_version"] for r in orows if "policy_version" in r]
+    assert versions and max(versions) >= 4, versions
