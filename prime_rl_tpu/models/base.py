@@ -625,7 +625,11 @@ def _window_pattern_from_layer_types(
     if not sliding_window:
         return 0, 1
     if not layer_types:
-        return sliding_window, max(default_pattern, 1)
+        # default_pattern 0 = "this family's HF default is all-full" (laguna
+        # configuration_laguna.py:98): sliding only applies via layer_types
+        if default_pattern <= 0:
+            return 0, 1
+        return sliding_window, default_pattern
     is_full = [t == "full_attention" for t in layer_types]
     if all(is_full):
         return 0, 1

@@ -68,7 +68,7 @@ class KVPool:
         self.v = [jnp.zeros(shape, dtype) if kd in ("A", "*") else None for kd in kinds]
 
     def hbm_bytes(self) -> int:
-        per = next(b.size * b.dtype.itemsize for b in self.k if b is not None)
+        per = next((b.size * b.dtype.itemsize for b in self.k if b is not None), 0)
         return 2 * per * sum(1 for b in self.k if b is not None)
 
 

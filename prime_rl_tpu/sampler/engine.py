@@ -167,6 +167,13 @@ class Engine:
         # prefill / P/D operate on pages only, so they are disabled (vLLM
         # restricts hybrid models the same way)
         self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
+        from prime_rl_tpu.sampler.cache import layer_kinds
+
+        if not any(kd in ("A", "*") for kd in layer_kinds(spec)):
+            raise ValueError(
+                f"model family {spec.family!r} has no attention layers "
+                "(pure-recurrent patterns are not servable: the engine needs "
+                "at least one paged-KV layer to size pages)")
         rpool = RecurrentPool(spec, self.config, dtype=compute_dtype)
         self.r_conv, self.r_state = rpool.conv, rpool.state
         prefix_ok = self.config.enable_prefix_cache and not self.is_hybrid

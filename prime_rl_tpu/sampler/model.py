@@ -482,7 +482,7 @@ def prefill(
       positions [1, Lpad, rot//2] per-frequency mRoPE positions.
     """
     _, lpad = input_ids.shape
-    page_size = next(b for b in k_pool if b is not None).shape[2]
+    page_size = next((b.shape[2] for b in k_pool if b is not None), 1)
     n_pages = lpad // page_size
     inv_freq, rope_scaling = _rope(spec)
     positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (1, lpad))
@@ -650,7 +650,7 @@ def prefill_chunk(
     Returns (k_pool, v_pool, last_hidden [D]) at local position valid-1.
     """
     _, c = input_ids.shape
-    page_size = next(b for b in k_pool if b is not None).shape[2]
+    page_size = next((b.shape[2] for b in k_pool if b is not None), 1)
     n_pages = c // page_size
     inv_freq, rope_scaling = _rope(spec)
     positions = offset + jnp.arange(c, dtype=jnp.int32)[None, :]  # [1, C]
@@ -804,7 +804,7 @@ def decode(
     if attn_impl == "auto":
         attn_impl = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     s = tokens.shape[0]
-    page_size = next(b for b in k_pool if b is not None).shape[2]
+    page_size = next((b.shape[2] for b in k_pool if b is not None), 1)
     inv_freq, rope_scaling = _rope(spec)
     positions = lengths[:, None]  # [S, 1]: 0-based position of the new token
     if pos_delta is not None:
