@@ -35,17 +35,43 @@ _TARGET_DIMS = {
 
 # accept the reference's HF-style regex-ish names too (q_proj -> q)
 _ALIASES = {f"{t}_proj": t for t in _TARGET_DIMS}
+_ALIASES.update({"q_b_proj": "q_b", "kv_a_proj_with_mqa": "kv_a",
+                 "kv_b_proj": "kv_b", "o_proj": "o"})
+
+
+def target_dims(t: str, spec: ModelSpec) -> tuple[int, int]:
+    """(in, out) dims of target ``t`` on this spec. MLA families (kv_lora_
+    rank > 0) have their own projection shapes (reference MLA module names:
+    q_b_proj / kv_a_proj_with_mqa / kv_b_proj)."""
+    if spec.kv_lora_rank > 0:
+        mla = {
+            "q": (spec.hidden_size, spec.num_heads * spec.head_dim),
+            "q_b": (spec.q_lora_rank, spec.num_heads * spec.head_dim),
+            "kv_a": (spec.hidden_size, spec.kv_lora_rank + spec.qk_rope_head_dim),
+            "kv_b": (spec.kv_lora_rank,
+                     spec.num_heads * (spec.qk_nope_head_dim + spec.v_head_dim)),
+            "o": (spec.num_heads * spec.v_head_dim, spec.hidden_size),
+        }
+        if t in mla:
+            return mla[t]
+    a, b = _TARGET_DIMS[t]
+    return getattr(spec, a), getattr(spec, b)
 
 
 def resolve_targets(cfg: LoRAConfig, spec: ModelSpec) -> list[str]:
     out = []
     for name in cfg.target_modules:
         t = _ALIASES.get(name, name)
-        if t not in _TARGET_DIMS:
+        if spec.kv_lora_rank > 0:
+            # MLA: generic attention names map onto the latent projections
+            t = {"q": ("q_b" if spec.q_lora_rank else "q"),
+                 "k": "kv_b", "v": "kv_b"}.get(t, t)
+        if t not in _TARGET_DIMS and t not in ("q_b", "kv_a", "kv_b"):
             raise ValueError(f"unknown LoRA target {name!r}")
         if spec.is_moe and t in ("gate", "up", "down"):
-            continue  # expert LoRA: round 2
-        out.append(t)
+            continue  # expert LoRA: not built (attention-projection only)
+        if t not in out:
+            out.append(t)
     return out
 
 
@@ -58,8 +84,7 @@ def init_lora(spec: ModelSpec, cfg: LoRAConfig, key: jax.Array, dtype=jnp.float3
     layers: dict[str, jax.Array] = {}
     nl, r = spec.num_layers, cfg.rank
     for i, t in enumerate(resolve_targets(cfg, spec)):
-        d_in = getattr(spec, _TARGET_DIMS[t][0])
-        d_out = getattr(spec, _TARGET_DIMS[t][1])
+        d_in, d_out = target_dims(t, spec)
         k = jax.random.fold_in(key, i)
         layers[f"{t}_a"] = (jax.random.normal(k, (nl, d_in, r)) * 0.02).astype(dtype)
         layers[f"{t}_b"] = jnp.zeros((nl, r, d_out), dtype)
@@ -87,19 +112,41 @@ def apply_lora_proj(x: jax.Array, w: jax.Array, lora_layer: dict | None,
     return y
 
 
-def merge_lora(base: Params, lora: Params, cfg: LoRAConfig) -> Params:
-    """base + scale·A·B folded in (host or device) for serving snapshots."""
+def merge_lora(base: Params, lora: Params, cfg: LoRAConfig,
+               spec: ModelSpec | None = None) -> Params:
+    """base + scale·A·B folded in (host or device) for serving snapshots.
+
+    Layout-aware: glm4/mla-style split stacks (``dense_layers`` +
+    ``layers``) take the matching slice of the [nl, ...] adapter stacks;
+    qwen3_next's ``attn_layers`` take the attention-layer rows (needs
+    ``spec`` for the pattern)."""
     scale = lora_scale(cfg)
-    merged_layers = dict(base["layers"])
-    for t in _TARGET_DIMS:
-        a = lora["layers"].get(f"{t}_a")
-        if a is None:
-            continue
-        b = lora["layers"][f"{t}_b"]
-        delta = jnp.einsum("lir,lro->lio", a.astype(jnp.float32), b.astype(jnp.float32)) * scale
-        merged_layers[t] = (base["layers"][t].astype(jnp.float32) + delta).astype(base["layers"][t].dtype)
+    targets = sorted({k[:-2] for k in lora["layers"] if k.endswith("_a")})
+
+    def merge_stack(stack: dict, sl) -> dict:
+        merged = dict(stack)
+        for t in targets:
+            if t not in stack:
+                continue
+            a = lora["layers"][f"{t}_a"][sl].astype(jnp.float32)
+            b = lora["layers"][f"{t}_b"][sl].astype(jnp.float32)
+            delta = jnp.einsum("lir,lro->lio", a, b) * scale
+            merged[t] = (stack[t].astype(jnp.float32) + delta).astype(stack[t].dtype)
+        return merged
+
     out = dict(base)
-    out["layers"] = merged_layers
+    if "attn_layers" in base:  # qwen3_next hybrid: adapters index full depth
+        if spec is None or not spec.gdn_pattern:
+            raise ValueError("merge_lora on a hybrid layout needs the spec")
+        idx = np.nonzero([c == "A" for c in spec.gdn_pattern])[0]
+        out["attn_layers"] = merge_stack(base["attn_layers"], jnp.asarray(idx))
+        return out
+    if "dense_layers" in base:
+        k = next(iter(base["dense_layers"].values())).shape[0]
+        out["dense_layers"] = merge_stack(base["dense_layers"], slice(0, k))
+        out["layers"] = merge_stack(base["layers"], slice(k, None))
+        return out
+    out["layers"] = merge_stack(base["layers"], slice(None))
     return out
 
 
@@ -110,7 +157,11 @@ def adapter_from_state_dict(state: dict, spec: ModelSpec) -> dict[str, np.ndarra
     hf_names = {"q": ("self_attn", "q_proj"), "k": ("self_attn", "k_proj"),
                 "v": ("self_attn", "v_proj"), "o": ("self_attn", "o_proj"),
                 "gate": ("mlp", "gate_proj"), "up": ("mlp", "up_proj"),
-                "down": ("mlp", "down_proj")}
+                "down": ("mlp", "down_proj"),
+                # MLA latent projections (HF DeepseekV3 module names)
+                "q_b": ("self_attn", "q_b_proj"),
+                "kv_a": ("self_attn", "kv_a_proj_with_mqa"),
+                "kv_b": ("self_attn", "kv_b_proj")}
     layers: dict[str, np.ndarray] = {}
     for t, (mod, hf) in hf_names.items():
         key0 = f"base_model.model.model.layers.0.{mod}.{hf}.lora_A.weight"
@@ -135,9 +186,12 @@ def adapter_state_dict(lora: Params, spec: ModelSpec, cfg: LoRAConfig) -> dict[s
     """PEFT-style flat dict (per-layer, HF naming) for standalone adapter
     snapshots (reference: ckpt.py LoRA adapter export)."""
     hf_names = {"q": "q_proj", "k": "k_proj", "v": "v_proj", "o": "o_proj",
-                "gate": "gate_proj", "up": "up_proj", "down": "down_proj"}
+                "gate": "gate_proj", "up": "up_proj", "down": "down_proj",
+                "q_b": "q_b_proj", "kv_a": "kv_a_proj_with_mqa",
+                "kv_b": "kv_b_proj"}
     mod_prefix = {"q": "self_attn", "k": "self_attn", "v": "self_attn", "o": "self_attn",
-                  "gate": "mlp", "up": "mlp", "down": "mlp"}
+                  "gate": "mlp", "up": "mlp", "down": "mlp",
+                  "q_b": "self_attn", "kv_a": "self_attn", "kv_b": "self_attn"}
     state: dict[str, np.ndarray] = {}
     for t, hf in hf_names.items():
         a = lora["layers"].get(f"{t}_a")

@@ -125,12 +125,19 @@ def _rope(x, position_ids, inv_freq, interleave: bool):
     return out[:, :, 0, :] if squeeze else out
 
 
-def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq):
+def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
+                  ll=None, lora_scale: float = 1.0):
     """Pre-norm MLA attention block with residual (absorbed compute).
 
     h: [B, L, D]; per-token positions restart per packed segment, and the
     DSA indexer's [ks, ke) varlen bounds derive from them exactly as the
-    reference does (modeling_glm_moe_dsa.py ks/ke from position_ids)."""
+    reference does (modeling_glm_moe_dsa.py ks/ke from position_ids).
+
+    ``ll``: per-layer LoRA dict — targets q_b (or q), kv_a, kv_b, o. The
+    kv_b delta is folded into the absorbed weight before the einsum split
+    (W + scale·A·B absorbs identically to W)."""
+    from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
     B, L, D = h.shape
     H, qk = spec.num_heads, _qk_head_dim(spec)
     nope, rope_d, kvl, vh = (spec.qk_nope_head_dim, spec.qk_rope_head_dim,
@@ -139,20 +146,25 @@ def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq):
 
     if "q_a" in lp:
         q_lat = rms_norm(x @ lp["q_a"], lp["q_a_norm"], spec.rms_eps)
-        q = (q_lat @ lp["q_b"]).reshape(B, L, H, qk)
+        q = _p(q_lat, lp["q_b"], ll, "q_b", lora_scale).reshape(B, L, H, qk)
     else:
         q_lat = None
-        q = (x @ lp["q"]).reshape(B, L, H, qk)
+        q = _p(x, lp["q"], ll, "q", lora_scale).reshape(B, L, H, qk)
     q_nope, q_rope = q[..., :nope], q[..., nope:]
 
-    ckv = x @ lp["kv_a"]  # [B, L, kvl + rope_d]
+    ckv = _p(x, lp["kv_a"], ll, "kv_a", lora_scale)  # [B, L, kvl + rope_d]
     c_kv = rms_norm(ckv[..., :kvl], lp["kv_a_norm"], spec.rms_eps)
     k_rope = ckv[..., kvl:]
 
     q_rope = _rope(q_rope, position_ids, inv_freq, spec.rope_interleave)
     k_rope = _rope(k_rope, position_ids, inv_freq, spec.rope_interleave)
 
-    w_kv_b = lp["kv_b"].reshape(kvl, H, nope + vh)
+    w_kv_b_flat = lp["kv_b"]
+    if ll is not None and "kv_b_a" in ll:
+        w_kv_b_flat = w_kv_b_flat + lora_scale * (
+            ll["kv_b_a"].astype(w_kv_b_flat.dtype)
+            @ ll["kv_b_b"].astype(w_kv_b_flat.dtype))
+    w_kv_b = w_kv_b_flat.reshape(kvl, H, nope + vh)
     q_abs = jnp.einsum("blhn,khn->blhk", q_nope, w_kv_b[..., :nope])
     sparse_q = jnp.concatenate([q_abs, q_rope], axis=-1)  # [B, L, H, kvl+rope]
     kv = jnp.concatenate([c_kv, k_rope], axis=-1)  # [B, L, kvl+rope]
@@ -196,7 +208,7 @@ def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq):
         )(sparse_q, kv, segment_ids)
 
     v_out = jnp.einsum("blhk,khv->blhv", out_lat, w_kv_b[..., nope:])
-    return h + v_out.reshape(B, L, H * vh) @ lp["o"]
+    return h + _p(v_out.reshape(B, L, H * vh), lp["o"], ll, "o", lora_scale)
 
 
 def forward(
@@ -216,19 +228,31 @@ def forward(
     cp_style: str = "ulysses",
     collect_aux: bool = False,
 ):
-    if lora is not None:
-        raise NotImplementedError("mla_moe LoRA: planned")
     inv_freq = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
+    # latent-projection LoRA rides a reserved "_lora" sub-dict inside the
+    # layer pytrees (targets q_b/q, kv_a, kv_b, o — models/lora.target_dims)
+    k_dense = spec.first_k_dense_replace
+    if lora is not None:
+        ll_all = lora["layers"]
+        params = dict(params)
+        if k_dense and "dense_layers" in params:
+            params["dense_layers"] = dict(
+                params["dense_layers"],
+                _lora=jax.tree.map(lambda x: x[:k_dense], ll_all))
+        params["layers"] = dict(params["layers"],
+                                _lora=jax.tree.map(lambda x: x[k_dense:], ll_all))
+
     def cast_lp(lp):
         return {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2
                     and "router" not in k else v)
-                for k, v in lp.items()}
+                for k, v in lp.items() if k != "_lora"}
 
     def attn(h, lp):
-        return mla_attention(h, cast_lp(lp), spec, segment_ids, position_ids, inv_freq)
+        return mla_attention(h, cast_lp(lp), spec, segment_ids, position_ids,
+                             inv_freq, ll=lp.get("_lora"), lora_scale=lora_scale)
 
     def dense_block(h, lp):
         h = attn(h, lp)

@@ -95,7 +95,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             return state.params
         from prime_rl_tpu.models.lora import merge_lora
 
-        return merge_lora(base_params, state.params, config.model.lora)
+        return merge_lora(base_params, state.params, config.model.lora, spec=spec)
 
     ckpt_mgr = CheckpointManager(config.output_dir, config.ckpt)
     weight_mgr = WeightCheckpointManager(config.output_dir, config.weight_ckpt, spec)

@@ -145,7 +145,7 @@ class MultiRunManager:
         from prime_rl_tpu.trainer.weights import save_hf_weights
         from prime_rl_tpu.utils import pathing
 
-        merged = merge_lora(base_params, run.state.params, self.lora_cfg)
+        merged = merge_lora(base_params, run.state.params, self.lora_cfg, spec=self.spec)
         path = self.run_dir(run.run_id) / "weights" / f"step_{version}"
         save_hf_weights(merged, self.spec, path)
         return path

@@ -129,3 +129,41 @@ def test_lora_active_on_moe_families(name):
     h2 = fam.forward(base, spec, ids, seg, pos, lora=lora0,
                      lora_scale=lora_scale(cfg), **kw)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h2), atol=1e-6)
+
+
+def test_lora_active_on_mla_family():
+    """MLA latent-projection LoRA (q_b/kv_a/kv_b/o targets — generic q/k/v
+    names map onto them): adapters change the forward; zero-B is identity;
+    merge matches the runtime adapter."""
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import debug_spec
+
+    spec = debug_spec(
+        num_layers=2, family="deepseek_v3", qk_norm=False, tie_embeddings=False,
+        num_experts=4, num_experts_per_tok=2, moe_intermediate_size=64,
+        n_shared_experts=1, first_k_dense_replace=1, router_sigmoid=True,
+        q_lora_rank=48, kv_lora_rank=32, qk_rope_head_dim=8, qk_nope_head_dim=24,
+        v_head_dim=16, head_dim=32, rope_interleave=True,
+    )
+    fam = get_family(spec)
+    cfg = LoRAConfig(rank=4)
+    base = fam.init(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    assert "q_b_a" in lora["layers"] and "kv_b_a" in lora["layers"]
+    ids = jnp.arange(1, 17)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    h0 = fam.forward(base, spec, ids, seg, pos, **kw)
+    # zero-B: identity
+    h1 = fam.forward(base, spec, ids, seg, pos, lora=lora,
+                     lora_scale=lora_scale(cfg), **kw)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+    # non-trivial adapter changes the output, and merge == runtime adapter
+    lora2 = jax.tree.map(lambda x: x + 0.03, lora)
+    h2 = fam.forward(base, spec, ids, seg, pos, lora=lora2,
+                     lora_scale=lora_scale(cfg), **kw)
+    assert float(jnp.max(jnp.abs(h0 - h2))) > 1e-5
+    merged = merge_lora(base, lora2, cfg)
+    h3 = fam.forward(merged, spec, ids, seg, pos, **kw)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-4, atol=2e-4)
