@@ -135,10 +135,12 @@ def merge_lora(base: Params, lora: Params, cfg: LoRAConfig,
         return merged
 
     out = dict(base)
-    if "attn_layers" in base:  # qwen3_next hybrid: adapters index full depth
-        if spec is None or not spec.gdn_pattern:
+    if "attn_layers" in base:  # hybrid layouts: adapters index full depth
+        if spec is None or not (spec.gdn_pattern or spec.layer_pattern):
             raise ValueError("merge_lora on a hybrid layout needs the spec")
-        idx = np.nonzero([c == "A" for c in spec.gdn_pattern])[0]
+        pat = spec.gdn_pattern or spec.layer_pattern
+        char = "A" if spec.gdn_pattern else "*"
+        idx = np.nonzero([c == char for c in pat])[0]
         out["attn_layers"] = merge_stack(base["attn_layers"], jnp.asarray(idx))
         return out
     if "dense_layers" in base:

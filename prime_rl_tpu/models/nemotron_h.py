@@ -139,18 +139,21 @@ def _mamba_block(h, lp, spec: ModelSpec, segment_ids, compute_dtype, mesh=None):
 
 
 def _attn_block(h, lp, spec: ModelSpec, segment_ids, attn_impl, block_q,
-                block_kv, mesh, cp_style, compute_dtype):
+                block_kv, mesh, cp_style, compute_dtype, lora_scale=1.0):
+    from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
     b, l, d = h.shape
-    cast = {k: v.astype(compute_dtype) for k, v in lp.items()}
+    ll = lp.get("_lora")
+    cast = {k: v.astype(compute_dtype) for k, v in lp.items() if k != "_lora"}
     x = rms_norm(h, cast["norm"], spec.rms_eps)
-    q = jnp.dot(x, cast["q"]).reshape(b, l, spec.num_heads, spec.head_dim)
-    k = jnp.dot(x, cast["k"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
-    v = jnp.dot(x, cast["v"]).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    q = _p(x, cast["q"], ll, "q", lora_scale).reshape(b, l, spec.num_heads, spec.head_dim)
+    k = _p(x, cast["k"], ll, "k", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
+    v = _p(x, cast["v"], ll, "v", lora_scale).reshape(b, l, spec.num_kv_heads, spec.head_dim)
     o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
                   block_q=block_q, block_kv=block_kv, mesh=mesh, cp_style=cp_style)
     from jax.ad_checkpoint import checkpoint_name as _ckname
     o = _ckname(o, "attn_out")
-    return h + jnp.dot(o.reshape(b, l, spec.q_dim), cast["o"])
+    return h + _p(o.reshape(b, l, spec.q_dim), cast["o"], ll, "o", lora_scale)
 
 
 def _mlp_block(h, lp, spec: ModelSpec, compute_dtype):
@@ -206,8 +209,6 @@ def forward(
     cp_style: str = "ulysses",
     collect_aux: bool = False,
 ):
-    if lora is not None:
-        raise NotImplementedError("nemotron_h LoRA: later round")
     del position_ids
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
@@ -237,12 +238,20 @@ def forward(
         "*": wrap(functools.partial(_attn_block, spec=spec, segment_ids=segment_ids,
                                     attn_impl=attn_impl, block_q=block_q,
                                     block_kv=block_kv, mesh=mesh, cp_style=cp_style,
-                                    compute_dtype=compute_dtype)),
+                                    compute_dtype=compute_dtype,
+                                    lora_scale=lora_scale)),
         "-": wrap(functools.partial(_mlp_block, spec=spec, compute_dtype=compute_dtype)),
         "E": wrap(functools.partial(_moe_block, spec=spec, compute_dtype=compute_dtype)),
     }
     stacks = {"M": params.get("mamba_layers"), "*": params.get("attn_layers"),
               "-": params.get("mlp_layers"), "E": params.get("moe_layers")}
+    if lora is not None and stacks["*"] is not None:
+        # attention-projection LoRA: select the adapter rows of the [nl, ...]
+        # stacks at the '*' layer indices; ride a reserved "_lora" sub-dict
+        attn_idx = jnp.asarray(
+            np.nonzero([c == "*" for c in spec.layer_pattern])[0])
+        stacks["*"] = dict(stacks["*"],
+                           _lora=jax.tree.map(lambda x: x[attn_idx], lora["layers"]))
 
     idx = {c: 0 for c in BLOCK_CHARS}
     for ch in spec.layer_pattern:

@@ -167,3 +167,31 @@ def test_lora_active_on_mla_family():
     merged = merge_lora(base, lora2, cfg)
     h3 = fam.forward(merged, spec, ids, seg, pos, **kw)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-4, atol=2e-4)
+
+
+def test_lora_active_on_nemotron_attention():
+    """nemotron_h: attention-layer ('*') LoRA changes the forward; zero-B is
+    identity (Mamba/MLP/MoE layers stay base)."""
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+
+    spec = get_spec("debug_nemotron")
+    fam = get_family(spec)
+    cfg = LoRAConfig(rank=4)
+    base = fam.init(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    ids = jnp.arange(1, 17)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    h0 = fam.forward(base, spec, ids, seg, pos, **kw)
+    h1 = fam.forward(base, spec, ids, seg, pos, lora=lora,
+                     lora_scale=lora_scale(cfg), **kw)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+    lora2 = jax.tree.map(lambda x: x + 0.05, lora)
+    h2 = fam.forward(base, spec, ids, seg, pos, lora=lora2,
+                     lora_scale=lora_scale(cfg), **kw)
+    assert float(jnp.max(jnp.abs(h0 - h2))) > 1e-5
+    merged = merge_lora(base, lora2, cfg, spec=spec)
+    h3 = fam.forward(merged, spec, ids, seg, pos, **kw)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-4, atol=2e-4)
