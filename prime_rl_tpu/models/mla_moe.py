@@ -125,24 +125,18 @@ def _rope(x, position_ids, inv_freq, interleave: bool):
     return out[:, :, 0, :] if squeeze else out
 
 
-def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
-                  ll=None, lora_scale: float = 1.0):
-    """Pre-norm MLA attention block with residual (absorbed compute).
-
-    h: [B, L, D]; per-token positions restart per packed segment, and the
-    DSA indexer's [ks, ke) varlen bounds derive from them exactly as the
-    reference does (modeling_glm_moe_dsa.py ks/ke from position_ids).
-
-    ``ll``: per-layer LoRA dict — targets q_b (or q), kv_a, kv_b, o. The
-    kv_b delta is folded into the absorbed weight before the einsum split
-    (W + scale·A·B absorbs identically to W)."""
+def mla_absorbed_qkv(x, lp, spec: ModelSpec, position_ids, inv_freq,
+                     ll=None, lora_scale: float = 1.0):
+    """Absorbed MLA projections. x: [B, L, D] (post input-norm). Returns
+    (q_lat [B,L,ql]|None, absorbed query [B,L,H,kvl+rope], latent kv
+    [B,L,kvl+rope], w_kv_b [kvl,H,nope+vh]). Shared by the training block
+    and the serving prefill/decode (the latent kv IS the serving cache row —
+    the MLA cache stores kvl+rope floats per token, not per-head K/V)."""
     from prime_rl_tpu.models.lora import apply_lora_proj as _p
 
-    B, L, D = h.shape
+    B, L, _ = x.shape
     H, qk = spec.num_heads, _qk_head_dim(spec)
-    nope, rope_d, kvl, vh = (spec.qk_nope_head_dim, spec.qk_rope_head_dim,
-                             spec.kv_lora_rank, spec.v_head_dim)
-    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    nope, kvl, vh = spec.qk_nope_head_dim, spec.kv_lora_rank, spec.v_head_dim
 
     if "q_a" in lp:
         q_lat = rms_norm(x @ lp["q_a"], lp["q_a_norm"], spec.rms_eps)
@@ -167,7 +161,31 @@ def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
     w_kv_b = w_kv_b_flat.reshape(kvl, H, nope + vh)
     q_abs = jnp.einsum("blhn,khn->blhk", q_nope, w_kv_b[..., :nope])
     sparse_q = jnp.concatenate([q_abs, q_rope], axis=-1)  # [B, L, H, kvl+rope]
-    kv = jnp.concatenate([c_kv, k_rope], axis=-1)  # [B, L, kvl+rope]
+    kv = jnp.concatenate([c_kv, k_rope], axis=-1)         # [B, L, kvl+rope]
+    return q_lat, sparse_q, kv, w_kv_b
+
+
+def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
+                  ll=None, lora_scale: float = 1.0):
+    """Pre-norm MLA attention block with residual (absorbed compute).
+
+    h: [B, L, D]; per-token positions restart per packed segment, and the
+    DSA indexer's [ks, ke) varlen bounds derive from them exactly as the
+    reference does (modeling_glm_moe_dsa.py ks/ke from position_ids).
+
+    ``ll``: per-layer LoRA dict — targets q_b (or q), kv_a, kv_b, o. The
+    kv_b delta is folded into the absorbed weight before the einsum split
+    (W + scale·A·B absorbs identically to W)."""
+    from prime_rl_tpu.models.lora import apply_lora_proj as _p
+
+    B, L, D = h.shape
+    H, qk = spec.num_heads, _qk_head_dim(spec)
+    nope, rope_d, kvl, vh = (spec.qk_nope_head_dim, spec.qk_rope_head_dim,
+                             spec.kv_lora_rank, spec.v_head_dim)
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+
+    q_lat, sparse_q, kv, w_kv_b = mla_absorbed_qkv(
+        x, lp, spec, position_ids, inv_freq, ll=ll, lora_scale=lora_scale)
     scale = qk ** -0.5
 
     if spec.index_topk:

@@ -57,6 +57,15 @@ class KVPool:
     def __init__(self, spec: ModelSpec, config: CacheConfig, dtype=jnp.bfloat16):
         self.spec = spec
         self.config = config
+        if spec.kv_lora_rank > 0:
+            # MLA: the cache row is the LATENT kv (kvl + rope floats per
+            # token, shared by all heads) — the compressed-cache property
+            # that motivates MLA. No V pool (the latent is both).
+            shape = (1, config.num_pages, config.page_size,
+                     spec.kv_lora_rank + spec.qk_rope_head_dim)
+            self.k = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
+            self.v = [None] * spec.num_layers
+            return
         shape = (
             spec.num_kv_heads,
             config.num_pages,
@@ -68,8 +77,8 @@ class KVPool:
         self.v = [jnp.zeros(shape, dtype) if kd in ("A", "*") else None for kd in kinds]
 
     def hbm_bytes(self) -> int:
-        per = next((b.size * b.dtype.itemsize for b in self.k if b is not None), 0)
-        return 2 * per * sum(1 for b in self.k if b is not None)
+        return sum(b.size * b.dtype.itemsize
+                   for pool in (self.k, self.v) for b in pool if b is not None)
 
 
 def layer_kinds(spec: ModelSpec) -> list[str]:

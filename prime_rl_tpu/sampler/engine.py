@@ -166,7 +166,12 @@ class Engine:
         # pages for their linear-attention layers; prefix caching / chunked
         # prefill / P/D operate on pages only, so they are disabled (vLLM
         # restricts hybrid models the same way)
-        self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
+        # "hybrid" gating also covers MLA latent caches: their pages hold
+        # latent rows and the chunked-prefill / P/D paths are KV-shaped, so
+        # those (and prefix reuse, which routes through chunked prefill) are
+        # disabled until an MLA chunk path exists
+        self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern
+                              or spec.kv_lora_rank > 0)
         from prime_rl_tpu.sampler.cache import layer_kinds
 
         if not any(kd in ("A", "*") for kd in layer_kinds(spec)):

@@ -404,6 +404,58 @@ def _tokenwise_block(h, lp, spec: ModelSpec, collect_routing: bool = False):
     return h + out, (routing.expert_ids if collect_routing else None)
 
 
+def _mla_prefill_block(h, lp, spec: ModelSpec, seg, positions, inv_freq,
+                       compute_dtype):
+    """MLA serving prefill over one padded sequence [1, L, D]: the training
+    attention block verbatim (DSA indexer included, so sparse selection is
+    exact), plus the latent kv rows to page into the cache."""
+    from prime_rl_tpu.models.mla_moe import mla_absorbed_qkv, mla_attention
+
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    _, _, latent, _ = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
+    h = mla_attention(h, lp, spec, seg, positions, inv_freq)
+    return h, latent  # [1, L, kvl+rope]
+
+
+def _mla_decode_block(h, lp, spec: ModelSpec, k_l, lengths, page_table,
+                      positions, inv_freq, flat_idx, compute_dtype):
+    """MLA decode step for all S slots against the latent cache.
+
+    Dense attention over the slot's history — EXACT for deepseek_v3, and
+    exact for DSA models while history <= index_topk (the sparse top-k then
+    selects every valid token); beyond that it is the dense relaxation of
+    DSA's selection (the decode-side fp8 indexer cache is not kept).
+    h: [S, 1, D]; k_l [1, NP, PS, kvl+rope]."""
+    from prime_rl_tpu.models.mla_moe import _qk_head_dim, mla_absorbed_qkv
+
+    s = h.shape[0]
+    kvl, vh = spec.kv_lora_rank, spec.v_head_dim
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    _, q_abs, latent_t, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
+    q_abs = q_abs[:, 0]          # [S, H, kvl+rope]
+    latent_t = latent_t[:, 0]    # [S, kvl+rope]
+    k_l = _write_tokens(k_l, latent_t[None].astype(k_l.dtype), flat_idx)
+    np_, ps = k_l.shape[1], k_l.shape[2]
+    flat = k_l[0].reshape(np_ * ps, -1)
+    idx = (page_table[:, :, None] * ps +
+           jnp.arange(ps, dtype=jnp.int32)[None, None, :]).reshape(s, -1)
+    hist = jnp.take(flat, idx, axis=0)  # [S, T, kvl+rope]
+    scale = _qk_head_dim(spec) ** -0.5
+    sc = jnp.einsum("shd,std->sht", q_abs.astype(jnp.bfloat16),
+                    hist.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) * scale
+    pos_k = jnp.arange(idx.shape[1], dtype=jnp.int32)
+    mask = (pos_k[None, :] < lengths[:, None])[:, None, :]
+    sc = jnp.where(mask, sc, -1e30)
+    p = jax.nn.softmax(sc, axis=-1)
+    out_lat = jnp.einsum("sht,std->shd", p.astype(hist.dtype), hist[..., :kvl],
+                         preferred_element_type=jnp.float32)  # [S, H, kvl]
+    v_out = jnp.einsum("shk,khv->shv", out_lat.astype(compute_dtype),
+                       w_kv_b[..., spec.qk_nope_head_dim:])
+    h = h + _mm(v_out.reshape(s, 1, spec.num_heads * vh), lp["o"])
+    return h, k_l
+
+
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
     """Training layout (stacked [NL, ...] layers) -> serving layout (a list of
     per-layer dicts). The serving forward unrolls the layer loop in Python so
@@ -559,6 +611,16 @@ def prefill(
             v_w = v[0].transpose(1, 0, 2).reshape(spec.num_kv_heads, n_pages, page_size, spec.head_dim)
             k_out.append(_write_pages(k_l, k_w.astype(k_l.dtype), pages))
             v_out.append(_write_pages(v_l, v_w.astype(v_l.dtype), pages))
+            continue
+        if spec.kv_lora_rank > 0:
+            # MLA: training attention block + latent rows into the cache
+            mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
+            h, latent = _mla_prefill_block(h, lp, spec, segment_ids, positions,
+                                           mla_freqs, compute_dtype)
+            h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+            lat_w = latent[0].reshape(1, n_pages, page_size, -1)
+            k_out.append(_write_pages(k_l, lat_w.astype(k_l.dtype), pages))
+            v_out.append(v_l)
             continue
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
@@ -849,6 +911,20 @@ def decode(
             continue
         rc_out.append(rc_l)
         rs_out.append(rs_l)
+        if spec.kv_lora_rank > 0:
+            mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
+            h, k_l = _mla_decode_block(h, lp, spec, k_l, attn_lengths, page_table,
+                                       positions, mla_freqs, flat_idx, compute_dtype)
+            mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
+                           adapter_idx, collect_routing=collect_routing)
+            if collect_routing:
+                mlp_out, ids = mlp_out
+                if ids is not None:
+                    routed.append(ids)
+            h = h + mlp_out
+            k_out.append(k_l)
+            v_out.append(v_l)
+            continue
         if kind in ("-", "E"):
             h, ids = _tokenwise_block(h, lp, spec, collect_routing=collect_routing)
             if collect_routing and ids is not None:

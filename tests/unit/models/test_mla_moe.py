@@ -189,3 +189,42 @@ def test_indexer_gets_no_gradient_but_attention_does():
     assert float(jnp.abs(g["layers"]["kv_a"]).sum()) > 0
     assert float(jnp.abs(g["layers"]["q_b"]).sum()) > 0
     assert float(jnp.abs(g["layers"]["expert_down"]).sum()) > 0
+
+
+def _engine_greedy_check(spec, params, n_gen=6):
+    from prime_rl_tpu.models.mla_moe import get_lm_head
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    cache_cfg = CacheConfig(num_pages=32, page_size=16, max_slots=2, max_seq_len=192)
+    engine = Engine(params, spec, cache_cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompt = [int(x) for x in rng.integers(1, 200, 17)]
+    ids = list(prompt)
+    want = []
+    for _ in range(n_gen):
+        arr = jnp.asarray([ids], jnp.int32)
+        h = run_forward(params, spec, arr)
+        tok = int(jnp.argmax(h[0, -1] @ get_lm_head(params, spec)))
+        want.append(tok)
+        ids.append(tok)
+    got = engine.generate([prompt], SamplingParams(max_tokens=n_gen, temperature=0.0,
+                                                   ignore_eos=True))[0]
+    assert got.token_ids == want
+
+
+def test_engine_greedy_matches_training_deepseek(params, spec):
+    """Dense MLA serving (latent-kv paged cache: prefill pages the latent
+    rows, decode attends the absorbed query against them) reproduces the
+    training forward token-for-token."""
+    big = jax.tree.map(lambda x: x * 1.5, params)
+    _engine_greedy_check(spec, big)
+
+
+def test_engine_greedy_matches_training_dsa():
+    """DSA serving: prefill runs the REAL sparse indexer path; decode is the
+    dense relaxation, exact while history <= index_topk (here topk=64 >>
+    prompt+gen, so sparse selection == dense)."""
+    spec = dsa_spec(index_topk=64)
+    params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(3)))
+    _engine_greedy_check(spec, params)
