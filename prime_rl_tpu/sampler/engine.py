@@ -166,12 +166,14 @@ class Engine:
         # pages for their linear-attention layers; prefix caching / chunked
         # prefill / P/D operate on pages only, so they are disabled (vLLM
         # restricts hybrid models the same way)
-        # "hybrid" gating also covers MLA latent caches: their pages hold
-        # latent rows and the chunked-prefill / P/D paths are KV-shaped, so
-        # those (and prefix reuse, which routes through chunked prefill) are
-        # disabled until an MLA chunk path exists
+        # "hybrid" gating (no prefix reuse / chunked prefill / P/D) covers
+        # recurrent-state models and DSA: its sparse selection has no chunked
+        # serving form (dense-MLA chunking IS exact, so deepseek-class models
+        # keep prefix caching + chunked prefill over their latent pages)
         self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern
-                              or spec.kv_lora_rank > 0)
+                              or spec.index_topk > 0)
+        # MLA latent pages break the KV-shaped side paths either way
+        self._no_kv_sidepaths = self.is_hybrid or spec.kv_lora_rank > 0
         from prime_rl_tpu.sampler.cache import layer_kinds
 
         if not any(kd in ("A", "*") for kd in layer_kinds(spec)):
@@ -186,7 +188,7 @@ class Engine:
         # host-offload KV tier: hash -> (k [NL,NKV,1,PS,HD], v) host arrays
         self._host_tier: "dict[int, tuple] | None" = None
         self._host_tier_bytes = 0
-        if self.config.host_cache_mb > 0 and prefix_ok:
+        if self.config.host_cache_mb > 0 and prefix_ok and spec.kv_lora_rank == 0:
             from collections import OrderedDict
 
             self._host_tier = OrderedDict()
@@ -665,6 +667,10 @@ class Engine:
                 self._reject(req, ValueError(
                     "hybrid model: P/D KV extraction/injection is unsupported"))
                 return True
+        elif self._no_kv_sidepaths and (sp.extract_kv or req.inject is not None):
+            self._reject(req, ValueError(
+                "MLA latent cache: P/D KV extraction/injection is unsupported"))
+            return True
         hashes: list[int] = []
         # mm requests skip prefix reuse: identical image-pad token runs would
         # false-share pages across DIFFERENT images (the hash sees only ids)

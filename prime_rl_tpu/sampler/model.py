@@ -728,6 +728,37 @@ def prefill_chunk(
     k_out, v_out = [], []
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
+        if spec.kv_lora_rank > 0:
+            # dense MLA chunk: latent rows paged, absorbed query attends the
+            # full latent history (exact — same math as the training block;
+            # DSA specs never reach here, the engine gates them)
+            from prime_rl_tpu.models.mla_moe import _qk_head_dim, mla_absorbed_qkv
+
+            mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
+            x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+            _, q_abs, latent, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, mla_freqs)
+            lat_w = latent[0].reshape(1, n_pages, page_size, -1)
+            k_l = _write_pages(k_l, lat_w.astype(k_l.dtype), pages_chunk)
+            flat = k_l[0]
+            p = page_row.shape[0]
+            hist = jnp.take(flat, page_row, axis=0).reshape(p * page_size, -1)
+            sc = jnp.einsum("chd,td->cht", q_abs[0].astype(jnp.bfloat16),
+                            hist.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * (_qk_head_dim(spec) ** -0.5)
+            pos_k = jnp.arange(p * page_size)[None, :]
+            mask = (pos_k <= q_pos[:, None]) & (pos_k < valid_hi)
+            sc = jnp.where(mask[:, None, :], sc, -1e30)
+            probs = jax.nn.softmax(sc, axis=-1)
+            out_lat = jnp.einsum("cht,td->chd", probs.astype(hist.dtype),
+                                 hist[:, :spec.kv_lora_rank],
+                                 preferred_element_type=jnp.float32)
+            v_out_ = jnp.einsum("chk,khv->chv", out_lat.astype(compute_dtype),
+                                w_kv_b[..., spec.qk_nope_head_dim:])
+            h = h + _mm(v_out_.reshape(1, c, spec.num_heads * spec.v_head_dim), lp["o"])
+            h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            continue
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)

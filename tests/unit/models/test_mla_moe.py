@@ -228,3 +228,25 @@ def test_engine_greedy_matches_training_dsa():
     spec = dsa_spec(index_topk=64)
     params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(3)))
     _engine_greedy_check(spec, params)
+
+
+def test_mla_prefix_cache_reuse_exact(params, spec):
+    """Dense MLA keeps prefix caching: a second request sharing the prompt
+    routes through the latent-page chunk path (cached prefix never
+    recomputed) and must produce the identical greedy continuation."""
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    big = jax.tree.map(lambda x: x * 1.5, params)
+    cache_cfg = CacheConfig(num_pages=64, page_size=16, max_slots=2,
+                            max_seq_len=192, enable_prefix_cache=True,
+                            prefill_chunk=32)
+    engine = Engine(big, spec, cache_cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    prompt = [int(x) for x in rng.integers(1, 200, 41)]
+    sp = SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
+    first = engine.generate([prompt], sp)[0]
+    assert engine.stats["prefill_tokens_cached"] == 0
+    second = engine.generate([prompt], sp)[0]
+    assert engine.stats["prefill_tokens_cached"] > 0, "no prefix reuse"
+    assert second.token_ids == first.token_ids
