@@ -165,6 +165,26 @@ def mla_absorbed_qkv(x, lp, spec: ModelSpec, position_ids, inv_freq,
     return q_lat, sparse_q, kv, w_kv_b
 
 
+def mla_indexer_qk(x, lp, spec: ModelSpec, position_ids, inv_freq, q_lat):
+    """DSA indexer projections (reference Indexer.compute_sparse_indices
+    layout: rope tail at the FRONT of the index head). Returns
+    (q_idx [B,L,hi,di], w_idx [B,L,hi], k_idx [B,L,di]) — k_idx is what the
+    serving engine pages (the exact sparse selection at decode time)."""
+    from prime_rl_tpu.ops.layers import layer_norm
+
+    B, L, _ = x.shape
+    hi, di = spec.index_n_heads, spec.index_head_dim
+    rope_d = spec.qk_rope_head_dim
+    q_idx = (q_lat @ lp["idx_wq_b"]).reshape(B, L, hi, di)
+    k_idx = layer_norm(x @ lp["idx_wk"], lp["idx_k_norm_w"], lp["idx_k_norm_b"])
+    w_idx = x @ lp["idx_w_proj"]  # [B, L, hi]
+    q_pe = _rope(q_idx[..., :rope_d], position_ids, inv_freq, spec.rope_interleave)
+    k_pe = _rope(k_idx[..., :rope_d], position_ids, inv_freq, spec.rope_interleave)
+    q_idx = jnp.concatenate([q_pe, q_idx[..., rope_d:]], axis=-1)
+    k_idx = jnp.concatenate([k_pe, k_idx[..., rope_d:]], axis=-1)
+    return q_idx, w_idx, k_idx
+
+
 def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
                   ll=None, lora_scale: float = 1.0):
     """Pre-norm MLA attention block with residual (absorbed compute).
@@ -189,18 +209,8 @@ def mla_attention(h, lp, spec: ModelSpec, segment_ids, position_ids, inv_freq,
     scale = qk ** -0.5
 
     if spec.index_topk:
-        # indexer (gradient-free): rope tail at the FRONT of the index head
-        # (reference Indexer.compute_sparse_indices layout)
-        hi, di = spec.index_n_heads, spec.index_head_dim
-        from prime_rl_tpu.ops.layers import layer_norm
-
-        q_idx = (q_lat @ lp["idx_wq_b"]).reshape(B, L, hi, di)
-        k_idx = layer_norm(x @ lp["idx_wk"], lp["idx_k_norm_w"], lp["idx_k_norm_b"])
-        w_idx = x @ lp["idx_w_proj"]  # [B, L, hi]
-        q_pe = _rope(q_idx[..., :rope_d], position_ids, inv_freq, spec.rope_interleave)
-        k_pe = _rope(k_idx[..., :rope_d], position_ids, inv_freq, spec.rope_interleave)
-        q_idx = jnp.concatenate([q_pe, q_idx[..., rope_d:]], axis=-1)
-        k_idx = jnp.concatenate([k_pe, k_idx[..., rope_d:]], axis=-1)
+        q_idx, w_idx, k_idx = mla_indexer_qk(x, lp, spec, position_ids,
+                                             inv_freq, q_lat)
         tok = jnp.arange(L, dtype=jnp.int32)[None, :]
         ks = tok - position_ids.astype(jnp.int32)
         ke = tok + 1

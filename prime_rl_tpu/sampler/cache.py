@@ -60,11 +60,17 @@ class KVPool:
         if spec.kv_lora_rank > 0:
             # MLA: the cache row is the LATENT kv (kvl + rope floats per
             # token, shared by all heads) — the compressed-cache property
-            # that motivates MLA. No V pool (the latent is both).
+            # that motivates MLA. The V pool is unused (the latent is both);
+            # DSA models repurpose it for the INDEXER KEYS so decode can run
+            # the exact sparse top-k selection (reference fp8_indexer role).
             shape = (1, config.num_pages, config.page_size,
                      spec.kv_lora_rank + spec.qk_rope_head_dim)
             self.k = [jnp.zeros(shape, dtype) for _ in range(spec.num_layers)]
-            self.v = [None] * spec.num_layers
+            if spec.index_topk > 0:
+                ishape = (1, config.num_pages, config.page_size, spec.index_head_dim)
+                self.v = [jnp.zeros(ishape, dtype) for _ in range(spec.num_layers)]
+            else:
+                self.v = [None] * spec.num_layers
             return
         shape = (
             spec.num_kv_heads,

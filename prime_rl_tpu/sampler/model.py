@@ -408,30 +408,43 @@ def _mla_prefill_block(h, lp, spec: ModelSpec, seg, positions, inv_freq,
                        compute_dtype):
     """MLA serving prefill over one padded sequence [1, L, D]: the training
     attention block verbatim (DSA indexer included, so sparse selection is
-    exact), plus the latent kv rows to page into the cache."""
-    from prime_rl_tpu.models.mla_moe import mla_absorbed_qkv, mla_attention
+    exact), plus the latent kv rows — and for DSA the indexer-key rows — to
+    page into the cache."""
+    from prime_rl_tpu.models.mla_moe import (
+        mla_absorbed_qkv,
+        mla_attention,
+        mla_indexer_qk,
+    )
 
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-    _, _, latent, _ = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
+    q_lat, _, latent, _ = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
+    idx_rows = None
+    if spec.index_topk > 0:
+        _, _, idx_rows = mla_indexer_qk(x, lp, spec, positions, inv_freq, q_lat)
     h = mla_attention(h, lp, spec, seg, positions, inv_freq)
-    return h, latent  # [1, L, kvl+rope]
+    return h, latent, idx_rows  # [1, L, kvl+rope], [1, L, di]|None
 
 
-def _mla_decode_block(h, lp, spec: ModelSpec, k_l, lengths, page_table,
+def _mla_decode_block(h, lp, spec: ModelSpec, k_l, v_l, lengths, page_table,
                       positions, inv_freq, flat_idx, compute_dtype):
     """MLA decode step for all S slots against the latent cache.
 
-    Dense attention over the slot's history — EXACT for deepseek_v3, and
-    exact for DSA models while history <= index_topk (the sparse top-k then
-    selects every valid token); beyond that it is the dense relaxation of
-    DSA's selection (the decode-side fp8 indexer cache is not kept).
-    h: [S, 1, D]; k_l [1, NP, PS, kvl+rope]."""
-    from prime_rl_tpu.models.mla_moe import _qk_head_dim, mla_absorbed_qkv
+    deepseek_v3: dense attention over the slot's history (exact). DSA
+    (index_topk > 0): the EXACT sparse selection — indexer keys are paged in
+    the V pool, the new token's indexer query scores the history, and
+    attention is masked to the same lax.top_k selection the training
+    indexer computes (identical tie-breaking).
+    h: [S, 1, D]; k_l [1, NP, PS, kvl+rope]; v_l [1, NP, PS, di]|None."""
+    from prime_rl_tpu.models.mla_moe import (
+        _qk_head_dim,
+        mla_absorbed_qkv,
+        mla_indexer_qk,
+    )
 
     s = h.shape[0]
     kvl, vh = spec.kv_lora_rank, spec.v_head_dim
     x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-    _, q_abs, latent_t, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
+    q_lat, q_abs, latent_t, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, inv_freq)
     q_abs = q_abs[:, 0]          # [S, H, kvl+rope]
     latent_t = latent_t[:, 0]    # [S, kvl+rope]
     k_l = _write_tokens(k_l, latent_t[None].astype(k_l.dtype), flat_idx)
@@ -445,15 +458,36 @@ def _mla_decode_block(h, lp, spec: ModelSpec, k_l, lengths, page_table,
                     hist.astype(jnp.bfloat16),
                     preferred_element_type=jnp.float32) * scale
     pos_k = jnp.arange(idx.shape[1], dtype=jnp.int32)
-    mask = (pos_k[None, :] < lengths[:, None])[:, None, :]
-    sc = jnp.where(mask, sc, -1e30)
+    mask = (pos_k[None, :] < lengths[:, None])  # [S, T]
+
+    if spec.index_topk > 0 and v_l is not None:
+        q_idx, w_idx, k_idx_t = mla_indexer_qk(x, lp, spec, positions, inv_freq, q_lat)
+        v_l = _write_tokens(v_l, k_idx_t[:, 0][None].astype(v_l.dtype), flat_idx)
+        iflat = v_l[0].reshape(np_ * ps, -1)
+        ihist = jnp.take(iflat, idx, axis=0)  # [S, T, di]
+        logits = jnp.einsum(
+            "shd,std->sht", q_idx[:, 0].astype(jnp.bfloat16),
+            ihist.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        logits = jnp.sum(w_idx[:, 0, :, None].astype(jnp.float32)
+                         * jnp.maximum(logits, 0.0), axis=1)  # [S, T]
+        logits = jnp.where(mask, logits, -1e30)
+        # the same lax.top_k the training indexer runs — identical
+        # tie-breaking (relu-zeroed scores tie often, a threshold form
+        # over-selects them)
+        k_eff = min(spec.index_topk, logits.shape[1])
+        val, sel = jax.lax.top_k(logits, k_eff)
+        sel_mask = jnp.zeros(logits.shape, bool).at[
+            jnp.arange(s)[:, None], sel].set(val > -1e29)
+        mask = mask & sel_mask
+
+    sc = jnp.where(mask[:, None, :], sc, -1e30)
     p = jax.nn.softmax(sc, axis=-1)
     out_lat = jnp.einsum("sht,std->shd", p.astype(hist.dtype), hist[..., :kvl],
                          preferred_element_type=jnp.float32)  # [S, H, kvl]
     v_out = jnp.einsum("shk,khv->shv", out_lat.astype(compute_dtype),
                        w_kv_b[..., spec.qk_nope_head_dim:])
     h = h + _mm(v_out.reshape(s, 1, spec.num_heads * vh), lp["o"])
-    return h, k_l
+    return h, k_l, v_l
 
 
 def unstack_params(params: Params, spec: ModelSpec) -> Params:
@@ -614,12 +648,16 @@ def prefill(
             continue
         if spec.kv_lora_rank > 0:
             # MLA: training attention block + latent rows into the cache
+            # (DSA also pages the indexer keys into the V pool)
             mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
-            h, latent = _mla_prefill_block(h, lp, spec, segment_ids, positions,
-                                           mla_freqs, compute_dtype)
+            h, latent, idx_rows = _mla_prefill_block(
+                h, lp, spec, segment_ids, positions, mla_freqs, compute_dtype)
             h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
             lat_w = latent[0].reshape(1, n_pages, page_size, -1)
             k_out.append(_write_pages(k_l, lat_w.astype(k_l.dtype), pages))
+            if idx_rows is not None:
+                idx_w = idx_rows[0].reshape(1, n_pages, page_size, -1)
+                v_l = _write_pages(v_l, idx_w.astype(v_l.dtype), pages)
             v_out.append(v_l)
             continue
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
@@ -944,8 +982,9 @@ def decode(
         rs_out.append(rs_l)
         if spec.kv_lora_rank > 0:
             mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
-            h, k_l = _mla_decode_block(h, lp, spec, k_l, attn_lengths, page_table,
-                                       positions, mla_freqs, flat_idx, compute_dtype)
+            h, k_l, v_l = _mla_decode_block(h, lp, spec, k_l, v_l, attn_lengths,
+                                            page_table, positions, mla_freqs,
+                                            flat_idx, compute_dtype)
             mlp_out = _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
                            adapter_idx, collect_routing=collect_routing)
             if collect_routing:

@@ -250,3 +250,12 @@ def test_mla_prefix_cache_reuse_exact(params, spec):
     second = engine.generate([prompt], sp)[0]
     assert engine.stats["prefill_tokens_cached"] > 0, "no prefix reuse"
     assert second.token_ids == first.token_ids
+
+
+def test_engine_greedy_matches_training_dsa_sparse_decode():
+    """index_topk SMALLER than the history: decode must run the exact sparse
+    selection via the paged indexer keys (threshold form of the training
+    top-k), still matching the training-forward rollout token-for-token."""
+    spec = dsa_spec(index_topk=8)
+    params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(5)))
+    _engine_greedy_check(spec, params)
