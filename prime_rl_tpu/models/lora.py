@@ -101,10 +101,14 @@ def lora_param_pspec(path: str) -> P:
     raise KeyError(path)
 
 
-def apply_lora_proj(x: jax.Array, w: jax.Array, lora_layer: dict | None,
+def apply_lora_proj(x: jax.Array, w, lora_layer: dict | None,
                     name: str, scale: float) -> jax.Array:
-    """y = x·W (+ scale · (x·A)·B). Adapter math runs in the compute dtype."""
-    y = jnp.dot(x, w)
+    """y = x·W (+ scale · (x·A)·B). Adapter math runs in the compute dtype.
+    ``w`` may be an int8 weight-only record {"q8", "scale"} (serving)."""
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q8"].astype(x.dtype)) * w["scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, w)
     if lora_layer is not None and f"{name}_a" in lora_layer:
         a = lora_layer[f"{name}_a"].astype(x.dtype)
         b = lora_layer[f"{name}_b"].astype(x.dtype)

@@ -144,7 +144,16 @@ def _cast_layer(lp: dict, dtype) -> dict:
     }
 
 
-_QUANT_TARGETS = ("q", "k", "v", "o", "gate", "up", "down")
+_QUANT_TARGETS = (
+    "q", "k", "v", "o", "gate", "up", "down",
+    # MLA latent projections (kv_b stays raw: the absorbed-attention einsum
+    # reshapes it per head)
+    "q_a", "q_b", "kv_a",
+    # GDN / Mamba mixer projections
+    "in_q", "in_k", "in_v", "in_z", "in_proj", "out_proj",
+    # attention-output gates / shared experts
+    "attn_gate", "shared_gate", "shared_up", "shared_down",
+)
 
 
 def quantize_params(params: Params, spec: ModelSpec) -> Params:

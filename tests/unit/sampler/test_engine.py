@@ -296,3 +296,28 @@ def test_kv_host_offload_tier():
     r1b = engine.generate([p1], [sp])[0]  # device miss -> host restore
     assert engine.stats.get("kv_pages_restored", 0) > 0
     assert r1b.token_ids == r1a.token_ids
+
+
+def test_int8_quantized_serving_hybrid_and_mla():
+    """int8 weight-only serving must run (not match exactly) on the hybrid
+    and MLA families: dict-aware matmuls cover the mixer/latent projections."""
+    import numpy as np
+
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    for name in ("debug_qwen3_next",):
+        spec = get_spec(name)
+        fam = get_family(spec)
+        params = fam.init(spec, jax.random.PRNGKey(0))
+        engine = Engine(params, spec,
+                        CacheConfig(num_pages=32, page_size=16, max_slots=2,
+                                    max_seq_len=128),
+                        compute_dtype=jnp.float32, quantize="int8")
+        rng = np.random.default_rng(3)
+        out = engine.generate([[int(x) for x in rng.integers(1, 200, 9)]],
+                              SamplingParams(max_tokens=4, temperature=0.0,
+                                             ignore_eos=True))[0]
+        assert len(out.token_ids) == 4
