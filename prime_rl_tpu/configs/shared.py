@@ -135,6 +135,11 @@ class ModelConfig(BaseConfig):
     # lever; ~= torch FSDP bf16 reduce numerics). f32 masters still drive
     # the optimizer update.
     grad_accum_dtype: Literal["float32", "bfloat16"] = "float32"
+    # GatedDeltaNet chunked-scan matmul precision (ops/gated_delta.py):
+    # "bfloat16" runs the delta-rule dots at full MXU rate with f32
+    # accumulation; "highest" is exact-parity mode
+    gdn_mxu_precision: Literal["highest", "bfloat16"] = "highest"
+
     # Context parallel style (reference: docs/scaling.md:106-118)
     cp_style: Literal["ulysses", "ring"] = "ulysses"
     # Chunk size for the vocab-chunked fused logprob/entropy LM head

@@ -34,6 +34,11 @@ import jax.numpy as jnp
 
 NEG = -1e9
 
+# process-wide default for the chunked kernel's matmul precision; set from
+# ModelConfig.gdn_mxu_precision by the trainer/engine entrypoints ("bfloat16"
+# = full-rate MXU dots with f32 accumulation)
+MXU_PRECISION = "highest"
+
 
 def _l2norm(x: jax.Array, eps: float = 1e-6) -> jax.Array:
     # fla l2norm: x / sqrt(sum x^2 + eps) (matches HF torch_chunk path)
@@ -64,8 +69,31 @@ def chunk_gated_delta_rule(
     segment_ids: jax.Array | None = None,  # [B, S]; 0 = pad
     initial_state: jax.Array | None = None,  # [B, H, Dk, Dv]
     l2norm_qk: bool = True,
+    mxu_precision: str | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (out [B, S, H, Dv] in q.dtype, final_state [B, H, Dk, Dv] f32)."""
+    """Returns (out [B, S, H, Dv] in q.dtype, final_state [B, H, Dk, Dv] f32).
+
+    ``mxu_precision="bfloat16"`` runs every matmul with bf16 operands and
+    f32 accumulation (full-rate MXU on TPU; f32 dots are ~8x slower) — state
+    math and exponentials stay f32. "highest" is the parity-test default.
+    """
+    if mxu_precision is None:
+        mxu_precision = MXU_PRECISION
+    if mxu_precision != "highest":
+        with jax.default_matmul_precision(mxu_precision):
+            return _chunk_gdr_impl(q, k, v, g, beta, chunk_size=chunk_size,
+                                   segment_ids=segment_ids,
+                                   initial_state=initial_state,
+                                   l2norm_qk=l2norm_qk)
+    return _chunk_gdr_impl(q, k, v, g, beta, chunk_size=chunk_size,
+                           segment_ids=segment_ids, initial_state=initial_state,
+                           l2norm_qk=l2norm_qk)
+
+
+def _chunk_gdr_impl(
+    q, k, v, g, beta, *, chunk_size=64, segment_ids=None, initial_state=None,
+    l2norm_qk=True,
+):
     b, s, h, dk = q.shape
     dv = v.shape[-1]
     out_dtype = v.dtype

@@ -45,6 +45,10 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     logger = get_logger()
     mesh_info = build_mesh(config.mesh)
     spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
+    if config.model.gdn_mxu_precision != "highest":
+        from prime_rl_tpu.ops import gated_delta
+
+        gated_delta.MXU_PRECISION = config.model.gdn_mxu_precision
     logger.info(
         f"RL trainer: model={config.model.name} mesh={mesh_info.sizes} "
         f"params≈{spec.num_params()/1e6:.0f}M seq_len={config.batch.seq_len}"

@@ -107,3 +107,18 @@ def test_packed_segments_match_separate():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_packed[:, s1:]), run(s1, s1 + s2),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_mxu_precision_close_to_f32():
+    """mxu_precision="bfloat16" (full-rate MXU dots, f32 accumulation) stays
+    within bf16-roundoff tolerance of the highest-precision path."""
+    b, s, h, dk, dv = 2, 96, 3, 32, 32
+    q, k, v, g, beta = _case(6, b, s, h, dk, dv)
+    hi, _ = chunk_gated_delta_rule(
+        *(jnp.asarray(x) for x in (q, k, v, g, beta)), chunk_size=32)
+    lo, _ = chunk_gated_delta_rule(
+        *(jnp.asarray(x) for x in (q, k, v, g, beta)), chunk_size=32,
+        mxu_precision="bfloat16")
+    err = np.max(np.abs(np.asarray(hi) - np.asarray(lo)))
+    scale = np.max(np.abs(np.asarray(hi))) + 1e-6
+    assert err / scale < 0.05, (err, scale)
