@@ -167,11 +167,11 @@ class Engine:
         # prefill / P/D operate on pages only, so they are disabled (vLLM
         # restricts hybrid models the same way)
         # "hybrid" gating (no prefix reuse / chunked prefill / P/D) covers
-        # recurrent-state models and DSA: its sparse selection has no chunked
-        # serving form (dense-MLA chunking IS exact, so deepseek-class models
-        # keep prefix caching + chunked prefill over their latent pages)
-        self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern
-                              or spec.index_topk > 0)
+        # recurrent-state models only: MLA chunking over latent pages is
+        # exact — DSA included (its indexer keys page alongside and each
+        # chunk query re-runs the top-k selection), so deepseek/GLM-DSA keep
+        # prefix caching + chunked prefill
+        self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
         # MLA latent pages break the KV-shaped side paths either way
         self._no_kv_sidepaths = self.is_hybrid or spec.kv_lora_rank > 0
         from prime_rl_tpu.sampler.cache import layer_kinds

@@ -776,14 +776,20 @@ def prefill_chunk(
     for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
         lp = _cast_layer(lp, compute_dtype)
         if spec.kv_lora_rank > 0:
-            # dense MLA chunk: latent rows paged, absorbed query attends the
-            # full latent history (exact — same math as the training block;
-            # DSA specs never reach here, the engine gates them)
-            from prime_rl_tpu.models.mla_moe import _qk_head_dim, mla_absorbed_qkv
+            # MLA chunk: latent rows paged, absorbed query attends the full
+            # latent history (exact — same math as the training block). DSA
+            # additionally pages the indexer keys and masks each chunk query
+            # to its own lax.top_k selection over the history (exact sparse
+            # chunked prefill — prefix caching therefore stays on for DSA).
+            from prime_rl_tpu.models.mla_moe import (
+                _qk_head_dim,
+                mla_absorbed_qkv,
+                mla_indexer_qk,
+            )
 
             mla_freqs = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
             x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-            _, q_abs, latent, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, mla_freqs)
+            q_lat, q_abs, latent, w_kv_b = mla_absorbed_qkv(x, lp, spec, positions, mla_freqs)
             lat_w = latent[0].reshape(1, n_pages, page_size, -1)
             k_l = _write_pages(k_l, lat_w.astype(k_l.dtype), pages_chunk)
             flat = k_l[0]
@@ -794,6 +800,23 @@ def prefill_chunk(
                             preferred_element_type=jnp.float32) * (_qk_head_dim(spec) ** -0.5)
             pos_k = jnp.arange(p * page_size)[None, :]
             mask = (pos_k <= q_pos[:, None]) & (pos_k < valid_hi)
+            if spec.index_topk > 0 and v_l is not None:
+                q_idx, w_idx, k_idx = mla_indexer_qk(x, lp, spec, positions,
+                                                     mla_freqs, q_lat)
+                idx_w = k_idx[0].reshape(1, n_pages, page_size, -1)
+                v_l = _write_pages(v_l, idx_w.astype(v_l.dtype), pages_chunk)
+                ihist = jnp.take(v_l[0], page_row, axis=0).reshape(p * page_size, -1)
+                lg = jnp.einsum("chd,td->cht", q_idx[0].astype(jnp.bfloat16),
+                                ihist.astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+                lg = jnp.sum(w_idx[0][:, :, None].astype(jnp.float32)
+                             * jnp.maximum(lg, 0.0), axis=1)  # [C, T]
+                lg = jnp.where(mask, lg, -1e30)
+                k_eff = min(spec.index_topk, lg.shape[1])
+                val, sel = jax.lax.top_k(lg, k_eff)
+                sel_mask = jnp.zeros(lg.shape, bool).at[
+                    jnp.arange(lg.shape[0])[:, None], sel].set(val > -1e29)
+                mask = mask & sel_mask
             sc = jnp.where(mask[:, None, :], sc, -1e30)
             probs = jax.nn.softmax(sc, axis=-1)
             out_lat = jnp.einsum("cht,td->chd", probs.astype(hist.dtype),

@@ -259,3 +259,25 @@ def test_engine_greedy_matches_training_dsa_sparse_decode():
     spec = dsa_spec(index_topk=8)
     params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(5)))
     _engine_greedy_check(spec, params)
+
+
+def test_dsa_prefix_cache_reuse_exact():
+    """DSA keeps prefix caching: the second request's chunked continuation
+    re-runs the exact top-k selection against the cached latent + indexer
+    pages and must produce the identical greedy continuation."""
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine, SamplingParams
+
+    spec = dsa_spec(index_topk=8)
+    params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(7)))
+    cache_cfg = CacheConfig(num_pages=64, page_size=16, max_slots=2,
+                            max_seq_len=192, enable_prefix_cache=True,
+                            prefill_chunk=32)
+    engine = Engine(params, spec, cache_cfg, compute_dtype=jnp.float32)
+    rng = np.random.default_rng(17)
+    prompt = [int(x) for x in rng.integers(1, 200, 39)]
+    sp = SamplingParams(max_tokens=5, temperature=0.0, ignore_eos=True)
+    first = engine.generate([prompt], sp)[0]
+    second = engine.generate([prompt], sp)[0]
+    assert engine.stats["prefill_tokens_cached"] > 0, "no prefix reuse"
+    assert second.token_ids == first.token_ids
