@@ -70,10 +70,13 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
 
 
 def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
-    """Routed experts + shared experts, post-attention. Returns (h, aux)."""
+    """Routed experts + shared experts, post-attention. Returns (h, aux).
+    A reserved ``_forced`` entry ([B*L, K] int32, -1 = own routing) replays
+    the sampler's expert selection (router-replay; reference
+    routed_experts forward contract)."""
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
-                else v)
+                and not k.startswith("_") else v)
             for k, v in lp.items()}
     x = rms_norm(h, cast["mlp_norm"], spec.rms_eps)
     out, routing = moe_mlp(
@@ -85,6 +88,7 @@ def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
         correction_bias=lp.get("router_correction_bias"),
         n_group=spec.n_group, topk_group=spec.topk_group,
         routed_scaling=spec.routed_scaling_factor,
+        forced_experts=lp.get("_forced"),
     )
     out = out.reshape(b, l, d)
     if "shared_gate" in cast:
@@ -112,6 +116,7 @@ def forward(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     collect_aux: bool = False,
+    routed_experts: jax.Array | None = None,  # [B, L, NL_moe, K]; -1 = own
 ):
     inv_freq, rope_scaling = rope_setup(spec)
     # laguna: sliding layers run their own rope base (reference
@@ -133,7 +138,7 @@ def forward(
         # (expert LoRA: reference MultiLoRAGroupedExperts analogue not built)
         ll = lp.get("_lora")
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
-                for k, v in lp.items() if k != "_lora"}
+                for k, v in lp.items() if not k.startswith("_")}
         freqs = inv_freq_local if window else inv_freq
         return qwen3._attn_block(h, cast, spec, segment_ids, position_ids, freqs,
                                  attn_impl, block_q, block_kv, mesh, ll, lora_scale,
@@ -181,6 +186,14 @@ def forward(
                 _lora=jax.tree.map(lambda x: x[:k_dense], ll))
         params["layers"] = dict(params["layers"],
                                 _lora=jax.tree.map(lambda x: x[k_dense:], ll))
+    if routed_experts is not None:
+        # router replay: [B, L, NL_moe, K] -> scan-major [NL_moe, B*L, K],
+        # riding the layer pytree so the regroup/remainder machinery applies
+        b_, l_ = routed_experts.shape[:2]
+        forced = jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
+            routed_experts.shape[2], b_ * l_, spec.num_experts_per_tok)
+        params = dict(params)
+        params["layers"] = dict(params["layers"], _forced=forced)
     for i in range(k_dense):
         h = wrap(functools.partial(dense_block, window=win_list[i]))(
             h, jax.tree.map(lambda x: x[i], params["dense_layers"]))

@@ -256,6 +256,7 @@ def forward(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     collect_aux: bool = False,
+    routed_experts: jax.Array | None = None,  # [B, L, NL_moe, K]; -1 = own
 ):
     inv_freq = rope_frequencies(spec.qk_rope_head_dim, spec.rope_theta)
     embed = params["embed"].astype(compute_dtype)
@@ -273,11 +274,18 @@ def forward(
                 _lora=jax.tree.map(lambda x: x[:k_dense], ll_all))
         params["layers"] = dict(params["layers"],
                                 _lora=jax.tree.map(lambda x: x[k_dense:], ll_all))
+    if routed_experts is not None:
+        # router replay (see glm4_moe.forward): scan-major via the pytree
+        b_, l_ = routed_experts.shape[:2]
+        forced = jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
+            routed_experts.shape[2], b_ * l_, spec.num_experts_per_tok)
+        params = dict(params)
+        params["layers"] = dict(params["layers"], _forced=forced)
 
     def cast_lp(lp):
         return {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2
                     and "router" not in k else v)
-                for k, v in lp.items() if k != "_lora"}
+                for k, v in lp.items() if not k.startswith("_")}
 
     def attn(h, lp):
         return mla_attention(h, cast_lp(lp), spec, segment_ids, position_ids,

@@ -149,13 +149,15 @@ def gdn_mixer(h, lp, spec: ModelSpec, segment_ids, compute_dtype):
 
 
 def moe_block(h, lp, spec: ModelSpec):
-    """MoE MLP + sigmoid-gated shared expert (HF Qwen3NextSparseMoeBlock)."""
+    """MoE MLP + sigmoid-gated shared expert (HF Qwen3NextSparseMoeBlock).
+    ``_forced`` replays the sampler's routing (router replay)."""
     b, s, d = h.shape
     x = rms_norm(h, lp["mlp_norm"], spec.rms_eps)
     out, routing = moe_mlp(
         x.reshape(b * s, d), lp["router"],
         lp["expert_gate"], lp["expert_up"], lp["expert_down"],
         spec.num_experts_per_tok, spec.norm_topk_prob,
+        forced_experts=lp.get("_forced"),
     )
     out = out.reshape(b, s, d)
     shared = jnp.dot(swiglu(jnp.dot(x, lp["shared_gate"]), jnp.dot(x, lp["shared_up"])),
@@ -182,6 +184,7 @@ def forward(
     cp_style: str = "ulysses",
     collect_aux: bool = False,
     mm: dict | None = None,
+    routed_experts: jax.Array | None = None,  # [B, L, NL, K]; -1 = own
 ):
     """``mm``: VLM inputs (qwen3_next_vl — reference qwen3_5 pairs this
     hybrid trunk with the Qwen3-VL vision tower; same dict contract as
@@ -219,10 +222,26 @@ def forward(
         params["attn_layers"] = dict(
             params["attn_layers"],
             _lora=jax.tree.map(lambda x: x[attn_idx], lora["layers"]))
+    if routed_experts is not None:
+        # router replay: every layer runs the MoE MLP, so the wire carries
+        # NL rows; split them per type-stack by layer index
+        import numpy as _np
+
+        b_, l_ = routed_experts.shape[:2]
+        forced = jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
+            spec.num_layers, b_ * l_, spec.num_experts_per_tok)
+        params = dict(params)
+        for char, stack in (("L", "lin_layers"), ("A", "attn_layers")):
+            idx = _np.nonzero([c == char for c in pat])[0]
+            if len(idx) and stack in params:
+                params[stack] = dict(params[stack],
+                                     _forced=forced[jnp.asarray(idx)])
 
     def cast(lp):
+        # "_forced" (int replay ids) passes through uncast; "_lora" is
+        # extracted separately by attn_block
         return {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2
-                    and "router" not in k else v)
+                    and "router" not in k and not k.startswith("_") else v)
                 for k, v in lp.items() if k != "_lora"}
 
     def lin_block(carry, lp):

@@ -6,6 +6,7 @@ models/layers/moe.py router replay)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from prime_rl_tpu.models import qwen3_moe
 from prime_rl_tpu.models.base import get_spec
@@ -110,3 +111,34 @@ def test_batch_packs_routed_stream():
     assert (packed_all >= -1).all()
     # s1's recorded half survives somewhere in the batch
     assert (r >= 0).any()
+
+
+@pytest.mark.parametrize("name,nl_key", [
+    ("debug_laguna", "moe"),       # glm4-style split stacks (covers glm4/minimax/afmoe)
+    ("debug_qwen3_next", "all"),   # hybrid: every layer runs the MoE MLP
+])
+def test_replay_identity_on_moe_families(name, nl_key):
+    """-1 replay == no replay, and a forced routing changes the output —
+    for the glm4-style and hybrid family forwards (the engine records these
+    families' routing; the trainer must be able to replay it)."""
+    from prime_rl_tpu.models import get_family
+
+    spec = get_spec(name)
+    fam = get_family(spec)
+    params = fam.init(spec, jax.random.key(0))
+    rng = np.random.default_rng(2)
+    B, L = 1, 12
+    ids = jnp.asarray(rng.integers(3, 500, size=(B, L)), jnp.int32)
+    seg = jnp.ones((B, L), jnp.int32)
+    pos = jnp.tile(jnp.arange(L), (B, 1)).astype(jnp.int32)
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    nl = spec.num_layers if nl_key == "all" else spec.num_layers - spec.first_k_dense_replace
+
+    base = fam.forward(params, spec, ids, seg, pos, **kw)
+    neg = jnp.full((B, L, nl, spec.num_experts_per_tok), -1, jnp.int32)
+    same = fam.forward(params, spec, ids, seg, pos, routed_experts=neg, **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), rtol=1e-6)
+    forced = jnp.zeros((B, L, nl, spec.num_experts_per_tok), jnp.int32)
+    diff = fam.forward(params, spec, ids, seg, pos, routed_experts=forced, **kw)
+    assert not np.allclose(np.asarray(base), np.asarray(diff), atol=1e-4)
+    assert np.isfinite(np.asarray(diff)).all()
