@@ -70,6 +70,9 @@ def chunk_gated_delta_rule(
     initial_state: jax.Array | None = None,  # [B, H, Dk, Dv]
     l2norm_qk: bool = True,
     mxu_precision: str | None = None,
+    prev_seg_tail: jax.Array | None = None,  # [B] segment id just before pos 0
+    # (chunked serving prefill: the previous chunk's last token; None =
+    # sequence start — position 0 then RESETS and ignores initial_state)
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out [B, S, H, Dv] in q.dtype, final_state [B, H, Dk, Dv] f32).
 
@@ -84,15 +87,16 @@ def chunk_gated_delta_rule(
             return _chunk_gdr_impl(q, k, v, g, beta, chunk_size=chunk_size,
                                    segment_ids=segment_ids,
                                    initial_state=initial_state,
-                                   l2norm_qk=l2norm_qk)
+                                   l2norm_qk=l2norm_qk,
+                                   prev_seg_tail=prev_seg_tail)
     return _chunk_gdr_impl(q, k, v, g, beta, chunk_size=chunk_size,
                            segment_ids=segment_ids, initial_state=initial_state,
-                           l2norm_qk=l2norm_qk)
+                           l2norm_qk=l2norm_qk, prev_seg_tail=prev_seg_tail)
 
 
 def _chunk_gdr_impl(
     q, k, v, g, beta, *, chunk_size=64, segment_ids=None, initial_state=None,
-    l2norm_qk=True,
+    l2norm_qk=True, prev_seg_tail=None,
 ):
     b, s, h, dk = q.shape
     dv = v.shape[-1]
@@ -113,6 +117,8 @@ def _chunk_gdr_impl(
     reset = None
     if segment_ids is not None:
         prev = jnp.pad(segment_ids, ((0, 0), (1, 0)))[:, :s]
+        if prev_seg_tail is not None:
+            prev = prev.at[:, 0].set(prev_seg_tail)
         reset = (segment_ids != prev)  # first position of every segment
         # pad tokens neither decay nor write: g=0 keeps the carried state
         # exact through trailing pad (serving needs the state AT `length`)

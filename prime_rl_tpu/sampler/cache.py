@@ -41,6 +41,12 @@ class CacheConfig:
     # up to this budget; later prefix hits restore them into fresh device
     # pages instead of recomputing. 0 = off.
     host_cache_mb: int = 0
+    # hybrid (GDN/Mamba) prefix caching: host budget for recurrent-state
+    # checkpoints taken at the last full-page boundary of each prompt. A
+    # later prompt whose page chain reaches a checkpoint restores the state
+    # and skips prefilling the whole prefix (vLLM disables prefix caching
+    # for hybrid models entirely). 0 = hybrids serve without prefix reuse.
+    state_cache_mb: int = 256
 
     @property
     def pages_per_slot(self) -> int:
@@ -178,6 +184,17 @@ class PrefixCache:
             pages.append(e.page)
         return pages
 
+    def match_len(self, hashes: list[int]) -> int:
+        """Length of the longest cached chain WITHOUT taking refs (hybrid
+        admission peeks first to align the page match with a recurrent-state
+        checkpoint boundary)."""
+        n = 0
+        for h in hashes:
+            if h not in self.entries:
+                break
+            n += 1
+        return n
+
     def decref(self, h: int) -> None:
         e = self.entries.get(h)
         if e is not None:
@@ -288,15 +305,20 @@ class SlotTable:
         if short > 0 and self.cache is not None:
             self.alloc.free.extend(self.cache.evict(short, sink=self.evict_sink))
 
-    def acquire(self, num_tokens: int, prompt_hashes: list[int] | None = None
-                ) -> tuple[int, int] | None:
+    def acquire(self, num_tokens: int, prompt_hashes: list[int] | None = None,
+                max_shared: int | None = None) -> tuple[int, int] | None:
         """Slot + pages for ``num_tokens``, reusing the longest cached chain
         of ``prompt_hashes`` (full prompt pages, salt-chained). Returns
-        (slot, shared_page_count) or None if the pool can't fit it now."""
+        (slot, shared_page_count) or None if the pool can't fit it now.
+
+        ``max_shared`` caps the reused chain length (hybrid models: page
+        reuse beyond the recurrent-state checkpoint is useless AND unsafe —
+        the tail would be recomputed into shared pages)."""
         hashes = list(prompt_hashes or ())
         if not self.free_slots:
             return None
-        shared_pages = self.cache.lookup(hashes) if self.cache is not None else []
+        lookup_hashes = hashes if max_shared is None else hashes[:max_shared]
+        shared_pages = self.cache.lookup(lookup_hashes) if self.cache is not None else []
         n_shared = len(shared_pages)
         total_pages = -(-num_tokens // self.config.page_size)
         need = total_pages - n_shared
@@ -314,6 +336,14 @@ class SlotTable:
         self.lengths[slot] = num_tokens
         self._meta[slot] = _SlotMeta(hashes[:n_shared], hashes[n_shared:], self.epoch)
         return slot, n_shared
+
+    def cancel_donation(self, slot: int) -> None:
+        """Mark a slot's own pages as NOT cacheable (prefill failed or never
+        ran: the pages were never written — donating them would poison the
+        prefix cache with garbage KV)."""
+        meta = self._meta.get(slot)
+        if meta is not None:
+            meta.donate_hashes = []
 
     def release(self, slot: int) -> None:
         meta = self._meta.pop(slot, None)

@@ -162,15 +162,16 @@ class Engine:
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
-        # hybrid (GDN) models carry per-slot recurrent state instead of KV
-        # pages for their linear-attention layers; prefix caching / chunked
-        # prefill / P/D operate on pages only, so they are disabled (vLLM
-        # restricts hybrid models the same way)
-        # "hybrid" gating (no prefix reuse / chunked prefill / P/D) covers
-        # recurrent-state models only: MLA chunking over latent pages is
-        # exact — DSA included (its indexer keys page alongside and each
-        # chunk query re-runs the top-k selection), so deepseek/GLM-DSA keep
-        # prefix caching + chunked prefill
+        # hybrid (GDN/Mamba) models carry per-slot recurrent state for their
+        # linear-attention layers. Attention-layer KV still pages normally,
+        # so chunked prefill works (recurrent layers thread state between
+        # chunks) and prefix caching works too via host-side recurrent-state
+        # checkpoints at page boundaries (_state_tier) — vLLM disables both
+        # for hybrid models; here only P/D page extraction stays unsupported.
+        # MLA chunking over latent pages is exact — DSA included (its indexer
+        # keys page alongside and each chunk query re-runs the top-k
+        # selection), so deepseek/GLM-DSA keep prefix caching + chunked
+        # prefill as well.
         self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
         # MLA latent pages break the KV-shaped side paths either way
         self._no_kv_sidepaths = self.is_hybrid or spec.kv_lora_rank > 0
@@ -183,12 +184,22 @@ class Engine:
                 "at least one paged-KV layer to size pages)")
         rpool = RecurrentPool(spec, self.config, dtype=compute_dtype)
         self.r_conv, self.r_state = rpool.conv, rpool.state
-        prefix_ok = self.config.enable_prefix_cache and not self.is_hybrid
+        prefix_ok = self.config.enable_prefix_cache and (
+            not self.is_hybrid or self.config.state_cache_mb > 0)
         self.slots = SlotTable(self.config, enable_prefix_cache=prefix_ok)
+        # hybrid prefix cache: page-chain hash -> (boundary recurrent-state
+        # snapshot, host numpy per layer), LRU-bounded by state_cache_mb
+        self._state_tier = None
+        self._state_tier_bytes = 0
+        if self.is_hybrid and prefix_ok:
+            from collections import OrderedDict
+
+            self._state_tier = OrderedDict()
         # host-offload KV tier: hash -> (k [NL,NKV,1,PS,HD], v) host arrays
         self._host_tier: "dict[int, tuple] | None" = None
         self._host_tier_bytes = 0
-        if self.config.host_cache_mb > 0 and prefix_ok and spec.kv_lora_rank == 0:
+        if (self.config.host_cache_mb > 0 and prefix_ok
+                and spec.kv_lora_rank == 0 and not self.is_hybrid):
             from collections import OrderedDict
 
             self._host_tier = OrderedDict()
@@ -534,6 +545,9 @@ class Engine:
         if self._host_tier is not None:
             self._host_tier.clear()
             self._host_tier_bytes = 0
+        if self._state_tier is not None:
+            self._state_tier.clear()
+            self._state_tier_bytes = 0
         if version is not None:
             self.policy_version = version
 
@@ -654,22 +668,17 @@ class Engine:
         sp = req.params
         n = max(len(req.prompt), 1)
         ps = self.config.page_size
-        if self.is_hybrid:
-            # hybrid recurrent state is not page-structured: no chunked
-            # prefill continuation, no P/D page extraction/injection
-            if n > self.buckets[-1]:
-                self._reject(req, ValueError(
-                    f"hybrid model: prompt length {n} exceeds the largest "
-                    f"prefill bucket {self.buckets[-1]} (chunked prefill "
-                    "requires paged KV)"))
-                return True
-            if sp.extract_kv or req.inject is not None:
-                self._reject(req, ValueError(
-                    "hybrid model: P/D KV extraction/injection is unsupported"))
-                return True
-        elif self._no_kv_sidepaths and (sp.extract_kv or req.inject is not None):
+        if self._no_kv_sidepaths and (sp.extract_kv or req.inject is not None):
+            kind = "hybrid recurrent state" if self.is_hybrid else "MLA latent cache"
             self._reject(req, ValueError(
-                "MLA latent cache: P/D KV extraction/injection is unsupported"))
+                f"{kind}: P/D KV extraction/injection is unsupported"))
+            return True
+        if self.is_hybrid and n > self.buckets[-1] and (
+                self._state_tier is None or sp.prompt_logprobs or req.mm is not None):
+            self._reject(req, ValueError(
+                f"hybrid model: prompt length {n} exceeds the largest prefill "
+                f"bucket {self.buckets[-1]} and this request cannot use chunked "
+                "prefill (needs state_cache_mb > 0, no prompt_logprobs, no mm)"))
             return True
         hashes: list[int] = []
         # mm requests skip prefix reuse: identical image-pad token runs would
@@ -681,22 +690,51 @@ class Engine:
             n_shareable = ((n - 1) // ps) * ps
             salt = (sp.cache_salt, sp.adapter)
             hashes = hash_pages(req.prompt[:n_shareable], ps, salt=salt)
+        # hybrid: page reuse is only exact up to a recurrent-state checkpoint
+        # — cap the chain at the deepest boundary that has BOTH the page
+        # chain and a state snapshot
+        max_shared = None
+        snap = None
+        if self.is_hybrid:
+            max_shared = 0
+            if hashes and self._state_tier is not None:
+                m = self.slots.cache.match_len(hashes)
+                for j in range(m - 1, -1, -1):
+                    got_snap = self._state_tier.get(hashes[j])
+                    if got_snap is not None:
+                        self._state_tier.move_to_end(hashes[j])
+                        max_shared, snap = j + 1, got_snap
+                        break
         # pre-allocate pages for the whole request so the page table never
         # changes during decode (no mid-stream host->device table pushes)
-        got = self.slots.acquire(self._acquire_want(req, n), hashes)
+        got = self.slots.acquire(self._acquire_want(req, n), hashes,
+                                 max_shared=max_shared)
         if got is None:
             return False
         slot, n_shared = got
+        if self.is_hybrid and n_shared != (max_shared or 0):
+            # defensive (lookup increfs before any eviction, so the matched
+            # chain cannot shrink — but a mismatch here would recompute into
+            # shared pages): fall back to a fresh unshared admission
+            self.slots.cancel_donation(slot)
+            self.slots.release(slot)
+            got = self.slots.acquire(self._acquire_want(req, n))
+            if got is None:
+                return False
+            slot, n_shared = got
+            snap = None
         if hashes and self._host_tier is not None and n_shared < len(hashes):
             n_shared += self._restore_host_pages(hashes, n_shared, slot)
         self.stats["requests_admitted"] += 1
         self.stats["prefill_tokens_cached"] += n_shared * ps
         try:
-            self._admit(req, slot, n, n_shared)
+            self._admit(req, slot, n, n_shared, hashes=hashes, snap=snap)
         except Exception as e:
             # per-request isolation: a bad payload (e.g. a mismatched P/D
-            # inject blob) rejects THIS request; the engine loop survives
+            # inject blob) rejects THIS request; the engine loop survives.
+            # The slot's pages may never have been written — never donate.
             self.slots.lengths[slot] = 0
+            self.slots.cancel_donation(slot)
             self.slots.release(slot)
             self.active.pop(slot, None)
             self._reject(req, e)
@@ -727,7 +765,8 @@ class Engine:
 
     # -- internals ----------------------------------------------------------
 
-    def _admit(self, req: _Request, slot: int, n: int, n_shared: int = 0) -> None:
+    def _admit(self, req: _Request, slot: int, n: int, n_shared: int = 0,
+               hashes: list[int] | None = None, snap=None) -> None:
         sp = req.params
         ps = self.config.page_size
         shared_tokens = n_shared * ps
@@ -743,6 +782,11 @@ class Engine:
         temp = jnp.asarray([sp.temperature], jnp.float32)
         topk = jnp.asarray([sp.top_k], jnp.int32)
         topp = jnp.asarray([sp.top_p], jnp.float32)
+        if self.is_hybrid and (shared_tokens > 0 or n > self.buckets[-1]
+                               or (self._state_tier is not None and hashes)):
+            return self._admit_hybrid_chunked(
+                req, slot, n, n_shared, hashes or [], snap,
+                adapter_row, temp, topk, topp, key)
         plp = None
         pos_delta = 0
         if shared_tokens == 0 and n <= self.buckets[-1]:
@@ -816,6 +860,152 @@ class Engine:
             jnp.int32(slot), tok, jnp.int32(n),
             jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
             adapter_row, jnp.int32(pos_delta),
+        )
+        if sp.max_tokens <= 0:
+            self._finalize_scoring_only(active)
+
+    def _hybrid_chunk_fn(self, c: int):
+        """Jitted hybrid prefill chunk: threads the slot's recurrent rows
+        (conv window + SSM/fast-weight state) between chunks so attention
+        layers page normally while GDN/Mamba layers continue exactly."""
+        fn = self._chunk_fns.get(("h", c))
+        if fn is None:
+            spec, dtype = self.spec, self.compute_dtype
+            lora_on = self._lora_bank is not None
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2, 9, 10))
+            def chunk_fn(params, k_pool, v_pool, ids, offset, valid, pages_chunk,
+                         page_row, adapter, r_conv, r_state, slot):
+                rows_in = [
+                    None if rc is None else (rc[slot], rs[slot])
+                    for rc, rs in zip(r_conv, r_state)
+                ]
+                k_pool, v_pool, last_hidden, rows_out = smodel.prefill_chunk(
+                    params, spec, k_pool, v_pool, ids, offset, valid,
+                    pages_chunk, page_row, compute_dtype=dtype,
+                    adapter_idx=adapter if lora_on else None, r_rows=rows_in,
+                )
+                r_conv = [rc if ro is None else rc.at[slot].set(ro[0])
+                          for rc, ro in zip(r_conv, rows_out)]
+                r_state = [rs if ro is None else rs.at[slot].set(ro[1])
+                           for rs, ro in zip(r_state, rows_out)]
+                return k_pool, v_pool, last_hidden, r_conv, r_state
+
+            fn = self._chunk_fns[("h", c)] = chunk_fn
+        return fn
+
+    def _set_slot_state_fn(self):
+        if getattr(self, "_set_state_fn", None) is None:
+            @functools.partial(jax.jit, donate_argnums=(0, 1))
+            def set_state(r_conv, r_state, slot, rows):
+                r_conv = [rc if ro is None else rc.at[slot].set(ro[0])
+                          for rc, ro in zip(r_conv, rows)]
+                r_state = [rs if ro is None else rs.at[slot].set(ro[1])
+                           for rs, ro in zip(r_state, rows)]
+                return r_conv, r_state
+
+            self._set_state_fn = set_state
+        return self._set_state_fn
+
+    def _set_slot_state(self, slot: int, snap) -> None:
+        """Write a recurrent-state snapshot (or zeros) into the slot's rows
+        before a chunked hybrid prefill starts."""
+        if snap is None:
+            if getattr(self, "_zero_snap", None) is None:
+                self._zero_snap = [
+                    None if rc is None else
+                    (np.zeros(rc.shape[1:], rc.dtype),
+                     np.zeros(rs.shape[1:], np.float32))
+                    for rc, rs in zip(self.r_conv, self.r_state)
+                ]
+            snap = self._zero_snap
+        rows = [None if r is None else (jnp.asarray(r[0]), jnp.asarray(r[1]))
+                for r in snap]
+        self.r_conv, self.r_state = self._set_slot_state_fn()(
+            self.r_conv, self.r_state, jnp.int32(slot), rows)
+
+    def _donate_state(self, h: int, slot: int) -> None:
+        """Checkpoint the slot's recurrent rows into the host state tier
+        under page-chain hash ``h`` (boundary = end of the hashed chain)."""
+        if self._state_tier is None or h in self._state_tier:
+            return
+        rows = jax.device_get([
+            None if rc is None else (rc[slot], rs[slot])
+            for rc, rs in zip(self.r_conv, self.r_state)
+        ])
+        nbytes = sum(r[0].nbytes + r[1].nbytes for r in rows if r is not None)
+        budget = self.config.state_cache_mb * (1 << 20)
+        while self._state_tier and self._state_tier_bytes + nbytes > budget:
+            _, old = self._state_tier.popitem(last=False)
+            self._state_tier_bytes -= sum(
+                r[0].nbytes + r[1].nbytes for r in old if r is not None)
+        if nbytes <= budget:
+            self._state_tier[h] = rows
+            self._state_tier_bytes += nbytes
+            self.stats["state_snapshots"] = self.stats.get("state_snapshots", 0) + 1
+
+    def _admit_hybrid_chunked(self, req: _Request, slot: int, n: int,
+                              n_shared: int, hashes: list[int], snap,
+                              adapter_row, temp, topk, topp, key) -> None:
+        """Chunked prefill for recurrent-state (GDN/Mamba hybrid) models:
+        restore the boundary state snapshot (zeros for a fresh start), run
+        page-aligned chunks threading the recurrent rows, checkpoint the
+        state at the last full-page boundary so later prompts sharing the
+        prefix skip it entirely. vLLM has no analogue — hybrid models there
+        get neither chunked prefill nor prefix caching."""
+        sp = req.params
+        ps = self.config.page_size
+        shared = n_shared * ps
+        n_shareable = len(hashes) * ps
+        if snap is not None and n_shared:
+            self._set_slot_state(slot, snap)
+            self.stats["state_restores"] = self.stats.get("state_restores", 0) + 1
+        else:
+            self._set_slot_state(slot, None)
+        c = min(self.config.prefill_chunk, self.config.max_seq_len)
+        c = max(ps, (c // ps) * ps)
+        row = self.slots.page_table[slot]
+        row_dev = jnp.asarray(row)
+        n_chunk_pages = c // ps
+        fn = self._hybrid_chunk_fn(c)
+        last_hidden = None
+
+        def run(lo: int, hi: int):
+            nonlocal last_hidden
+            for off in range(lo, hi, c):
+                valid = min(c, hi - off)
+                ids = np.zeros((1, c), np.int32)
+                ids[0, :valid] = req.prompt[off: off + valid]
+                pchunk = np.zeros((n_chunk_pages,), np.int32)
+                seg = row[off // ps: off // ps + n_chunk_pages]
+                pchunk[: len(seg)] = seg
+                (self.k_pool, self.v_pool, last_hidden,
+                 self.r_conv, self.r_state) = fn(
+                    self.params, self.k_pool, self.v_pool,
+                    jnp.asarray(ids), jnp.int32(off), jnp.int32(valid),
+                    jnp.asarray(pchunk), row_dev, adapter_row,
+                    self.r_conv, self.r_state, jnp.int32(slot),
+                )
+
+        # phase 1: compute up to the shareable boundary, checkpoint there
+        run(shared, n_shareable)
+        if hashes and shared < n_shareable:
+            self._donate_state(hashes[-1], slot)
+        # phase 2: the tail past the boundary (always >= 1 token)
+        run(max(shared, n_shareable), n)
+        tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
+        active = _Active(req, slot)
+        active.first_token_handle = (tok, lp)
+        self.active[slot] = active
+        (self._d_tokens, self._d_lengths, self._d_active,
+         self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+         self._d_pos_delta) = self._set_slot_fn(
+            self._d_tokens, self._d_lengths, self._d_active,
+            self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+            self._d_pos_delta,
+            jnp.int32(slot), tok, jnp.int32(n),
+            jnp.float32(sp.temperature), jnp.int32(sp.top_k), jnp.float32(sp.top_p),
+            adapter_row, jnp.int32(0),
         )
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)

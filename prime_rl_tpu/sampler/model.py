@@ -332,6 +332,101 @@ def _mamba_prefill_mixer(h, lp, spec: ModelSpec, seg, length, compute_dtype):
     return h, jnp.swapaxes(win, 0, 1).astype(compute_dtype), state[0]
 
 
+def _gdn_chunk_mixer(h, lp, spec: ModelSpec, seg, valid, conv_row, state_row,
+                     compute_dtype):
+    """GatedDeltaNet chunk of an incremental serving prefill. h [1, C, D];
+    ``conv_row [conv_dim, K]`` holds the raw conv inputs at global positions
+    [off-K, off); ``state_row [Hv, Dk, Dv]`` f32 is the fast-weight state at
+    ``off``. Returns (h, conv_row', state_row') advanced to off+valid.
+
+    Exact continuation: the depthwise conv reads the carried raw window
+    (zeros at a fresh start contribute nothing, same as the masked fresh
+    conv) and the delta-rule scan starts from the carried state with the
+    position-0 reset suppressed (prev_seg_tail=1) — a zero state with a
+    suppressed reset is identical to a reset, so one code path serves both
+    fresh and continued chunks."""
+    from prime_rl_tpu.ops.gated_delta import chunk_gated_delta_rule
+    from prime_rl_tpu.ops.mamba import causal_conv1d
+
+    b, c, d = h.shape
+    hk, hv = spec.gdn_k_heads, spec.gdn_v_heads
+    dk, dv = spec.gdn_k_dim, spec.gdn_v_dim
+    kd, vd = spec.gdn_key_dim, spec.gdn_value_dim
+    kk = spec.gdn_conv_kernel
+    x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+    raw = jnp.concatenate(
+        [_mm(x, lp["in_q"]), _mm(x, lp["in_k"]), _mm(x, lp["in_v"])], axis=-1)
+    prev = jnp.swapaxes(conv_row, 0, 1)[None, 1:]  # [1, K-1, conv_dim]
+    raw_ext = jnp.concatenate([prev.astype(raw.dtype), raw], axis=1)
+    seg_ext = jnp.concatenate([jnp.ones((b, kk - 1), seg.dtype), seg], axis=1)
+    qkv = jax.nn.silu(
+        causal_conv1d(raw_ext, lp["conv_w"], None, seg_ext))[:, kk - 1:]
+    q, k, v = jnp.split(qkv, [kd, 2 * kd], axis=-1)
+    q = q.reshape(b, c, hk, dk)
+    k = k.reshape(b, c, hk, dk)
+    v = v.reshape(b, c, hv, dv)
+    beta = jax.nn.sigmoid(_mm(x, lp["in_b"]))
+    g = -jnp.exp(lp["A_log"].astype(jnp.float32)) * jax.nn.softplus(
+        _mm(x, lp["in_a"]).astype(jnp.float32) + lp["dt_bias"].astype(jnp.float32))
+    r = hv // hk
+    if r > 1:
+        q = jnp.repeat(q, r, axis=2)
+        k = jnp.repeat(k, r, axis=2)
+    core, state = chunk_gated_delta_rule(
+        q, k, v, g, beta, segment_ids=seg,
+        initial_state=state_row[None].astype(jnp.float32),
+        prev_seg_tail=jnp.ones((b,), seg.dtype))
+    z = _mm(x, lp["in_z"]).reshape(b, c, hv, dv)
+    core = rms_norm(core.astype(compute_dtype), lp["gdn_norm"], spec.rms_eps)
+    core = core * jax.nn.silu(z.astype(jnp.float32)).astype(core.dtype)
+    h = h + _mm(core.reshape(b, c, vd), lp["out_proj"])
+    # new rolling window: raw_ext row (valid-1) is global position off+valid-K
+    win = jax.lax.dynamic_slice(
+        raw_ext[0], (valid - 1, 0), (kk, raw_ext.shape[2]))
+    return h, jnp.swapaxes(win, 0, 1).astype(conv_row.dtype), state[0]
+
+
+def _mamba_chunk_mixer(h, lp, spec: ModelSpec, seg, valid, conv_row, state_row,
+                       compute_dtype):
+    """Mamba-2 chunk of an incremental serving prefill (see _gdn_chunk_mixer
+    for the continuation contract). state_row [H, P, N] f32 at ``off``."""
+    from prime_rl_tpu.ops.mamba import causal_conv1d, gated_rms_norm, ssd_chunked
+
+    b, c, d = h.shape
+    nh, p = spec.mamba_num_heads, spec.mamba_head_dim
+    gn = spec.mamba_n_groups * spec.mamba_state_size
+    inter = nh * p
+    kk = spec.mamba_conv_kernel
+    x = rms_norm(h, lp["norm"], spec.rms_eps)
+    proj = _mm(x, lp["in_proj"])
+    if lp.get("in_proj_bias") is not None:
+        proj = proj + lp["in_proj_bias"]
+    gate = proj[..., :inter]
+    raw = proj[..., inter: inter + inter + 2 * gn]
+    dt = jax.nn.softplus(proj[..., inter + inter + 2 * gn:].astype(jnp.float32)
+                         + lp["dt_bias"].astype(jnp.float32))
+    dt = dt * (seg != 0)[..., None]
+    prev = jnp.swapaxes(conv_row, 0, 1)[None, 1:]
+    raw_ext = jnp.concatenate([prev.astype(raw.dtype), raw], axis=1)
+    seg_ext = jnp.concatenate([jnp.ones((b, kk - 1), seg.dtype), seg], axis=1)
+    xbc = jax.nn.silu(
+        causal_conv1d(raw_ext, lp["conv_w"], lp.get("conv_b"), seg_ext))[:, kk - 1:]
+    xs = xbc[..., :inter].reshape(b, c, nh, p)
+    b_in = xbc[..., inter: inter + gn].reshape(b, c, spec.mamba_n_groups, -1)
+    c_in = xbc[..., inter + gn:].reshape(b, c, spec.mamba_n_groups, -1)
+    y, state = ssd_chunked(
+        xs, dt, lp["A_log"], b_in, c_in, lp["D"],
+        chunk_size=spec.mamba_chunk_size, segment_ids=seg,
+        initial_state=state_row[None].astype(jnp.float32),
+        return_final_state=True, prev_seg_tail=jnp.ones((b,), seg.dtype))
+    y = y.reshape(b, c, inter).astype(compute_dtype)
+    y = gated_rms_norm(y, gate, lp["ssm_norm"])
+    h = h + _mm(y, lp["out_proj"])
+    win = jax.lax.dynamic_slice(
+        raw_ext[0], (valid - 1, 0), (kk, raw_ext.shape[2]))
+    return h, jnp.swapaxes(win, 0, 1).astype(conv_row.dtype), state[0]
+
+
 def _mamba_decode_mixer(h, lp, spec: ModelSpec, conv_st, ssm_st, compute_dtype):
     """Mamba-2 decode step for all S slots (HF Mamba2Mixer cached-step math):
     h [S, 1, D]; conv_st [S, conv_dim, K]; ssm_st [S, H, P, N] f32."""
@@ -748,6 +843,7 @@ def prefill_chunk(
     *,
     compute_dtype=jnp.bfloat16,
     adapter_idx: jax.Array | None = None,
+    r_rows: list | None = None,  # hybrid: per-layer (conv_row, state_row) | None
 ):
     """One chunk of an incremental prefill: computes K/V for positions
     [offset, offset+C), writes them into the slot's pages, and attends over
@@ -757,6 +853,13 @@ def prefill_chunk(
     cached prefix is simply never recomputed — vLLM semantics per SURVEY
     §2.4; reference relies on vLLM's chunked prefill + prefix caching).
     Returns (k_pool, v_pool, last_hidden [D]) at local position valid-1.
+
+    Hybrid (GDN/Mamba) models: pass ``r_rows`` — per-layer (conv_row,
+    state_row) at global position ``offset`` (zeros for a fresh start) —
+    and the return gains a 4th element, the advanced r_rows. Recurrent
+    layers continue exactly from the carried state (the lever vLLM lacks:
+    its hybrid models get no chunked prefill or prefix caching at all);
+    attention layers chunk over paged history as usual.
     """
     _, c = input_ids.shape
     page_size = next((b.shape[2] for b in k_pool if b is not None), 1)
@@ -765,16 +868,61 @@ def prefill_chunk(
     positions = offset + jnp.arange(c, dtype=jnp.int32)[None, :]  # [1, C]
     q_pos = positions[0]
     valid_hi = offset + valid
+    seg = (jnp.arange(c, dtype=jnp.int32)[None, :] < valid).astype(jnp.int32)
 
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
 
     from prime_rl_tpu.models.qwen3 import layer_windows_list
+    from prime_rl_tpu.sampler.cache import layer_kinds
 
     windows = layer_windows_list(spec)
-    k_out, v_out = [], []
-    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
+    kinds = layer_kinds(spec) if r_rows is not None else ["A"] * spec.num_layers
+    k_out, v_out, r_out = [], [], []
+    for li, (lp, k_l, v_l, win, kind) in enumerate(
+            zip(params["layers"], k_pool, v_pool, windows, kinds)):
         lp = _cast_layer(lp, compute_dtype)
+        if kind == "L":
+            h, conv_row, state_row = _gdn_chunk_mixer(
+                h, lp, spec, seg, valid, r_rows[li][0], r_rows[li][1],
+                compute_dtype)
+            h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec,
+                         adapter_idx)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_out.append((conv_row, state_row))
+            continue
+        if kind == "M":
+            h, conv_row, state_row = _mamba_chunk_mixer(
+                h, lp, spec, seg, valid, r_rows[li][0], r_rows[li][1],
+                compute_dtype)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_out.append((conv_row, state_row))
+            continue
+        if kind in ("-", "E"):
+            h, _ = _tokenwise_block(h, lp, spec)
+            k_out.append(k_l)
+            v_out.append(v_l)
+            r_out.append(None)
+            continue
+        r_out.append(None)
+        if kind == "*":
+            # nemotron bare attention chunk: no rope, paged history
+            x, q, k, v = _bare_attn(h, lp, spec)
+            k_w = k[0].transpose(1, 0, 2).reshape(
+                spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+            v_w = v[0].transpose(1, 0, 2).reshape(
+                spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+            k_l = _write_pages(k_l, k_w.astype(k_l.dtype), pages_chunk)
+            v_l = _write_pages(v_l, v_w.astype(v_l.dtype), pages_chunk)
+            o = _chunk_attention_xla(
+                q[0].astype(compute_dtype), k_l, v_l, q_pos, page_row, valid_hi)
+            h = h + _mm(o.reshape(1, c, spec.q_dim).astype(compute_dtype),
+                        lp["o"])
+            k_out.append(k_l)
+            v_out.append(v_l)
+            continue
         if spec.kv_lora_rank > 0:
             # MLA chunk: latent rows paged, absorbed query attends the full
             # latent history (exact — same math as the training block). DSA
@@ -849,6 +997,8 @@ def prefill_chunk(
         v_out.append(v_l)
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     last_hidden = h[0, jnp.maximum(valid - 1, 0)]
+    if r_rows is not None:
+        return k_out, v_out, last_hidden, r_out
     return k_out, v_out, last_hidden
 
 
