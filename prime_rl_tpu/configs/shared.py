@@ -108,6 +108,10 @@ class LoRAConfig(BaseConfig):
     target_modules: list[str] = Field(
         default_factory=lambda: ["q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj"]
     )
+    # MoE specs: apply gate/up/down targets PER EXPERT (adapter stacks gain a
+    # leading [E] axis; ops/moe.moe_mlp runs two extra ragged_dots). Off by
+    # default — generic MLP names on a MoE spec are skipped, attention-only.
+    experts: bool = False
 
 
 class DebugModelConfig(BaseConfig):

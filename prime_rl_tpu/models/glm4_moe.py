@@ -69,11 +69,13 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     return base
 
 
-def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
+def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype,
+                  lora_scale: float = 1.0):
     """Routed experts + shared experts, post-attention. Returns (h, aux).
     A reserved ``_forced`` entry ([B*L, K] int32, -1 = own routing) replays
     the sampler's expert selection (router-replay; reference
-    routed_experts forward contract)."""
+    routed_experts forward contract). A reserved ``_lora`` sub-dict carries
+    adapters — moe_* targets apply per expert inside moe_mlp."""
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
                 and not k.startswith("_") else v)
@@ -89,6 +91,7 @@ def glm_moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
         n_group=spec.n_group, topk_group=spec.topk_group,
         routed_scaling=spec.routed_scaling_factor,
         forced_experts=lp.get("_forced"),
+        lora=lp.get("_lora"), lora_scale=lora_scale,
     )
     out = out.reshape(b, l, d)
     if "shared_gate" in cast:
@@ -133,9 +136,9 @@ def forward(
     win_list = qwen3.layer_windows_list(spec)
 
     def attn(h, lp, window):
-        # attention-projection LoRA rides a reserved "_lora" sub-dict inside
-        # the layer pytree so the scan regrouping applies to it for free
-        # (expert LoRA: reference MultiLoRAGroupedExperts analogue not built)
+        # LoRA rides a reserved "_lora" sub-dict inside the layer pytree so
+        # the scan regrouping applies to it for free (attention projections
+        # here; moe_* expert targets apply inside glm_moe_block)
         ll = lp.get("_lora")
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items() if not k.startswith("_")}
@@ -159,7 +162,7 @@ def forward(
     def moe_block(carry, lp, window):
         h, aux = carry
         h = attn(h, lp, window)
-        h, lb = glm_moe_block(h, lp, spec, compute_dtype)
+        h, lb = glm_moe_block(h, lp, spec, compute_dtype, lora_scale=lora_scale)
         return h, aux + lb
 
     def wrap(fn):

@@ -33,16 +33,29 @@ _TARGET_DIMS = {
     "down": ("intermediate_size", "hidden_size"),
 }
 
+# per-expert adapter targets (MoE families, LoRAConfig.experts=True): stacks
+# carry an extra leading [E] axis and apply via two extra ragged_dots in
+# ops/moe.moe_mlp (reference analogue: PEFT targeting grouped expert weights)
+_MOE_TARGETS = ("moe_gate", "moe_up", "moe_down")
+
 # accept the reference's HF-style regex-ish names too (q_proj -> q)
 _ALIASES = {f"{t}_proj": t for t in _TARGET_DIMS}
 _ALIASES.update({"q_b_proj": "q_b", "kv_a_proj_with_mqa": "kv_a",
-                 "kv_b_proj": "kv_b", "o_proj": "o"})
+                 "kv_b_proj": "kv_b", "o_proj": "o",
+                 "expert_gate": "moe_gate", "expert_up": "moe_up",
+                 "expert_down": "moe_down"})
 
 
 def target_dims(t: str, spec: ModelSpec) -> tuple[int, int]:
     """(in, out) dims of target ``t`` on this spec. MLA families (kv_lora_
     rank > 0) have their own projection shapes (reference MLA module names:
-    q_b_proj / kv_a_proj_with_mqa / kv_b_proj)."""
+    q_b_proj / kv_a_proj_with_mqa / kv_b_proj). moe_* targets are per-expert
+    (the stack adds a leading [E] axis); latent MoE (nemotron) computes
+    experts at ``moe_latent_size``."""
+    if t in _MOE_TARGETS:
+        d = getattr(spec, "moe_latent_size", 0) or spec.hidden_size
+        m = spec.moe_intermediate_size
+        return (m, d) if t == "moe_down" else (d, m)
     if spec.kv_lora_rank > 0:
         mla = {
             "q": (spec.hidden_size, spec.num_heads * spec.head_dim),
@@ -60,16 +73,27 @@ def target_dims(t: str, spec: ModelSpec) -> tuple[int, int]:
 
 def resolve_targets(cfg: LoRAConfig, spec: ModelSpec) -> list[str]:
     out = []
+    experts_on = bool(getattr(cfg, "experts", False))
     for name in cfg.target_modules:
         t = _ALIASES.get(name, name)
         if spec.kv_lora_rank > 0:
             # MLA: generic attention names map onto the latent projections
             t = {"q": ("q_b" if spec.q_lora_rank else "q"),
                  "k": "kv_b", "v": "kv_b"}.get(t, t)
-        if t not in _TARGET_DIMS and t not in ("q_b", "kv_a", "kv_b"):
+        if (t not in _TARGET_DIMS and t not in ("q_b", "kv_a", "kv_b")
+                and t not in _MOE_TARGETS):
             raise ValueError(f"unknown LoRA target {name!r}")
         if spec.is_moe and t in ("gate", "up", "down"):
-            continue  # expert LoRA: not built (attention-projection only)
+            # generic MLP names on a MoE spec: per-expert adapters when
+            # opted in (lora.experts=true), otherwise skipped as before
+            if not experts_on:
+                continue
+            t = f"moe_{t}"
+        if t in _MOE_TARGETS:
+            if not spec.is_moe:
+                continue
+            if t == "moe_gate" and getattr(spec, "moe_latent_size", 0):
+                continue  # nemotron LatentMoE experts are non-gated (relu^2)
         if t not in out:
             out.append(t)
     return out
@@ -80,20 +104,27 @@ def lora_scale(cfg: LoRAConfig) -> float:
 
 
 def init_lora(spec: ModelSpec, cfg: LoRAConfig, key: jax.Array, dtype=jnp.float32) -> Params:
-    """A ~ N(0, 0.02), B = 0 (identity at init)."""
+    """A ~ N(0, 0.02), B = 0 (identity at init). moe_* targets add a leading
+    per-expert axis: A [nl, E, in, r], B [nl, E, r, out]."""
     layers: dict[str, jax.Array] = {}
     nl, r = spec.num_layers, cfg.rank
     for i, t in enumerate(resolve_targets(cfg, spec)):
         d_in, d_out = target_dims(t, spec)
         k = jax.random.fold_in(key, i)
-        layers[f"{t}_a"] = (jax.random.normal(k, (nl, d_in, r)) * 0.02).astype(dtype)
-        layers[f"{t}_b"] = jnp.zeros((nl, r, d_out), dtype)
+        lead = (nl, spec.num_experts) if t in _MOE_TARGETS else (nl,)
+        layers[f"{t}_a"] = (jax.random.normal(k, (*lead, d_in, r)) * 0.02).astype(dtype)
+        layers[f"{t}_b"] = jnp.zeros((*lead, r, d_out), dtype)
     return {"layers": layers}
 
 
 def lora_param_pspec(path: str) -> P:
     """Sharding: A input-dim over fsdp, B output-dim over tensor; the tiny
-    rank dim stays replicated."""
+    rank dim stays replicated. Per-expert stacks shard the expert axis."""
+    if "moe_" in path:
+        if path.endswith("_a"):
+            return P(None, "expert", "fsdp", None)
+        if path.endswith("_b"):
+            return P(None, "expert", None, "tensor")
     if path.endswith("_a"):
         return P(None, "fsdp", None)
     if path.endswith("_b"):
@@ -126,16 +157,22 @@ def merge_lora(base: Params, lora: Params, cfg: LoRAConfig,
     ``spec`` for the pattern)."""
     scale = lora_scale(cfg)
     targets = sorted({k[:-2] for k in lora["layers"] if k.endswith("_a")})
+    moe_keys = {"moe_gate": "expert_gate", "moe_up": "expert_up",
+                "moe_down": "expert_down"}
 
     def merge_stack(stack: dict, sl) -> dict:
         merged = dict(stack)
         for t in targets:
-            if t not in stack:
+            key = moe_keys.get(t, t)
+            if key not in stack:
                 continue
             a = lora["layers"][f"{t}_a"][sl].astype(jnp.float32)
             b = lora["layers"][f"{t}_b"][sl].astype(jnp.float32)
-            delta = jnp.einsum("lir,lro->lio", a, b) * scale
-            merged[t] = (stack[t].astype(jnp.float32) + delta).astype(stack[t].dtype)
+            if a.ndim == 4:  # per-expert stacks [l, E, in, r] x [l, E, r, out]
+                delta = jnp.einsum("leir,lero->leio", a, b) * scale
+            else:
+                delta = jnp.einsum("lir,lro->lio", a, b) * scale
+            merged[key] = (stack[key].astype(jnp.float32) + delta).astype(stack[key].dtype)
         return merged
 
     out = dict(base)
@@ -143,9 +180,15 @@ def merge_lora(base: Params, lora: Params, cfg: LoRAConfig,
         if spec is None or not (spec.gdn_pattern or spec.layer_pattern):
             raise ValueError("merge_lora on a hybrid layout needs the spec")
         pat = spec.gdn_pattern or spec.layer_pattern
-        char = "A" if spec.gdn_pattern else "*"
-        idx = np.nonzero([c == char for c in pat])[0]
-        out["attn_layers"] = merge_stack(base["attn_layers"], jnp.asarray(idx))
+        stack_chars = ({"A": "attn_layers", "L": "lin_layers"}
+                       if spec.gdn_pattern else
+                       {"*": "attn_layers", "E": "moe_layers"})
+        for char, name in stack_chars.items():
+            if name not in base:
+                continue
+            idx = np.nonzero([c == char for c in pat])[0]
+            if len(idx):
+                out[name] = merge_stack(base[name], jnp.asarray(idx))
         return out
     if "dense_layers" in base:
         k = next(iter(base["dense_layers"].values())).shape[0]
@@ -183,6 +226,23 @@ def adapter_from_state_dict(state: dict, spec: ModelSpec) -> dict[str, np.ndarra
         ])  # [NL, r, out]
         layers[f"{t}_a"] = a
         layers[f"{t}_b"] = b
+    # per-expert adapters: mlp.experts.{e}.{gate|up|down}_proj
+    for t, hf in (("moe_gate", "gate_proj"), ("moe_up", "up_proj"),
+                  ("moe_down", "down_proj")):
+        key0 = f"base_model.model.model.layers.0.mlp.experts.0.{hf}.lora_A.weight"
+        if key0 not in state:
+            continue
+        def stack_ab(which):
+            return np.stack([
+                np.stack([
+                    np.asarray(state[
+                        f"base_model.model.model.layers.{i}.mlp.experts.{e}.{hf}.{which}.weight"
+                    ]).T
+                    for e in range(spec.num_experts)
+                ]) for i in range(spec.num_layers)
+            ])  # [NL, E, ..., ...]
+        layers[f"{t}_a"] = stack_ab("lora_A")
+        layers[f"{t}_b"] = stack_ab("lora_B")
     if not layers:
         raise ValueError("no LoRA tensors found in adapter state dict")
     return layers
@@ -208,4 +268,15 @@ def adapter_state_dict(lora: Params, spec: ModelSpec, cfg: LoRAConfig) -> dict[s
             prefix = f"base_model.model.model.layers.{i}.{mod_prefix[t]}.{hf}"
             state[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[i].T)  # [r, in]
             state[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[i].T)  # [out, r]
+    for t, hf in (("moe_gate", "gate_proj"), ("moe_up", "up_proj"),
+                  ("moe_down", "down_proj")):
+        a = lora["layers"].get(f"{t}_a")
+        if a is None:
+            continue
+        a, b = np.asarray(a), np.asarray(lora["layers"][f"{t}_b"])  # [NL, E, .., ..]
+        for i in range(spec.num_layers):
+            for e in range(spec.num_experts):
+                prefix = f"base_model.model.model.layers.{i}.mlp.experts.{e}.{hf}"
+                state[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[i, e].T)
+                state[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[i, e].T)
     return state

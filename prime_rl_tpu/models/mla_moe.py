@@ -301,7 +301,7 @@ def forward(
     def moe_block(carry, lp):
         h, aux = carry
         h = attn(h, lp)
-        h, lb = glm_moe_block(h, lp, spec, compute_dtype)
+        h, lb = glm_moe_block(h, lp, spec, compute_dtype, lora_scale=lora_scale)
         return h, aux + lb
 
     def wrap(fn):

@@ -162,13 +162,15 @@ def _mlp_block(h, lp, spec: ModelSpec, compute_dtype):
     return h + jnp.dot(relu2(jnp.dot(x, cast["up"])), cast["down"])
 
 
-def _moe_block(h, lp, spec: ModelSpec, compute_dtype):
+def _moe_block(h, lp, spec: ModelSpec, compute_dtype, lora_scale=1.0):
     """LatentMoE (reference: models/layers/moe.py:1034-1230): shared relu^2
     FFN at model dim + routed non-gated relu^2 experts at latent dim, with
-    DeepSeek-V3-style sigmoid/noaux-tc routing. Returns (h, load_balance)."""
+    DeepSeek-V3-style sigmoid/noaux-tc routing. Returns (h, load_balance).
+    A reserved ``_lora`` sub-dict carries per-expert moe_* adapters (applied
+    at latent dim inside moe_mlp; non-gated experts have no moe_gate)."""
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
-                else v)
+                and not k.startswith("_") else v)
             for k, v in lp.items()}
     x = rms_norm(h, cast["norm"], spec.rms_eps)
     flat = x.reshape(b * l, d)
@@ -184,6 +186,7 @@ def _moe_block(h, lp, spec: ModelSpec, compute_dtype):
         correction_bias=lp.get("router_correction_bias"),
         n_group=spec.n_group, topk_group=spec.topk_group,
         routed_scaling=spec.routed_scaling_factor,
+        lora=lp.get("_lora"), lora_scale=lora_scale,
     )
     if "fc2_latent" in cast:
         out = jnp.dot(out, cast["fc2_latent"])
@@ -241,17 +244,23 @@ def forward(
                                     compute_dtype=compute_dtype,
                                     lora_scale=lora_scale)),
         "-": wrap(functools.partial(_mlp_block, spec=spec, compute_dtype=compute_dtype)),
-        "E": wrap(functools.partial(_moe_block, spec=spec, compute_dtype=compute_dtype)),
+        "E": wrap(functools.partial(_moe_block, spec=spec, compute_dtype=compute_dtype,
+                                    lora_scale=lora_scale)),
     }
     stacks = {"M": params.get("mamba_layers"), "*": params.get("attn_layers"),
               "-": params.get("mlp_layers"), "E": params.get("moe_layers")}
-    if lora is not None and stacks["*"] is not None:
-        # attention-projection LoRA: select the adapter rows of the [nl, ...]
-        # stacks at the '*' layer indices; ride a reserved "_lora" sub-dict
-        attn_idx = jnp.asarray(
-            np.nonzero([c == "*" for c in spec.layer_pattern])[0])
-        stacks["*"] = dict(stacks["*"],
-                           _lora=jax.tree.map(lambda x: x[attn_idx], lora["layers"]))
+    if lora is not None:
+        # select each stack's adapter rows from the [nl, ...] stacks
+        # (attention projections on '*', moe_* expert targets on 'E'); ride a
+        # reserved "_lora" sub-dict
+        for ch in ("*", "E"):
+            if stacks[ch] is None:
+                continue
+            sidx = jnp.asarray(
+                np.nonzero([c == ch for c in spec.layer_pattern])[0])
+            stacks[ch] = dict(stacks[ch],
+                              _lora=jax.tree.map(lambda x, i=sidx: x[i],
+                                                 lora["layers"]))
 
     idx = {c: 0 for c in BLOCK_CHARS}
     for ch in spec.layer_pattern:

@@ -95,6 +95,7 @@ def forward(
             cast["expert_gate"], cast["expert_up"], cast["expert_down"],
             spec.num_experts_per_tok, spec.norm_topk_prob,
             forced_experts=forced,
+            lora=ll, lora_scale=lora_scale,
         )
         return h + out.reshape(b, l, d), aux + routing.load_balance_loss
 

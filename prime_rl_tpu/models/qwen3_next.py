@@ -148,9 +148,10 @@ def gdn_mixer(h, lp, spec: ModelSpec, segment_ids, compute_dtype):
     return h + out
 
 
-def moe_block(h, lp, spec: ModelSpec):
+def moe_block(h, lp, spec: ModelSpec, ll=None, lora_scale: float = 1.0):
     """MoE MLP + sigmoid-gated shared expert (HF Qwen3NextSparseMoeBlock).
-    ``_forced`` replays the sampler's routing (router replay)."""
+    ``_forced`` replays the sampler's routing (router replay); ``ll``
+    carries adapters (moe_* expert targets apply inside moe_mlp)."""
     b, s, d = h.shape
     x = rms_norm(h, lp["mlp_norm"], spec.rms_eps)
     out, routing = moe_mlp(
@@ -158,6 +159,7 @@ def moe_block(h, lp, spec: ModelSpec):
         lp["expert_gate"], lp["expert_up"], lp["expert_down"],
         spec.num_experts_per_tok, spec.norm_topk_prob,
         forced_experts=lp.get("_forced"),
+        lora=ll, lora_scale=lora_scale,
     )
     out = out.reshape(b, s, d)
     shared = jnp.dot(swiglu(jnp.dot(x, lp["shared_gate"]), jnp.dot(x, lp["shared_up"])),
@@ -212,16 +214,19 @@ def forward(
         position_ids = _mrope_positions(spec, mm["mm_position_ids"])
 
     if lora is not None:
-        # attention-projection LoRA: select the adapter rows of the full
-        # [nl, ...] stacks that belong to attention layers; ride a reserved
-        # "_lora" sub-dict so the regroup/scan machinery applies unchanged
+        # LoRA: select each stack's adapter rows from the full [nl, ...]
+        # stacks (attention projections on "A" layers; moe_* expert targets
+        # on every layer); ride a reserved "_lora" sub-dict so the
+        # regroup/scan machinery applies unchanged
         import numpy as _np
 
-        attn_idx = jnp.asarray(_np.nonzero([c == "A" for c in pat])[0])
         params = dict(params)
-        params["attn_layers"] = dict(
-            params["attn_layers"],
-            _lora=jax.tree.map(lambda x: x[attn_idx], lora["layers"]))
+        for char, stack in (("L", "lin_layers"), ("A", "attn_layers")):
+            sidx = jnp.asarray(_np.nonzero([c == char for c in pat])[0])
+            if sidx.size and stack in params:
+                params[stack] = dict(
+                    params[stack],
+                    _lora=jax.tree.map(lambda x, i=sidx: x[i], lora["layers"]))
     if routed_experts is not None:
         # router replay: every layer runs the MoE MLP, so the wire carries
         # NL rows; split them per type-stack by layer index
@@ -246,9 +251,10 @@ def forward(
 
     def lin_block(carry, lp):
         h, aux = carry
+        ll = lp.get("_lora")
         lp = cast(lp)
         h = gdn_mixer(h, lp, spec, segment_ids, compute_dtype)
-        h, lb = moe_block(h, lp, spec)
+        h, lb = moe_block(h, lp, spec, ll=ll, lora_scale=lora_scale)
         return h, aux + lb
 
     def attn_block(carry, lp):
@@ -258,7 +264,7 @@ def forward(
         h = qwen3._attn_block(h, lp, spec, segment_ids, position_ids, inv_freq,
                               attn_impl, block_q, block_kv, mesh, ll, lora_scale,
                               cp_style, 0, rope_scaling)
-        h, lb = moe_block(h, lp, spec)
+        h, lb = moe_block(h, lp, spec, ll=ll, lora_scale=lora_scale)
         return h, aux + lb
 
     def wrap(fn):

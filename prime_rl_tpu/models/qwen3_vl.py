@@ -133,6 +133,7 @@ def forward(
                 x.reshape(b * l, d), lp["router"],
                 cast["expert_gate"], cast["expert_up"], cast["expert_down"],
                 spec.num_experts_per_tok, spec.norm_topk_prob,
+                lora=ll, lora_scale=lora_scale,
             )
             return hh + out.reshape(b, l, d), aux + routing.load_balance_loss
     else:

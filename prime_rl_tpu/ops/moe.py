@@ -134,6 +134,10 @@ def moe_mlp(
     # from the routing input (NemotronH LatentMoE: route at model dim,
     # compute at latent dim)
     forced_experts: jax.Array | None = None,  # [T, K] router replay (-1 row = own)
+    lora: dict | None = None,  # per-expert adapters {"moe_up_a": [E, D, r],
+    # "moe_up_b": [E, r, M], ...} (models/lora moe_* targets) — each present
+    # pair adds two ragged_dots on the same sorted groups
+    lora_scale: float = 1.0,
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -160,7 +164,22 @@ def moe_mlp(
 
     sorted_experts = jnp.take(flat_experts, order)  # expert id of each sorted slot
     xs = jnp.take(x_experts, token_idx, axis=0)  # [T*K, D] sorted by expert
+
+    def _lora_delta(inp, name):
+        """Per-expert LoRA delta via two extra ragged_dots on the SAME sorted
+        groups (the grouped-GEMM analogue of x·A·B)."""
+        if lora is None or f"{name}_a" not in lora:
+            return None
+        a = lora[f"{name}_a"].astype(inp.dtype)
+        b = lora[f"{name}_b"].astype(inp.dtype)
+        mid = jax.lax.ragged_dot(inp, a, group_sizes, preferred_element_type=jnp.float32)
+        return lora_scale * jax.lax.ragged_dot(
+            mid.astype(inp.dtype), b, group_sizes, preferred_element_type=jnp.float32)
+
     up = jax.lax.ragged_dot(xs, w_up, group_sizes, preferred_element_type=jnp.float32)
+    d_up = _lora_delta(xs, "moe_up")
+    if d_up is not None:
+        up = up + d_up
     if b_up is not None:
         up = up + jnp.take(b_up.astype(jnp.float32), sorted_experts, axis=0)
     if w_gate is None:
@@ -169,6 +188,9 @@ def moe_mlp(
         h = jnp.square(jax.nn.relu(up)).astype(x.dtype)
     else:
         gate = jax.lax.ragged_dot(xs, w_gate, group_sizes, preferred_element_type=jnp.float32)
+        d_gate = _lora_delta(xs, "moe_gate")
+        if d_gate is not None:
+            gate = gate + d_gate
         if b_gate is not None:
             gate = gate + jnp.take(b_gate.astype(jnp.float32), sorted_experts, axis=0)
         if activation_alpha > 0:
@@ -178,6 +200,9 @@ def moe_mlp(
         else:
             h = (jax.nn.silu(gate) * up).astype(x.dtype)  # [T*K, M]
     out_sorted = jax.lax.ragged_dot(h, w_down, group_sizes, preferred_element_type=jnp.float32)
+    d_down = _lora_delta(h, "moe_down")
+    if d_down is not None:
+        out_sorted = out_sorted + d_down
     if b_down is not None:
         out_sorted = out_sorted + jnp.take(b_down.astype(jnp.float32), sorted_experts, axis=0)
 

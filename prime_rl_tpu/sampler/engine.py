@@ -469,16 +469,25 @@ class Engine:
         """Zero-initialized device bank: row 0 is the no-adapter identity
         (B = 0 -> zero delta), rows 1..N hold loaded adapters. Static shapes:
         the decode program never recompiles on adapter load (the vLLM punica
-        multi-LoRA analogue; reference: inference/vllm/server.py:98-147)."""
-        from prime_rl_tpu.models.lora import _TARGET_DIMS, resolve_targets
+        multi-LoRA analogue; reference: inference/vllm/server.py:98-147).
+
+        The bank serves the dense projections (q/k/v/o/gate/up/down) the
+        batched forward applies per request. Per-expert (moe_*) and MLA
+        latent (q_b/kv_a/kv_b) targets are train-side only — serve those
+        adapters merged (models/lora.merge_lora snapshot)."""
+        from prime_rl_tpu.models.lora import _TARGET_DIMS, resolve_targets, target_dims
 
         cfg = self.lora_config
         na = cfg.max_adapters + 1
         nl, r = self.spec.num_layers, cfg.rank
         bank: dict[str, jax.Array] = {}
         for t in resolve_targets(cfg, self.spec):
-            din = getattr(self.spec, _TARGET_DIMS[t][0])
-            dout = getattr(self.spec, _TARGET_DIMS[t][1])
+            if t not in _TARGET_DIMS:
+                raise ValueError(
+                    f"LoRA target {t!r} is not servable via the adapter bank "
+                    f"(servable: {sorted(_TARGET_DIMS)}); merge the adapter "
+                    "into a weight snapshot instead (models/lora.merge_lora)")
+            din, dout = target_dims(t, self.spec)
             bank[f"{t}_a"] = jnp.zeros((na, nl, din, r), jnp.float32)
             bank[f"{t}_b"] = jnp.zeros((na, nl, r, dout), jnp.float32)
         self._lora_bank = bank

@@ -195,3 +195,65 @@ def test_lora_active_on_nemotron_attention():
     merged = merge_lora(base, lora2, cfg, spec=spec)
     h3 = fam.forward(merged, spec, ids, seg, pos, **kw)
     np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["debug_moe", "debug_laguna", "debug_qwen3_next",
+                                  "debug_nemotron"])
+def test_expert_lora(name):
+    """Per-expert LoRA (lora.experts=true): gate/up/down targets apply inside
+    the grouped-GEMM expert compute (two extra ragged_dots). Zero-B is the
+    identity; non-trivial adapters change the forward; merge == runtime
+    (reference analogue: PEFT targeting grouped expert weights — the
+    reference itself ships attention-LoRA only via MultiLoRALinear)."""
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.models.lora import resolve_targets
+
+    spec = get_spec(name)
+    fam = get_family(spec)
+    cfg = LoRAConfig(rank=4, experts=True,
+                     target_modules=["gate_proj", "up_proj", "down_proj"])
+    targets = resolve_targets(cfg, spec)
+    assert "moe_up" in targets and "moe_down" in targets
+    if name == "debug_nemotron":
+        assert "moe_gate" not in targets  # LatentMoE experts are non-gated
+    base = fam.init(spec, jax.random.key(0))
+    lora = init_lora(spec, cfg, jax.random.key(1))
+    assert lora["layers"]["moe_up_a"].shape == (
+        spec.num_layers, spec.num_experts,
+        getattr(spec, "moe_latent_size", 0) or spec.hidden_size, 4)
+    ids = jnp.arange(1, 17)[None, :].astype(jnp.int32)
+    seg = jnp.ones_like(ids)
+    pos = jnp.arange(16)[None, :].astype(jnp.int32)
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+    h0 = fam.forward(base, spec, ids, seg, pos, **kw)
+    # zero-B: exact identity
+    h1 = fam.forward(base, spec, ids, seg, pos, lora=lora,
+                     lora_scale=lora_scale(cfg), **kw)
+    np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+    # non-trivial adapters change the output; merge matches the runtime path
+    lora2 = jax.tree.map(lambda x: x + 0.03, lora)
+    h2 = fam.forward(base, spec, ids, seg, pos, lora=lora2,
+                     lora_scale=lora_scale(cfg), **kw)
+    assert float(jnp.max(jnp.abs(h0 - h2))) > 1e-5
+    merged = merge_lora(base, lora2, cfg, spec=spec)
+    h3 = fam.forward(merged, spec, ids, seg, pos, **kw)
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h3), rtol=2e-4, atol=2e-4)
+
+
+def test_expert_lora_adapter_roundtrip():
+    """PEFT-style export/import of per-expert adapters (mlp.experts.{e}.*)."""
+    from prime_rl_tpu.models.base import get_spec
+    from prime_rl_tpu.models.lora import adapter_from_state_dict
+
+    spec = get_spec("debug_moe")
+    cfg = LoRAConfig(rank=4, experts=True)
+    lora = init_lora(spec, cfg, jax.random.key(3))
+    lora = jax.tree.map(lambda x: x + 0.01, lora)
+    state = adapter_state_dict(lora, spec, cfg)
+    key = "base_model.model.model.layers.0.mlp.experts.0.up_proj.lora_A.weight"
+    assert key in state and state[key].shape == (4, spec.hidden_size)
+    back = adapter_from_state_dict(state, spec)
+    for k in ("moe_gate_a", "moe_up_b", "moe_down_a"):
+        np.testing.assert_allclose(np.asarray(back[k]),
+                                   np.asarray(lora["layers"][k]), atol=1e-7)
