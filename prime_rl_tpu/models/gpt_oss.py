@@ -53,7 +53,8 @@ def init_params(spec: ModelSpec, key: jax.Array, dtype=jnp.float32) -> Params:
     return base
 
 
-def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
+def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype,
+              forced=None, ll=None, lora_scale: float = 1.0):
     b, l, d = h.shape
     cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 and "router" not in k
                 and not k.endswith("_bias") else v)
@@ -69,6 +70,7 @@ def moe_block(h: jax.Array, lp: dict, spec: ModelSpec, compute_dtype):
         b_down=lp.get("expert_down_bias"),
         softmax_topk=spec.router_softmax_topk,
         activation_alpha=spec.swiglu_alpha, activation_limit=spec.swiglu_limit,
+        forced_experts=forced, lora=ll, lora_scale=lora_scale,
     )
     return h + out.reshape(b, l, d), routing.load_balance_loss
 
@@ -89,22 +91,23 @@ def forward(
     lora_scale: float = 1.0,
     cp_style: str = "ulysses",
     collect_aux: bool = False,
+    routed_experts: jax.Array | None = None,  # [B, L, NL, K] replay (-1 = own)
 ):
-    if lora is not None:
-        raise NotImplementedError("gpt_oss LoRA: adapters target dense projections only")
     inv_freq, rope_scaling = rope_setup(spec)
     embed = params["embed"].astype(compute_dtype)
     h = jnp.take(embed, input_ids, axis=0)
+    b, l, _ = h.shape
     win_list = layer_windows_list(spec)
 
-    def _block_impl(carry, lp, window: int):
+    def _block_impl(carry, lp, window: int, forced=None, ll=None):
         h, aux = carry
         cast = {k: (v.astype(compute_dtype) if getattr(v, "ndim", 0) >= 2 else v)
                 for k, v in lp.items()}
         h = qwen3._attn_block(h, cast, spec, segment_ids, position_ids, inv_freq,
-                              attn_impl, block_q, block_kv, mesh, None, lora_scale,
+                              attn_impl, block_q, block_kv, mesh, ll, lora_scale,
                               cp_style, window, rope_scaling)
-        h, lb = moe_block(h, lp, spec, compute_dtype)
+        h, lb = moe_block(h, lp, spec, compute_dtype, forced=forced, ll=ll,
+                          lora_scale=lora_scale)
         return h, aux + lb
 
     def wrap(fn):
@@ -133,19 +136,34 @@ def forward(
         p for p in range(1, nl + 1)
         if nl % p == 0 and all(win_list[i] == win_list[i % p] for i in range(nl))
     )
-    blocks = [wrap(functools.partial(_block_impl, window=w)) for w in win_list[:period]]
+    blocks = [
+        wrap(lambda c, lp, forced, ll, _w=w: _block_impl(c, lp, _w, forced, ll))
+        for w in win_list[:period]
+    ]
 
     def regroup(leaf):
         return leaf.reshape((nl // period, period) + leaf.shape[1:])
 
     layers_g = jax.tree.map(regroup, params["layers"])
+    ll_g = (jax.tree.map(regroup, lora["layers"]) if lora is not None else None)
+    forced_g = None
+    if routed_experts is not None:
+        # [B, L, NL, K] -> scan-major [NL, B*L, K] -> super-block groups
+        forced_g = regroup(jnp.transpose(routed_experts, (2, 0, 1, 3)).reshape(
+            nl, b * l, spec.num_experts_per_tok))
 
-    def super_block(carry, lp_g):
+    def super_block(carry, xs):
+        lp_g, forced, ll = xs
         for i in range(period):
-            carry = blocks[i](carry, jax.tree.map(lambda x: x[i], lp_g))
+            carry = blocks[i](
+                carry, jax.tree.map(lambda x: x[i], lp_g),
+                None if forced is None else forced[i],
+                None if ll is None else jax.tree.map(lambda x: x[i], ll),
+            )
         return carry, None
 
-    (h, aux), _ = jax.lax.scan(super_block, (h, jnp.float32(0.0)), layers_g)
+    (h, aux), _ = jax.lax.scan(super_block, (h, jnp.float32(0.0)),
+                               (layers_g, forced_g, ll_g))
     h = rms_norm(h, params["final_norm"], spec.rms_eps)
     return (h, aux) if collect_aux else h
 

@@ -1067,22 +1067,46 @@ def _decode_attention_xla(q, k_l, v_l, lengths, page_table, window=0, sinks=None
 
 
 def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str, window=0, sinks=None):
-    if window or sinks is not None:
-        return _decode_attention_xla(q, k_l, v_l, lengths, page_table, window, sinks)
-    # the Pallas kernel tiles head_dim on the 128-lane axis
-    if impl == "pallas" and (q.shape[-1] % 128 != 0 or k_l.shape[2] % 8 != 0):
-        impl = "xla"
-    if impl == "pallas":
+    if impl == "pallas" and q.shape[-1] % 128 == 0 and k_l.shape[2] % 8 == 0:
+        # first-party fused kernel in score-only mode: a zero-length dummy
+        # "new token" would change the softmax, so route through the XLA
+        # oracle only when the kernel's constraints don't hold
         from jax.experimental.pallas.ops.tpu.paged_attention import paged_attention
 
-        pages_per_block = min(8, page_table.shape[1])
-        # the kernel applies no softmax scale — pre-scale q
-        q_scaled = (q.astype(jnp.float32) * (q.shape[-1] ** -0.5)).astype(q.dtype)
-        return paged_attention(
-            q_scaled, k_l, v_l, lengths, page_table,
-            pages_per_compute_block=pages_per_block,
-        )
-    return _decode_attention_xla(q, k_l, v_l, lengths, page_table)
+        if not window and sinks is None:
+            pages_per_block = min(8, page_table.shape[1])
+            # the kernel applies no softmax scale — pre-scale q
+            q_scaled = (q.astype(jnp.float32) * (q.shape[-1] ** -0.5)).astype(q.dtype)
+            return paged_attention(
+                q_scaled, k_l, v_l, lengths, page_table,
+                pages_per_compute_block=pages_per_block,
+            )
+    return _decode_attention_xla(q, k_l, v_l, lengths, page_table, window, sinks)
+
+
+def _decode_attn_fused(q_t, k_t, v_t, k_l, v_l, lengths, page_table, impl: str,
+                       window=0, sinks=None):
+    """Fused append + attention for one decode step.
+
+    ``q_t/k_t/v_t`` are the new token's projections [S, NH|NKV, HD];
+    ``lengths`` EXCLUDE the new token. Returns (o [S, NH, HD], k_l, v_l)
+    with the token's K/V appended to the pools. On TPU this is one Pallas
+    kernel (ops/decode_attention.py — covers windows and sinks in-kernel);
+    elsewhere it falls back to scatter + gathered XLA attention."""
+    ps = k_l.shape[2]
+    if impl == "pallas" and q_t.shape[-1] % 128 == 0 and ps % 8 == 0:
+        from prime_rl_tpu.ops.decode_attention import decode_paged_attention
+
+        return decode_paged_attention(
+            q_t, k_t.astype(k_l.dtype), v_t.astype(v_l.dtype), k_l, v_l,
+            lengths, page_table, window=window or 0, sinks=sinks)
+    page_idx = jnp.take_along_axis(page_table, (lengths // ps)[:, None], axis=1)[:, 0]
+    flat_idx = page_idx * ps + lengths % ps
+    k_l = _write_tokens(k_l, k_t.transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
+    v_l = _write_tokens(v_l, v_t.transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
+    o = _decode_attention(q_t, k_l, v_l, lengths + 1, page_table, impl,
+                          window=window, sinks=sinks)
+    return o, k_l, v_l
 
 
 def decode(
@@ -1186,11 +1210,9 @@ def decode(
             continue
         if kind == "*":
             x, q, k, v = _bare_attn(h, lp, spec)
-            k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
-            v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
-            o = _decode_attention(
-                q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table,
-                attn_impl)
+            o, k_l, v_l = _decode_attn_fused(
+                q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0], k_l, v_l,
+                lengths, page_table, attn_impl)
             h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
             k_out.append(k_l)
             v_out.append(v_l)
@@ -1198,13 +1220,11 @@ def decode(
         x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
         q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
                        rope_scaling, adapter_idx)
-        # write the new token's K/V in place (see _write_tokens)
-        k_l = _write_tokens(k_l, k[:, 0].transpose(1, 0, 2).astype(k_l.dtype), flat_idx)
-        v_l = _write_tokens(v_l, v[:, 0].transpose(1, 0, 2).astype(v_l.dtype), flat_idx)
-        o = _decode_attention(
-            q[:, 0].astype(compute_dtype), k_l, v_l, attn_lengths, page_table, attn_impl,
-            window=win, sinks=lp.get("sink"),
-        )  # [S, NH, HD]
+        # fused append + attention (windows/sinks handled in-kernel on TPU)
+        o, k_l, v_l = _decode_attn_fused(
+            q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0], k_l, v_l,
+            lengths, page_table, attn_impl, window=win, sinks=lp.get("sink"),
+        )  # o: [S, NH, HD]
         o = _gated_o(o, x[:, 0], lp, spec)
         proj = _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)

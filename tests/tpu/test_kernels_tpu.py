@@ -77,3 +77,46 @@ def test_offloaded_optimizer_step():
     mu2 = next(x for x in jax.tree.leaves(state2.opt_state) if x.ndim >= 2)
     assert mu2.sharding.memory_kind == "pinned_host"
     assert float(m["grad_norm"]) > 0
+
+
+@requires_tpu
+def test_fused_decode_attention_parity():
+    """ops/decode_attention.decode_paged_attention (fused append + score,
+    windows, sinks) vs the scatter + gathered-XLA oracle."""
+    from prime_rl_tpu.sampler.model import _decode_attention_xla, _write_tokens
+    from prime_rl_tpu.ops.decode_attention import decode_paged_attention
+
+    S, NH, NKV, HD, NP, PS, P = 8, 4, 2, 128, 80, 64, 8
+    ks = jax.random.split(jax.random.key(1), 6)
+    q = jax.random.normal(ks[0], (S, NH, HD), jnp.bfloat16)
+    k_new = jax.random.normal(ks[1], (S, NKV, HD), jnp.bfloat16)
+    v_new = jax.random.normal(ks[2], (S, NKV, HD), jnp.bfloat16)
+    k_pages = jax.random.normal(ks[3], (NKV, NP, PS, HD), jnp.bfloat16)
+    v_pages = jax.random.normal(ks[4], (NKV, NP, PS, HD), jnp.bfloat16)
+    # lengths BEFORE the new token; spans page boundaries and multi-block
+    lengths = jnp.array([4, 63, 64, 100, 127, 200, 299, 0], jnp.int32)
+    page_table = (jax.random.permutation(ks[5], NP - 1)[: S * P] + 1).reshape(S, P).astype(jnp.int32)
+    sinks = jax.random.normal(jax.random.key(7), (NH,), jnp.float32)
+
+    def oracle(window=0, use_sinks=False):
+        flat = (jnp.take_along_axis(page_table, (lengths // PS)[:, None], 1)[:, 0]
+                * PS + lengths % PS)
+        k2 = _write_tokens(k_pages, k_new.transpose(1, 0, 2), flat)
+        v2 = _write_tokens(v_pages, v_new.transpose(1, 0, 2), flat)
+        o = _decode_attention_xla(q, k2, v2, lengths + 1, page_table,
+                                  window=window, sinks=sinks if use_sinks else None)
+        return o, k2, v2
+
+    for window, use_sinks in ((0, False), (96, False), (0, True), (128, True)):
+        o_ref, k_ref, v_ref = oracle(window, use_sinks)
+        o, k2, v2 = decode_paged_attention(
+            q, k_new, v_new, k_pages, v_pages, lengths, page_table,
+            window=window, sinks=sinks if use_sinks else None)
+        np.testing.assert_allclose(
+            np.asarray(o, np.float32), np.asarray(o_ref, np.float32),
+            atol=6e-3, rtol=6e-3, err_msg=f"window={window} sinks={use_sinks}")
+        np.testing.assert_array_equal(np.asarray(k2), np.asarray(k_ref))
+        np.testing.assert_array_equal(np.asarray(v2), np.asarray(v_ref))
+        # the oracle consumed the donated pools' values; rebuild for next case
+        k_pages = k2
+        v_pages = v2

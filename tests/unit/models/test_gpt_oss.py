@@ -155,3 +155,54 @@ def test_engine_greedy_matches_training_forward():
 
     got = engine.generate([prompt], SamplingParams(max_tokens=10, temperature=0.0))[0]
     assert got.token_ids == want
+
+def test_lora_and_router_replay():
+    """LoRA threads through the period-2 super-block scan: zero-B adapters
+    are exact identity; nonzero adapters (incl. per-expert moe_* targets)
+    change the output and receive gradients. Router replay (forced expert
+    ids) reproduces the recorded routing (reference: routed_experts replay +
+    trainer/lora.py targeting grouped experts)."""
+    import jax
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.configs.shared import LoRAConfig
+    from prime_rl_tpu.models.lora import init_lora, lora_scale
+    from prime_rl_tpu.ops.moe import route_topk
+
+    params = init_params(SPEC, jax.random.PRNGKey(0))
+    cfg = LoRAConfig(rank=4, alpha=8, target_modules=["q", "v", "up", "down"],
+                     experts=True)
+    lora = init_lora(SPEC, cfg, jax.random.key(1))
+    assert "moe_up_a" in lora["layers"] and "q_a" in lora["layers"]
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, SPEC.vocab_size, (2, 16)))
+    seg = jnp.ones((2, 16), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(16, dtype=jnp.int32), (2, 16))
+    kw = dict(compute_dtype=jnp.float32, attn_impl="xla", remat="none")
+
+    base = forward(params, SPEC, ids, seg, pos, **kw)
+    with_zero = forward(params, SPEC, ids, seg, pos, lora=lora,
+                        lora_scale=lora_scale(cfg), **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(with_zero),
+                               rtol=1e-6, atol=1e-6)
+
+    # nonzero B: output changes and every adapter tensor gets a gradient
+    lora2 = jax.tree.map(lambda x: x + 0.02, lora)
+
+    def loss_fn(lo):
+        h = forward(params, SPEC, ids, seg, pos, lora=lo,
+                    lora_scale=lora_scale(cfg), **kw)
+        return jnp.sum(h * h)
+
+    g = jax.grad(loss_fn)(lora2)
+    assert abs(loss_fn(lora2) - loss_fn(lora)) > 0
+    for k, v in g["layers"].items():
+        assert float(jnp.abs(v).max()) > 0, f"no gradient through {k}"
+
+    # router replay: -1 rows (keep own routing) reproduce the unforced
+    # output exactly through the super-block scan
+    own = jnp.full((2, 16, SPEC.num_layers, SPEC.num_experts_per_tok), -1, jnp.int32)
+    out_own = forward(params, SPEC, ids, seg, pos, routed_experts=own, **kw)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(out_own),
+                               rtol=1e-6, atol=1e-6)
