@@ -165,16 +165,15 @@ class Engine:
         # hybrid (GDN/Mamba) models carry per-slot recurrent state for their
         # linear-attention layers. Attention-layer KV still pages normally,
         # so chunked prefill works (recurrent layers thread state between
-        # chunks) and prefix caching works too via host-side recurrent-state
-        # checkpoints at page boundaries (_state_tier) — vLLM disables both
-        # for hybrid models; here only P/D page extraction stays unsupported.
-        # MLA chunking over latent pages is exact — DSA included (its indexer
-        # keys page alongside and each chunk query re-runs the top-k
-        # selection), so deepseek/GLM-DSA keep prefix caching + chunked
-        # prefill as well.
+        # chunks), prefix caching works via host-side recurrent-state
+        # checkpoints at page boundaries (_state_tier), and P/D works by
+        # shipping the recurrent rows alongside the KV pages — vLLM disables
+        # all of these for hybrid models. MLA chunking over latent pages is
+        # exact — DSA included (its indexer keys page alongside and each
+        # chunk query re-runs the top-k selection), so deepseek/GLM-DSA keep
+        # prefix caching + chunked prefill + P/D (latent pages on the wire)
+        # as well.
         self.is_hybrid = bool(spec.gdn_pattern or spec.layer_pattern)
-        # MLA latent pages break the KV-shaped side paths either way
-        self._no_kv_sidepaths = self.is_hybrid or spec.kv_lora_rank > 0
         from prime_rl_tpu.sampler.cache import layer_kinds
 
         if not any(kd in ("A", "*") for kd in layer_kinds(spec)):
@@ -677,11 +676,6 @@ class Engine:
         sp = req.params
         n = max(len(req.prompt), 1)
         ps = self.config.page_size
-        if self._no_kv_sidepaths and (sp.extract_kv or req.inject is not None):
-            kind = "hybrid recurrent state" if self.is_hybrid else "MLA latent cache"
-            self._reject(req, ValueError(
-                f"{kind}: P/D KV extraction/injection is unsupported"))
-            return True
         if self.is_hybrid and n > self.buckets[-1] and (
                 self._state_tier is None or sp.prompt_logprobs or req.mm is not None):
             self._reject(req, ValueError(
@@ -848,11 +842,7 @@ class Engine:
             # P/D prefill role: hand the request's KV pages + first token to
             # the caller and release the slot — no decode happens here
             # (reference: optimized P/D deployment; NIXL KV transfer role)
-            n_pages = -(-n // ps)
-            rows = jnp.asarray(self.slots.page_table[slot][:n_pages], jnp.int32)
-            k_np, v_np = jax.device_get(self._gather_pages_fn()(
-                self.k_pool, self.v_pool, rows))
-            active.kv = {"k": k_np, "v": v_np, "pos_delta": int(pos_delta)}
+            active.kv = self._extract_kv_payload(slot, n, pos_delta)
             self.active[slot] = active
             self._finish(active, "length")
             return
@@ -1005,6 +995,12 @@ class Engine:
         tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
+        if sp.extract_kv:
+            # P/D prefill role: paged KV + recurrent rows + first token
+            active.kv = self._extract_kv_payload(slot, n, 0)
+            self.active[slot] = active
+            self._finish(active, "length")
+            return
         self.active[slot] = active
         (self._d_tokens, self._d_lengths, self._d_active,
          self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
@@ -1059,36 +1055,72 @@ class Engine:
 
     def _scatter_pages(self, k_new, v_new, rows):
         """Jitted per-page-count scatter into the pools (shared by P/D
-        injection and the host-tier restore)."""
+        injection and the host-tier restore). ``k_new``/``v_new`` stack the
+        paged (non-None) layers only, in layer order; ``v_new`` may be None
+        (MLA without a DSA indexer side)."""
         n_pages = int(rows.shape[0])
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def scatter(k_pool, v_pool, k_new, v_new, rows):
             from prime_rl_tpu.sampler.model import _write_pages
 
-            k_out = [_write_pages(kl, k_new[i].astype(kl.dtype), rows)
-                     for i, kl in enumerate(k_pool)]
-            v_out = [_write_pages(vl, v_new[i].astype(vl.dtype), rows)
-                     for i, vl in enumerate(v_pool)]
+            k_out, v_out = [], []
+            i = j = 0
+            for kl in k_pool:
+                if kl is None:
+                    k_out.append(None)
+                else:
+                    k_out.append(_write_pages(kl, k_new[i].astype(kl.dtype), rows))
+                    i += 1
+            for vl in v_pool:
+                if vl is None or v_new is None:
+                    v_out.append(vl)
+                else:
+                    v_out.append(_write_pages(vl, v_new[j].astype(vl.dtype), rows))
+                    j += 1
             return k_out, v_out
 
         if getattr(self, "_scatter_fns", None) is None:
             self._scatter_fns = {}
-        fn = self._scatter_fns.setdefault(n_pages, scatter)
+        fn = self._scatter_fns.setdefault((n_pages, v_new is not None), scatter)
         return fn(self.k_pool, self.v_pool, k_new, v_new, rows)
 
     def _gather_pages_fn(self):
-        """Jitted page gather for P/D extraction: pools + page rows ->
-        ([NL, NKV, n_pages, PS, HD] k, same v)."""
+        """Jitted page gather for P/D extraction / host-tier spill: pools +
+        page rows -> ([NL', NKV, n_pages, PS, HD] k, same v). None pool
+        entries (hybrid recurrent layers; MLA's unused V side) are skipped —
+        the stack covers the paged layers only, in layer order (both P/D
+        engines share the spec, so the mapping is implicit)."""
         if getattr(self, "_gather_fn", None) is None:
             @jax.jit
             def gather(k_pool, v_pool, rows):
-                k = jnp.stack([jnp.take(kl, rows, axis=1) for kl in k_pool])
-                v = jnp.stack([jnp.take(vl, rows, axis=1) for vl in v_pool])
-                return k, v
+                k = jnp.stack([jnp.take(kl, rows, axis=1)
+                               for kl in k_pool if kl is not None])
+                vs = [jnp.take(vl, rows, axis=1)
+                      for vl in v_pool if vl is not None]
+                return (k, jnp.stack(vs)) if vs else (k,)
 
             self._gather_fn = gather
         return self._gather_fn
+
+    def _extract_kv_payload(self, slot: int, n: int, pos_delta: int) -> dict:
+        """P/D prefill role: the request's paged KV (+ recurrent rows for
+        hybrid models, + DSA indexer pages riding the V pool for MLA) as a
+        host payload the decode engine injects (reference: optimized P/D
+        deployment, NIXL KV-transfer role)."""
+        ps = self.config.page_size
+        n_pages = -(-n // ps)
+        rows = jnp.asarray(self.slots.page_table[slot][:n_pages], jnp.int32)
+        out = self._gather_pages_fn()(self.k_pool, self.v_pool, rows)
+        got = jax.device_get(out)
+        payload = {"k": got[0], "v": got[1] if len(got) > 1 else None,
+                   "pos_delta": int(pos_delta)}
+        if self.is_hybrid:
+            payload["r"] = jax.device_get([
+                None if rc is None else (rc[slot], rs[slot])
+                for rc, rs in zip(self.r_conv, self.r_state)
+            ])
+        return payload
 
     def _admit_injected(self, req: _Request, slot: int, n: int) -> None:
         """P/D decode role: write a prefill engine's KV pages into this
@@ -1098,14 +1130,27 @@ class Engine:
         inj = req.inject
         n_pages = -(-n // ps)
         rows = jnp.asarray(self.slots.page_table[slot][:n_pages], jnp.int32)
-        k_np, v_np = np.asarray(inj["k"]), np.asarray(inj["v"])
+        k_np = np.asarray(inj["k"])
+        v_np = None if inj.get("v") is None else np.asarray(inj["v"])
         if k_np.shape[2] != n_pages:
             raise ValueError(
                 f"injected KV has {k_np.shape[2]} pages, request needs {n_pages} "
                 "(page_size must match between prefill and decode engines)")
 
         self.k_pool, self.v_pool = self._scatter_pages(
-            jnp.asarray(k_np), jnp.asarray(v_np), rows)
+            jnp.asarray(k_np), None if v_np is None else jnp.asarray(v_np), rows)
+        if self.is_hybrid:
+            # hybrid models: the prefill engine's recurrent rows (conv
+            # window + SSM/fast-weight state) seed this slot's decode state
+            r_rows = inj.get("r")
+            if r_rows is None or len(r_rows) != len(self.r_conv):
+                raise ValueError(
+                    "hybrid P/D injection needs the prefill engine's "
+                    "recurrent rows ('r', one entry per layer)")
+            self._set_slot_state(slot, [
+                None if r is None else (np.asarray(r[0]), np.asarray(r[1]))
+                for r in r_rows
+            ])
         self.stats["prefill_tokens_cached"] += n  # imported, not computed
 
         first_tok = int(inj["first_token"])

@@ -222,7 +222,7 @@ class Router:
         inject = {
             "token_ids": ids, "sampling_params": sp,
             "request_id": parsed.get("request_id"),
-            "k": blob["k"], "v": blob["v"],
+            "k": blob["k"], "v": blob.get("v"), "r": blob.get("r"),
             "first_token": blob["first_token"],
             "first_logprob": blob["first_logprob"],
             "pos_delta": blob["pos_delta"],

@@ -215,7 +215,8 @@ class InferenceServer:
             "first_token": result.token_ids[0],
             "first_logprob": (result.logprobs[0] if result.logprobs else 0.0),
             "k": result.kv["k"],
-            "v": result.kv["v"],
+            "v": result.kv.get("v"),
+            "r": result.kv.get("r"),  # hybrid recurrent rows (per layer)
             "pos_delta": result.kv["pos_delta"],
             "policy_version": result.policy_version,
         }
@@ -231,7 +232,7 @@ class InferenceServer:
         fut = self.engine.submit(
             list(body["token_ids"]), sp, request_id=request_id,
             inject={
-                "k": body["k"], "v": body["v"],
+                "k": body["k"], "v": body.get("v"), "r": body.get("r"),
                 "first_token": body["first_token"],
                 "first_logprob": body.get("first_logprob", 0.0),
                 "pos_delta": body.get("pos_delta", 0),

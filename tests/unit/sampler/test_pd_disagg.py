@@ -89,3 +89,67 @@ def test_pd_page_size_mismatch_rejected(setup):
     decode.run_until_idle()
     with pytest.raises(Exception, match="pages"):
         fut.result()
+
+
+def _pd_roundtrip(spec, params, prompt, n_gen=6):
+    """Monolithic greedy vs prefill-extract -> decode-inject."""
+    cfg = CacheConfig(num_pages=64, page_size=16, max_slots=2, max_seq_len=256)
+    mono = Engine(params, spec, cfg, compute_dtype=jnp.float32)
+    prefill = Engine(params, spec, cfg, compute_dtype=jnp.float32)
+    decode = Engine(params, spec, cfg, compute_dtype=jnp.float32)
+    sp = SamplingParams(max_tokens=n_gen, temperature=0.0, ignore_eos=True)
+    want = mono.generate([prompt], [sp])[0]
+    assert len(want.token_ids) == n_gen
+
+    psp = SamplingParams(max_tokens=n_gen, temperature=0.0, ignore_eos=True,
+                         extract_kv=True)
+    pre = prefill.generate([prompt], [psp])[0]
+    assert pre.kv is not None
+    assert pre.token_ids[0] == want.token_ids[0]
+    inject = {
+        "k": pre.kv["k"], "v": pre.kv.get("v"),
+        "first_token": pre.token_ids[0],
+        "first_logprob": pre.logprobs[0] if pre.logprobs else 0.0,
+        "pos_delta": pre.kv["pos_delta"],
+    }
+    if "r" in pre.kv:
+        inject["r"] = pre.kv["r"]
+    fut = decode.submit(prompt, sp, inject=inject)
+    decode.run_until_idle()
+    got = fut.result()
+    assert got.token_ids == want.token_ids
+    return pre
+
+
+@pytest.mark.parametrize("name", ["debug_qwen3_next", "debug_nemotron"])
+def test_pd_hybrid_recurrent_state_on_the_wire(name):
+    """Hybrid (GDN / Mamba) P/D: attention-layer KV pages ship together with
+    the per-layer recurrent rows (conv window + state); the decode engine
+    seeds its slot state from them and must match monolithic greedy output
+    (vLLM disables P/D for recurrent-state models entirely)."""
+    from prime_rl_tpu.models import get_family
+    from prime_rl_tpu.models.base import get_spec
+
+    spec = get_spec(name)
+    fam = get_family(spec)
+    params = jax.tree.map(lambda x: x * 2.0, fam.init(spec, jax.random.PRNGKey(1)))
+    rng = np.random.default_rng(5)
+    prompt = [int(x) for x in rng.integers(3, 120, size=23)]
+    pre = _pd_roundtrip(spec, params, prompt)
+    assert pre.kv.get("r") is not None
+    assert any(r is not None for r in pre.kv["r"])
+
+
+def test_pd_mla_latent_pages_on_the_wire():
+    """MLA P/D: the compressed latent rows (k side) + DSA indexer pages (v
+    side) move between engines; absorbed-query decode continues exactly."""
+    from prime_rl_tpu.models.mla_moe import init_params
+    from tests.unit.models.test_mla_moe import dsa_spec
+
+    spec = dsa_spec(index_topk=64)
+    params = jax.tree.map(lambda x: x * 2.0, init_params(spec, jax.random.key(3)))
+    rng = np.random.default_rng(9)
+    prompt = [int(x) for x in rng.integers(3, 200, size=21)]
+    pre = _pd_roundtrip(spec, params, prompt)
+    assert pre.kv["k"].shape[1] == 1  # latent rows, not per-head KV
+    assert pre.kv.get("v") is not None  # DSA indexer keys ride the V pool
