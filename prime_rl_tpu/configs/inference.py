@@ -56,7 +56,7 @@ class WeightPlaneConfig(BaseConfig):
     hosts. The engine's policy_version bumps on apply — pair with the
     orchestrator's watch="liveness" (transport/weights.py)."""
 
-    mode: Literal["shm", "zmq_stream"] = "shm"
+    mode: Literal["shm", "zmq_stream", "dcn_pull"] = "shm"
     host: str = "127.0.0.1"  # zmq_stream: trainer host
     pub_port: int = 5561
     rep_port: int = 5562

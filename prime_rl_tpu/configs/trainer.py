@@ -109,10 +109,15 @@ class DeviceWeightBroadcastConfig(BaseConfig):
     - ``shm``: sampler in its own same-host process; double-buffered POSIX
       shared-memory arena (transport/weights.py).
     - ``zmq_stream``: cross-host layerwise tensor streaming over ZMQ/DCN.
+    - ``dcn_pull``: one-sided device-to-device pulls over the TPU fabric via
+      ``jax.experimental.transfer`` — no host staging at all (the NIXL RDMA
+      analogue; needs a PJRT runtime with transfer support, i.e. real
+      multi-host pods — not single-chip tunnels or CPU builds).
     """
 
     type: Literal["device"] = "device"
-    mode: Literal["colocated", "shm", "zmq_stream"] = "colocated"
+    mode: Literal["colocated", "shm", "zmq_stream", "dcn_pull"] = "colocated"
+    num_pullers: int = 1  # dcn_pull: sampler processes pulling each version
     # cast float leaves before transfer (serving computes in bf16 anyway);
     # the reference quantizes-in-transfer the same way (broadcast/nccl.py:34-68)
     # float8_e4m3: per-tensor-scaled fp8 quantize-in-transfer — halves the

@@ -72,7 +72,8 @@ def build_server(config: InferenceConfig):
         from prime_rl_tpu.transport.weights import resolve_plane_id
 
         server.weight_receiver = WeightPlaneReceiver(
-            config.weight_plane, resolve_plane_id(config.output_dir), engine
+            config.weight_plane, resolve_plane_id(config.output_dir), engine,
+            output_dir=config.output_dir,
         )
         server.weight_receiver.start()
         logger.info(f"weight plane receiver started (mode={config.weight_plane.mode})")

@@ -21,11 +21,13 @@ from prime_rl_tpu.utils.logger import get_logger
 
 
 class WeightPlaneReceiver(threading.Thread):
-    def __init__(self, config, plane_id: str, engine, poll_interval: float = 0.05):
+    def __init__(self, config, plane_id: str, engine, poll_interval: float = 0.05,
+                 output_dir: str | None = None):
         super().__init__(daemon=True, name="weight-plane-receiver")
         self.config = config
         self.plane_id = plane_id
         self.engine = engine
+        self.output_dir = output_dir
         self.poll_interval = poll_interval
         self._stop = threading.Event()
         self.version = int(getattr(engine, "policy_version", -1))
@@ -91,6 +93,40 @@ class WeightPlaneReceiver(threading.Thread):
                 self._apply(*got)
         reader.close()
 
+    # -- dcn_pull -----------------------------------------------------------
+
+    def _run_dcn(self) -> None:
+        """One-sided device pulls (reference: worker/nixl.py RDMA reads).
+        The pulled arrays are already on this process's devices — apply
+        dequantizes on device and swaps without any host copy."""
+        from prime_rl_tpu.transport.weights import (
+            DcnPullReader,
+            dequantize_named_device,
+            unflatten_params,
+        )
+
+        logger = get_logger()
+        reader = DcnPullReader(self.output_dir)
+        logger.info("weight plane: dcn_pull attached "
+                    f"({len(reader._paths)} tensors from {reader._manifest['address']})")
+        while not self._stop.is_set():
+            v = reader.latest_version()
+            if v <= self.version:
+                time.sleep(self.poll_interval)
+                continue
+            t0 = time.time()
+            named = reader.pull(v)
+            params = unflatten_params(dequantize_named_device(named))
+            self.engine.pause()
+            try:
+                self.engine.update_params(params, version=v)
+            finally:
+                self.engine.resume()
+            self.version = v
+            self.applied += 1
+            self.last_apply_s = time.time() - t0
+            logger.info(f"weight plane: pulled + applied v{v} in {self.last_apply_s:.3f}s")
+
     # -- apply --------------------------------------------------------------
 
     def _apply(self, named: dict[str, np.ndarray], version: int) -> None:
@@ -113,6 +149,8 @@ class WeightPlaneReceiver(threading.Thread):
         try:
             if self.config.mode == "shm":
                 self._run_shm()
+            elif self.config.mode == "dcn_pull":
+                self._run_dcn()
             else:
                 self._run_zmq()
         except Exception:

@@ -136,6 +136,49 @@ class ZmqStreamBroadcast:
         self._writer.close()
 
 
+class DcnPullBroadcast:
+    """On-fabric disaggregated weight plane: the learner queues each step's
+    DEVICE arrays on a ``jax.experimental.transfer`` server and samplers pull
+    them one-sided over DCN/ICI straight into their own device memory — no
+    host staging, no disk (the reference's NIXL RDMA reads, broadcast/nixl/
+    + worker/nixl.py, re-expressed on the TPU-native transfer runtime).
+    Requires a PJRT runtime with transfer support (multi-host TPU pods);
+    config-gated, never auto-selected."""
+
+    def __init__(self, output_dir: str, transfer_dtype: str | None = "bfloat16",
+                 num_pullers: int = 1):
+        from prime_rl_tpu.transport.weights import DcnPullWriter
+
+        self._writer = DcnPullWriter(output_dir, num_pullers=num_pullers)
+        self._dtype = transfer_dtype
+
+    def publish(self, params: Params, version: int) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from prime_rl_tpu.transport.weights import SCALE_SUFFIX, flatten_params
+
+        # quantize-in-transfer stays ON DEVICE — the wire is the fabric
+        if self._dtype == "float8_e4m3":
+            named = flatten_params(params)
+            out = {}
+            for p, a in named.items():
+                if jnp.issubdtype(a.dtype, jnp.floating) and a.ndim >= 2:
+                    scale = jnp.maximum(
+                        jnp.max(jnp.abs(a.astype(jnp.float32))), 1e-12) / 448.0
+                    out[p] = (a.astype(jnp.float32) / scale).astype(jnp.float8_e4m3fn)
+                    out[p + SCALE_SUFFIX] = scale.reshape(1).astype(jnp.float32)
+                else:
+                    out[p] = a
+            named = out
+        else:
+            named = flatten_params(_cast_floats(params, self._dtype))
+        self._writer.publish({p: jnp.asarray(a) for p, a in named.items()}, version)
+
+    def close(self) -> None:
+        self._writer.close()
+
+
 class MultiBroadcast:
     def __init__(self, sinks: list):
         self.sinks = sinks
@@ -154,6 +197,9 @@ def make_broadcast(config, weight_mgr, output_dir: str):
         if config.mode == "zmq_stream":
             return ZmqStreamBroadcast(config.pub_port, config.rep_port,
                                       transfer_dtype=config.transfer_dtype)
+        if config.mode == "dcn_pull":
+            return DcnPullBroadcast(output_dir, config.transfer_dtype,
+                                    num_pullers=config.num_pullers)
         raise ValueError(
             f"broadcast mode {config.mode!r} needs the colocated entrypoint"
             if config.mode == "colocated"

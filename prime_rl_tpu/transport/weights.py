@@ -397,3 +397,155 @@ class ZmqStreamReader:
 
     def close(self) -> None:
         self.sub.close(0)
+
+
+# ---------------------------------------------------------------------------
+# dcn_pull: one-sided device-to-device pulls via jax.experimental.transfer —
+# the direct analogue of the reference's NIXL RDMA reads (broadcast/nixl/
+# one-sided reads from typed staging arenas + ModelExpress rendezvous). The
+# learner queues each published version's DEVICE arrays on a transfer server
+# (no host staging at all); each sampler pulls them straight into its own
+# device memory over DCN/ICI. The rendezvous side-channel is a tiny JSON
+# manifest + version marker on the shared filesystem (the STABLE-marker
+# idiom), replacing ModelExpress gRPC.
+#
+# Requires a PJRT runtime with premapped-buffer transfer support (real
+# multi-host TPU pods). Single-process CPU builds and remote-tunnel plugins
+# (axon) do not implement it — config-gated, never auto-selected.
+# ---------------------------------------------------------------------------
+
+_DCN_MANIFEST = "dcn_plane.json"
+_DCN_VERSION = "dcn_version"
+
+
+def _dcn_dir(output_dir: str):
+    import pathlib
+
+    d = pathlib.Path(output_dir) / "weight_plane"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+class DcnPullWriter:
+    """Learner side: queue each version's device arrays for one-sided pulls.
+
+    Holds references to the queued arrays until the next publish so the
+    buffers outlive in-flight pulls (one-version-deep, like the shm arena's
+    double buffer: samplers lagging more than one version re-pull the next
+    marker instead)."""
+
+    def __init__(self, output_dir: str, num_pullers: int = 1):
+        import jax
+        from jax.experimental import transfer
+
+        self._dir = _dcn_dir(output_dir)
+        client = jax.devices()[0].client
+        self._server = transfer.start_transfer_server(client)
+        self.address = self._server.address()
+        self._num_pullers = max(1, num_pullers)
+        self._pending: list = []
+        self._layout_written = False
+
+    def publish(self, named_dev: dict, version: int) -> None:
+        """``named_dev``: flat path -> DEVICE jax.Array (quantize-in-transfer
+        upstream, exactly like the host planes)."""
+        import json
+        import os
+
+        paths = sorted(named_dev)
+        arrays = [named_dev[p] for p in paths]
+        if not self._layout_written:
+            manifest = {
+                "address": self.address,
+                "tensors": [
+                    {"path": p, "dtype": _dtype_name(named_dev[p].dtype),
+                     "shape": list(named_dev[p].shape)}
+                    for p in paths
+                ],
+            }
+            tmp = self._dir / (_DCN_MANIFEST + ".tmp")
+            tmp.write_text(json.dumps(manifest))
+            os.replace(tmp, self._dir / _DCN_MANIFEST)
+            self._layout_written = True
+        # every puller issues its own pull of this uuid
+        for _ in range(self._num_pullers):
+            self._server.await_pull(version, arrays)
+        self._pending = arrays  # keep alive until the next publish
+        tmp = self._dir / (_DCN_VERSION + ".tmp")
+        tmp.write_text(str(version))
+        os.replace(tmp, self._dir / _DCN_VERSION)
+
+    def close(self) -> None:
+        self._pending = []
+
+
+class DcnPullReader:
+    """Sampler side: poll the version marker, pull straight to device."""
+
+    def __init__(self, output_dir: str, sharding=None):
+        import json
+        import time as _t
+
+        self._dir = _dcn_dir(output_dir)
+        man = self._dir / _DCN_MANIFEST
+        while not man.exists():
+            _t.sleep(0.2)
+        self._manifest = json.loads(man.read_text())
+        self._paths = [t["path"] for t in self._manifest["tensors"]]
+        self._specs = None
+        self._sharding = sharding
+        self._conn = None
+
+    def latest_version(self) -> int:
+        try:
+            return int((self._dir / _DCN_VERSION).read_text())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _connect(self):
+        import jax
+        from jax.experimental import transfer
+
+        if self._conn is None:
+            client = jax.devices()[0].client
+            self._server = transfer.start_transfer_server(client)
+            addr = self._manifest["address"].replace("[::]", "127.0.0.1")
+            self._conn = self._server.connect(addr)
+        if self._specs is None:
+            import jax
+
+            sh = self._sharding or jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            self._specs = [
+                jax.ShapeDtypeStruct(tuple(t["shape"]), _np_dtype(t["dtype"]),
+                                     sharding=sh)
+                for t in self._manifest["tensors"]
+            ]
+        return self._conn
+
+    def pull(self, version: int) -> dict:
+        """One-sided pull of ``version``'s arrays onto this process's
+        devices. Returns flat path -> device jax.Array (scales included —
+        dequantize with ``dequantize_named_device``)."""
+        conn = self._connect()
+        arrays = conn.pull(version, self._specs)
+        return dict(zip(self._paths, arrays))
+
+
+def dequantize_named_device(named: dict, target: str = "bfloat16") -> dict:
+    """Device-side twin of ``dequantize_named`` for pulled jax arrays."""
+    import jax.numpy as jnp
+
+    scales = {p[: -len(SCALE_SUFFIX)]: a for p, a in named.items()
+              if p.endswith(SCALE_SUFFIX)}
+    if not scales:
+        return named
+    tgt = jnp.dtype(_np_dtype(target))
+    out = {}
+    for p, a in named.items():
+        if p.endswith(SCALE_SUFFIX):
+            continue
+        if p in scales:
+            out[p] = (a.astype(jnp.float32) * scales[p].reshape(-1)[0]).astype(tgt)
+        else:
+            out[p] = a
+    return out

@@ -207,3 +207,103 @@ def test_fp8_quantize_in_transfer_roundtrip(tmp_path):
         reader.close()
     finally:
         writer.close()
+
+
+class _FakeServer:
+    """In-process stand-in for jax.experimental.transfer (whose C++ DCN
+    transport needs a multi-host TPU runtime): queued pytrees move through a
+    module-level mailbox keyed by (address, uuid)."""
+
+    MAILBOX = {}
+    N = 0
+
+    def __init__(self):
+        _FakeServer.N += 1
+        self._addr = f"fake:{_FakeServer.N}"
+
+    def address(self):
+        return self._addr
+
+    def await_pull(self, uuid, arrays):
+        _FakeServer.MAILBOX[(self._addr, uuid)] = list(arrays)
+
+    def connect(self, address):
+        return _FakeConn(address)
+
+
+class _FakeConn:
+    def __init__(self, address):
+        self.address = address
+
+    def pull(self, uuid, specs):
+        import jax.numpy as jnp
+
+        arrays = _FakeServer.MAILBOX[(self.address, uuid)]
+        assert len(arrays) == len(specs)
+        for a, s in zip(arrays, specs):
+            assert tuple(a.shape) == tuple(s.shape) and a.dtype == s.dtype, \
+                f"manifest mismatch: {a.shape}/{a.dtype} vs {s.shape}/{s.dtype}"
+        return [jnp.asarray(a) for a in arrays]
+
+
+@pytest.fixture()
+def fake_transfer(monkeypatch):
+    import jax.experimental.transfer as xfer
+
+    monkeypatch.setattr(xfer, "start_transfer_server",
+                        lambda client: _FakeServer())
+    _FakeServer.MAILBOX.clear()
+    yield
+
+
+def test_dcn_pull_roundtrip(tmp_path, fake_transfer):
+    """Sender protocol (manifest + version markers + device arrays queued
+    per version) against the receiver's poll/pull/dequantize — with the
+    transfer fabric faked (the real jax.experimental.transfer backend needs
+    a multi-host TPU runtime; this validates everything we own around it)."""
+    import jax
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.trainer.rl.broadcast import DcnPullBroadcast
+    from prime_rl_tpu.transport.weights import (
+        DcnPullReader,
+        dequantize_named_device,
+        unflatten_params,
+    )
+
+    params = {
+        "embed": jnp.arange(32.0, dtype=jnp.float32).reshape(8, 4),
+        "layers": {"q": jnp.ones((2, 4, 4), jnp.float32) * 0.5},
+        "final_norm": jnp.ones((4,), jnp.float32),
+    }
+    bc = DcnPullBroadcast(str(tmp_path), transfer_dtype="bfloat16")
+    bc.publish(params, version=3)
+
+    reader = DcnPullReader(str(tmp_path))
+    assert reader.latest_version() == 3
+    named = reader.pull(3)
+    got = unflatten_params(dequantize_named_device(named))
+    assert got["embed"].dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got["embed"], np.float32),
+                               np.asarray(params["embed"]))
+    np.testing.assert_allclose(np.asarray(got["layers"]["q"], np.float32), 0.5)
+
+    # fp8 quantize-in-transfer: scales ride the wire, dequant on device
+    bc8 = DcnPullBroadcast(str(tmp_path / "q8"), transfer_dtype="float8_e4m3")
+    bc8.publish(params, version=7)
+    r8 = DcnPullReader(str(tmp_path / "q8"))
+    named8 = r8.pull(7)
+    assert any(k.endswith("!scale") for k in named8)
+    got8 = unflatten_params(dequantize_named_device(named8))
+    np.testing.assert_allclose(np.asarray(got8["embed"], np.float32),
+                               np.asarray(params["embed"]), rtol=0.08, atol=0.2)
+    # 1-D leaves skip quantization (norms stay exact)
+    np.testing.assert_allclose(np.asarray(got8["final_norm"], np.float32), 1.0)
+
+    # version bumps: the next publish supersedes; readers see the marker
+    bc.publish(jax.tree.map(lambda x: x * 2, params), version=4)
+    assert reader.latest_version() == 4
+    named4 = reader.pull(4)
+    got4 = unflatten_params(dequantize_named_device(named4))
+    np.testing.assert_allclose(np.asarray(got4["embed"], np.float32),
+                               np.asarray(params["embed"]) * 2)
