@@ -28,7 +28,9 @@ def main() -> None:
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--micro-batches", type=int, default=4)
     p.add_argument("--micro-batch-rows", type=int, default=1)
-    p.add_argument("--batch-size", type=int, default=32, help="decode: concurrent slots")
+    p.add_argument("--batch-size", type=int, default=64, help="decode: concurrent slots"
+                   " (decode at RL-serving batch is op-dispatch-bound, so"
+                   " throughput scales near-linearly with slots until HBM fills)")
     p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
     p.add_argument("--remat", default=None,
                    help="activation-checkpoint mode: none|full|save_attn|offload_attn|selective")

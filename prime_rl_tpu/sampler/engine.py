@@ -239,6 +239,7 @@ class Engine:
         self._vision_fns: dict[int, any] = {}
         self._mm_buckets = [256, 512, 1024, 2048, 4096, 8192, 16384, 32768]
         self._d_table = jnp.asarray(self.slots.page_table)
+        self._table_dirty = False
         self._d_key = jax.random.key(seed)
 
         self._inflight: deque[_StepOutput] = deque()
@@ -775,7 +776,10 @@ class Engine:
         shared_tokens = n_shared * ps
         self.slots.lengths[slot] = n
         self._shadow_lengths[slot] = n
-        self._d_table = jnp.asarray(self.slots.page_table)
+        # defer the table upload to the next decode dispatch: prefill uses
+        # its own `pages` argument, and admitting a burst of requests would
+        # otherwise pay one full host->device table push EACH
+        self._table_dirty = True
         if req.inject is not None:
             return self._admit_injected(req, slot, n)
         self.stats["prefill_tokens_computed"] += n - shared_tokens
@@ -1190,6 +1194,9 @@ class Engine:
                 a.req.on_token(int(tok), float(lp))
 
     def _dispatch_decode(self) -> None:
+        if self._table_dirty:
+            self._d_table = jnp.asarray(self.slots.page_table)
+            self._table_dirty = False
         slots = sorted(s for s, a in self.active.items() if not a.done)
         (self.k_pool, self.v_pool, out_tokens, out_logprobs,
          self._d_lengths, self._d_key, routed,

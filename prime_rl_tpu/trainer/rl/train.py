@@ -166,6 +166,28 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             host = multihost_utils.process_allgather(host, tiled=True)
         if is_main:
             weight_sink.publish(host, version)
+            export_adapter(version)
+
+    def export_adapter(version: int) -> None:
+        """Standalone PEFT-style adapter next to the merged snapshot
+        (reference: ckpt.py:322-517 optional separate LoRA adapter) —
+        servable without a merge via /load_lora_adapter."""
+        if base_params is None:
+            return
+        from pathlib import Path as _P
+
+        from safetensors.numpy import save_file
+
+        from prime_rl_tpu.models.lora import adapter_state_dict
+        from prime_rl_tpu.utils import pathing
+
+        d = _P(pathing.weights_dir(config.output_dir, version))
+        if not d.exists():  # non-filesystem plane outside the snapshot interval
+            return
+        host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), state.params)
+        (d / "adapter").mkdir(exist_ok=True)
+        save_file(adapter_state_dict(host, spec, config.model.lora),
+                  d / "adapter" / "adapter_model.safetensors")
 
     version = progress.step
     gather_and_publish(version)
@@ -272,6 +294,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             gather_and_publish(version)
             if is_main and snapshot_interval and progress.step % snapshot_interval == 0:
                 weight_mgr.save(publish_params(), version)
+                export_adapter(version)
             pub_s = time.perf_counter() - t_pub
         else:
             pub_s = 0.0

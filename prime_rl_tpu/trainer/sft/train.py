@@ -51,8 +51,47 @@ def train(config: SFTConfig) -> None:
                 init_params = load_hf_weights(config.model.name, spec)
         except Exception as e:  # pragma: no cover
             logger.warning(f"could not load pretrained weights: {e}; random init")
-    state = init_train_state(spec, mesh_info, optimizer, seed=config.seed, params=init_params)
-    train_step = make_train_step(spec, config.model, loss_cfg, optimizer, mesh_info)
+    base_params = None
+    if config.model.lora is not None:
+        from prime_rl_tpu.trainer.step import init_base_params, init_lora_train_state
+
+        base_params = init_base_params(spec, mesh_info, config.seed, init_params)
+        state = init_lora_train_state(spec, config.model.lora, mesh_info, optimizer,
+                                      config.seed)
+        logger.info(f"LoRA r{config.model.lora.rank}: training adapters only "
+                    "(reference scenario: sft_lora)")
+    else:
+        state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
+                                 params=init_params)
+    train_step = make_train_step(spec, config.model, loss_cfg, optimizer, mesh_info,
+                                 base_params=base_params)
+
+    def publish_params():
+        if base_params is None:
+            return state.params
+        from prime_rl_tpu.models.lora import merge_lora
+
+        return merge_lora(base_params, state.params, config.model.lora, spec=spec)
+
+    def export_adapter(step: int) -> None:
+        """Standalone PEFT adapter alongside the merged snapshot."""
+        if base_params is None:
+            return
+        from pathlib import Path as _P
+
+        from safetensors.numpy import save_file
+
+        from prime_rl_tpu.models.lora import adapter_state_dict
+        from prime_rl_tpu.utils.pathing import weights_dir
+
+        d = _P(weights_dir(config.output_dir, step))
+        if d.exists():
+            import numpy as _np
+
+            host = jax.tree.map(lambda x: _np.asarray(jax.device_get(x)), state.params)
+            (d / "adapter").mkdir(exist_ok=True)
+            save_file(adapter_state_dict(host, spec, config.model.lora),
+                      d / "adapter" / "adapter_model.safetensors")
 
     ckpt_mgr = CheckpointManager(config.output_dir, config.ckpt)
     weight_mgr = WeightCheckpointManager(config.output_dir, config.weight_ckpt, spec)
@@ -68,6 +107,9 @@ def train(config: SFTConfig) -> None:
         from transformers import AutoTokenizer
 
         tokenizer = AutoTokenizer.from_pretrained(config.tokenizer.name or config.model.name)
+    # fake data must stay inside the model's vocab (out-of-range ids make
+    # the embedding lookup produce NaNs on some backends)
+    config.data.fake_vocab = min(config.data.fake_vocab, spec.vocab_size)
     vlm = {"vlm_spec": spec if spec.vision is not None else None,
            "max_mm_patches": config.data.max_mm_patches}
     loader = setup_sft_loader(config.data, tokenizer, **vlm)
@@ -141,7 +183,8 @@ def train(config: SFTConfig) -> None:
         if bench is None and progress.step % config.ckpt.interval == 0:
             ckpt_mgr.save(state, progress)
         if bench is None and progress.step % config.weight_ckpt.interval == 0:
-            weight_mgr.save(state.params, progress.step)
+            weight_mgr.save(publish_params(), progress.step)
+            export_adapter(progress.step)
         if bench is not None and progress.step >= bench.warmup_steps + bench.steps:
             break
 
