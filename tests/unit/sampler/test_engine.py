@@ -321,3 +321,53 @@ def test_int8_quantized_serving_hybrid_and_mla():
                               SamplingParams(max_tokens=4, temperature=0.0,
                                              ignore_eos=True))[0]
         assert len(out.token_ids) == 4
+
+
+def test_scheduling_fuzz_greedy_parity(setup):
+    """Randomized scheduler interleavings (staggered admissions into a
+    4-slot engine, random lengths/max_tokens, mid-stream aborts, slot churn
+    over several waves) must never change any surviving request's greedy
+    output vs the naive oracle — the page reuse / deferred-release /
+    skip-over machinery is invisible to results (safety-net tier,
+    SURVEY.md §5 race detection)."""
+    spec, params, engine = setup
+    rng = np.random.default_rng(42)
+    oracle_cache: dict[tuple, list[int]] = {}
+
+    def oracle(prompt, n):
+        key = (tuple(prompt), n)
+        if key not in oracle_cache:
+            oracle_cache[key] = naive_greedy(params, spec, prompt, n)
+        return oracle_cache[key]
+
+    reqs = []
+    for i in range(14):
+        prompt = [int(x) for x in rng.integers(1, 120, int(rng.integers(3, 60)))]
+        n = int(rng.integers(1, 12))
+        reqs.append((prompt, n))
+
+    futs = []
+    aborted = set()
+    for i, (prompt, n) in enumerate(reqs):
+        sp = SamplingParams(max_tokens=n, temperature=0.0, ignore_eos=True)
+        futs.append(engine.submit(prompt, sp, request_id=f"fz-{i}"))
+        # random interleaving: run a few engine steps between submissions
+        for _ in range(int(rng.integers(0, 4))):
+            engine.step()
+        if rng.random() < 0.2:
+            victim = int(rng.integers(0, i + 1))
+            if victim not in aborted and engine.abort(f"fz-{victim}"):
+                aborted.add(victim)
+    engine.run_until_idle()
+
+    checked = 0
+    for i, ((prompt, n), fut) in enumerate(zip(reqs, futs)):
+        got = fut.result()
+        if i in aborted or got.finish_reason == "aborted":
+            continue
+        assert got.token_ids == oracle(prompt, n), f"req {i} diverged"
+        checked += 1
+    assert checked >= 6  # aborts are random but most requests must survive
+    assert not engine.has_work()
+    # no page leak across the churn
+    assert len(engine.slots.free_slots) == engine.config.max_slots
