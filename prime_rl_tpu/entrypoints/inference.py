@@ -59,9 +59,18 @@ def build_server(config: InferenceConfig):
         f"engine: model={config.model.name} pages={num_pages}x{config.kv.page_size} "
         f"slots={cache_cfg.max_slots} max_len={config.max_model_len}"
     )
+    mesh = None
+    if len(jax.devices()) > 1:
+        # TP serving (reference: vLLM tensor_parallel_size): shard params +
+        # KV pools over the mesh's "tensor" axis; head-local decode attention
+        from prime_rl_tpu.parallel.mesh import build_mesh
+
+        mesh = build_mesh(config.mesh).mesh
+        logger.info(f"serving mesh: {dict(mesh.shape)}")
     engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
                     lora_config=config.lora,
-                    collect_routed_experts=config.collect_routed_experts)
+                    collect_routed_experts=config.collect_routed_experts,
+                    mesh=mesh)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

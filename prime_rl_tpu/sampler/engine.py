@@ -147,8 +147,13 @@ class Engine:
         quantize: str | None = None,
         lora_config=None,  # ServingLoRAConfig: enables the multi-LoRA bank
         collect_routed_experts: bool = False,  # record decode-time MoE routing
+        mesh=None,  # TP serving (reference: vLLM tensor_parallel_size):
+        # params/pools shard over the mesh's "tensor" axis; decode attention
+        # runs head-local under shard_map, the o/down psum rides GSPMD
     ):
         self.spec = spec
+        self.mesh = mesh
+        self._tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
         self.compute_dtype = compute_dtype
         self._collect_routed = bool(collect_routed_experts and spec.is_moe)
         self.quantize = quantize
@@ -183,6 +188,13 @@ class Engine:
                 "at least one paged-KV layer to size pages)")
         rpool = RecurrentPool(spec, self.config, dtype=compute_dtype)
         self.r_conv, self.r_state = rpool.conv, rpool.state
+        if self.mesh is not None:
+            from prime_rl_tpu.sampler.sharding import replicate, shard_pools
+
+            self.k_pool = shard_pools(self.k_pool, self.mesh, self._tp)
+            self.v_pool = shard_pools(self.v_pool, self.mesh, self._tp)
+            self.r_conv = replicate(self.r_conv, self.mesh)
+            self.r_state = replicate(self.r_state, self.mesh)
         prefix_ok = self.config.enable_prefix_cache and (
             not self.is_hybrid or self.config.state_cache_mb > 0)
         self.slots = SlotTable(self.config, enable_prefix_cache=prefix_ok)
@@ -262,6 +274,7 @@ class Engine:
         spec, dtype, impl = self.spec, self.compute_dtype, self._decode_attn_impl
         lora_on = self._lora_bank is not None
         collect = self._collect_routed
+        mesh = self.mesh
 
         # NOTE: `tokens` is NOT donated — each step's sampled tokens are kept
         # as a drain handle while the next step consumes them as input
@@ -273,7 +286,7 @@ class Engine:
                 compute_dtype=dtype, attn_impl=impl,
                 adapter_idx=adapter if lora_on else None,
                 pos_delta=pos_delta, collect_routing=collect,
-                r_conv=r_conv, r_state=r_state,
+                r_conv=r_conv, r_state=r_state, mesh=mesh,
             )
             if collect:
                 k_pool, v_pool, logits, routed, r_conv, r_state = out
@@ -541,6 +554,10 @@ class Engine:
         )
         if self.quantize == "int8":
             out = jax.jit(lambda p: smodel.quantize_params(p, self.spec))(out)
+        if self.mesh is not None:
+            from prime_rl_tpu.sampler.sharding import shard_serving_params
+
+            out = shard_serving_params(out, self.mesh)
         return self._attach_lora(out)
 
     def update_params(self, new_params: Params, version: int | None = None) -> None:

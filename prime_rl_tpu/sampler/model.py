@@ -1084,15 +1084,10 @@ def _decode_attention(q, k_l, v_l, lengths, page_table, impl: str, window=0, sin
     return _decode_attention_xla(q, k_l, v_l, lengths, page_table, window, sinks)
 
 
-def _decode_attn_fused(q_t, k_t, v_t, k_l, v_l, lengths, page_table, impl: str,
-                       window=0, sinks=None):
-    """Fused append + attention for one decode step.
-
-    ``q_t/k_t/v_t`` are the new token's projections [S, NH|NKV, HD];
-    ``lengths`` EXCLUDE the new token. Returns (o [S, NH, HD], k_l, v_l)
-    with the token's K/V appended to the pools. On TPU this is one Pallas
-    kernel (ops/decode_attention.py — covers windows and sinks in-kernel);
-    elsewhere it falls back to scatter + gathered XLA attention."""
+def _decode_attn_fused_local(q_t, k_t, v_t, k_l, v_l, lengths, page_table,
+                             sinks_arr, impl: str, window: int, has_sinks: bool):
+    """Single-shard body of the fused decode attention (head-local)."""
+    sinks = sinks_arr if has_sinks else None
     ps = k_l.shape[2]
     if impl == "pallas" and q_t.shape[-1] % 128 == 0 and ps % 8 == 0:
         from prime_rl_tpu.ops.decode_attention import decode_paged_attention
@@ -1107,6 +1102,41 @@ def _decode_attn_fused(q_t, k_t, v_t, k_l, v_l, lengths, page_table, impl: str,
     o = _decode_attention(q_t, k_l, v_l, lengths + 1, page_table, impl,
                           window=window, sinks=sinks)
     return o, k_l, v_l
+
+
+def _decode_attn_fused(q_t, k_t, v_t, k_l, v_l, lengths, page_table, impl: str,
+                       window=0, sinks=None, mesh=None):
+    """Fused append + attention for one decode step.
+
+    ``q_t/k_t/v_t`` are the new token's projections [S, NH|NKV, HD];
+    ``lengths`` EXCLUDE the new token. Returns (o [S, NH, HD], k_l, v_l)
+    with the token's K/V appended to the pools. On TPU this is one Pallas
+    kernel (ops/decode_attention.py — covers windows and sinks in-kernel);
+    elsewhere it falls back to scatter + gathered XLA attention.
+
+    With a ``mesh`` whose ``tensor`` degree divides the head counts, runs
+    under shard_map with heads and KV pools sharded — attention is
+    embarrassingly parallel over kv heads, so each shard computes its heads
+    fully locally (TP serving; the reference's vLLM tensor_parallel_size)."""
+    import functools as _ft
+
+    from jax.sharding import PartitionSpec as _P
+
+    sinks_arr = (jnp.zeros((q_t.shape[1],), jnp.float32) if sinks is None
+                 else jnp.asarray(sinks, jnp.float32))
+    fn = _ft.partial(_decode_attn_fused_local, impl=impl,
+                     window=int(window or 0), has_sinks=sinks is not None)
+    tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
+    if tp > 1 and q_t.shape[1] % tp == 0 and k_t.shape[1] % tp == 0:
+        h = _P(None, "tensor", None)
+        pool = _P("tensor", None, None, None)
+        return jax.shard_map(
+            fn, mesh=mesh,
+            in_specs=(h, h, h, pool, pool, _P(None), _P(None, None), _P("tensor")),
+            out_specs=(h, pool, pool),
+            check_vma=False,
+        )(q_t, k_t, v_t, k_l, v_l, lengths, page_table, sinks_arr)
+    return fn(q_t, k_t, v_t, k_l, v_l, lengths, page_table, sinks_arr)
 
 
 def decode(
@@ -1125,6 +1155,7 @@ def decode(
     collect_routing: bool = False,  # also return routed experts [S, NL, K]
     r_conv: list | None = None,   # per-layer [S, conv_dim, K] (GDN layers)
     r_state: list | None = None,  # per-layer [S, Hv, Dk, Dv]
+    mesh=None,  # TP serving: shard_map attention over the "tensor" axis
 ):
     """One decode step for all S slots: writes the new token's K/V, attends
     over lengths+1 tokens, returns (k_pool, v_pool, logits [S, V]).
@@ -1212,7 +1243,7 @@ def decode(
             x, q, k, v = _bare_attn(h, lp, spec)
             o, k_l, v_l = _decode_attn_fused(
                 q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0], k_l, v_l,
-                lengths, page_table, attn_impl)
+                lengths, page_table, attn_impl, mesh=mesh)
             h = h + _mm(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"])
             k_out.append(k_l)
             v_out.append(v_l)
@@ -1224,6 +1255,7 @@ def decode(
         o, k_l, v_l = _decode_attn_fused(
             q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0], k_l, v_l,
             lengths, page_table, attn_impl, window=win, sinks=lp.get("sink"),
+            mesh=mesh,
         )  # o: [S, NH, HD]
         o = _gated_o(o, x[:, 0], lp, spec)
         proj = _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
