@@ -96,7 +96,7 @@ class AttentionConfig(BaseConfig):
 class ActivationCheckpointConfig(BaseConfig):
     """Rematerialization policy (reference: trainer.py apply_ac / full|selective)."""
 
-    mode: Literal["none", "full", "save_attn", "offload_attn", "selective"] = "full"
+    mode: Literal["none", "full", "save_attn", "offload_attn", "offload_dots", "selective"] = "full"
     # For selective: remat everything except these checkpointed op classes.
     save_dots: bool = True
 

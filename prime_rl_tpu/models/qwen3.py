@@ -257,6 +257,19 @@ def forward(
                 ),
                 prevent_cse=False,
             )
+        if remat == "offload_dots":
+            # near-zero recompute: every projection output parks in host
+            # memory between passes (attention still recomputes from the
+            # saved qkv — ~7% of step FLOPs). With full remat the step pays
+            # ~8ND FLOPs for 6ND of useful work (a hard ~0.75x MFU ceiling);
+            # this trades that recompute for PCIe traffic (reference
+            # analogue: utils/act_offloading.py:14-50).
+            return jax.checkpoint(
+                fn,
+                policy=jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+                    "device", "pinned_host"),
+                prevent_cse=False,
+            )
         if remat == "selective":
             return jax.checkpoint(
                 fn,
