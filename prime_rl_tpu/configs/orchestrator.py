@@ -36,8 +36,24 @@ class ZeroAdvantageFilterConfig(BaseConfig):
     mode: Literal["monitor", "enforce"] = "enforce"
 
 
+class DownsampleFilterConfig(BaseConfig):
+    """Group-level rollout down-sampling: keep only the ``keep_frac`` most
+    informative rollouts of each finalized group, ranked by |mean advantage|
+    (extremes in both directions carry the gradient signal; near-baseline
+    rollouts contribute almost nothing). Cuts trainer tokens at equal
+    learning signal (PAPERS.md: "Not All Rollouts are Useful — Down-Sampling
+    Rollouts in LLM Reinforcement Learning", arXiv:2504.13818 max-variance
+    down-sampling)."""
+
+    type: Literal["downsample"] = "downsample"
+    keep_frac: float = 0.5
+    min_keep: int = 2  # never shrink a group below this
+    mode: Literal["monitor", "enforce"] = "monitor"
+
+
 FilterConfig = Annotated[
-    GibberishFilterConfig | RepetitionFilterConfig | ZeroAdvantageFilterConfig,
+    GibberishFilterConfig | RepetitionFilterConfig | ZeroAdvantageFilterConfig
+    | DownsampleFilterConfig,
     Field(discriminator="type"),
 ]
 

@@ -43,6 +43,33 @@ def zero_advantage(rollout: Rollout) -> bool:
     return True
 
 
+def advantage_magnitude(rollout: Rollout) -> float:
+    """|mean advantage| over sampled tokens — the down-sampling rank key."""
+    tot, n = 0.0, 0
+    for s in rollout.samples:
+        if s.advantages is None:
+            continue
+        m = np.asarray(s.mask, bool)
+        tot += float(np.sum(np.asarray(s.advantages)[m]))
+        n += int(m.sum())
+    return abs(tot / n) if n else 0.0
+
+
+def downsample(rollouts: list[Rollout], keep_frac: float,
+               min_keep: int) -> list[Rollout]:
+    """Keep the most informative rollouts of a group by |mean advantage|
+    (group advantages are baseline-centered, so high magnitude = the
+    extremes in both directions; PAPERS.md arXiv:2504.13818). Stable: ties
+    and kept rollouts preserve arrival order."""
+    n = len(rollouts)
+    k = max(min(n, min_keep), int(np.ceil(keep_frac * n)))
+    if k >= n:
+        return list(rollouts)
+    order = sorted(range(n), key=lambda i: -advantage_magnitude(rollouts[i]))
+    keep = sorted(order[:k])
+    return [rollouts[i] for i in keep]
+
+
 class FilterSet:
     """Applies the configured filter list to a finalized group."""
 
@@ -67,4 +94,13 @@ class FilterSet:
             if drop_by is not None and drop_by.mode == "enforce":
                 continue
             kept.append(r)
+        # group-level pass: down-sample to the most informative rollouts
+        for cfg in self.configs:
+            if cfg.type != "downsample":
+                continue
+            selected = downsample(kept, cfg.keep_frac, cfg.min_keep)
+            self.counts["downsample"] = (
+                self.counts.get("downsample", 0) + len(kept) - len(selected))
+            if cfg.mode == "enforce":
+                kept = selected
         return kept

@@ -80,7 +80,20 @@ max_batch_size = 32
 def test_rl_end_to_end(tmp_path, free_port):
     out = tmp_path / "run"
     cfg = tmp_path / "rl.toml"
-    cfg.write_text(CONFIG.format(out=out, port_h=free_port(), port_b=free_port()))
+    text = CONFIG.format(out=out, port_h=free_port(), port_b=free_port())
+    # eval cohort every 10 steps (reference: eval sink per-(env, step)
+    # cohorts with its own permit pool)
+    text += """
+[[orchestrator.eval_envs]]
+name = "fixed_completion"
+group_size = 2
+num_examples = 4
+interval = 10
+[orchestrator.eval_envs.sampling]
+temperature = 0.0
+max_tokens = 8
+"""
+    cfg.write_text(text)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     # the unit-test conftest forces an 8-device virtual mesh; the subprocess
     # stack runs single-device
@@ -110,6 +123,11 @@ def test_rl_end_to_end(tmp_path, free_port):
     trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
     kls = [r["mismatch_kl"] for r in trows if r.get("mismatch_kl") is not None]
     assert kls and float(np.mean(kls)) < 0.5, kls
+
+    # eval cohorts completed and were logged with the metric-matrix keys
+    eval_rows = [r for r in rows if any(k.startswith("eval/") for k in r)]
+    assert eval_rows, "no eval metrics logged"
+    assert any("eval/agg/all/reward/mean" in r for r in eval_rows)
 
     # checkpoints + weight snapshots were produced and retained
     assert (out / "weights").exists()
