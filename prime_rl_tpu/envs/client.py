@@ -113,6 +113,21 @@ class InferenceClient:
         )
         r.raise_for_status()
 
+    async def load_lora_adapter(self, name: str, path: str) -> None:
+        """Install a PEFT adapter into the engine's serving bank
+        (reference: inference/vllm/server.py:98-147)."""
+        r = await self._client.post(
+            f"{self.base_url}/load_lora_adapter",
+            json={"lora_name": name, "lora_path": path},
+        )
+        r.raise_for_status()
+
+    async def unload_lora_adapter(self, name: str) -> None:
+        r = await self._client.post(
+            f"{self.base_url}/unload_lora_adapter", json={"lora_name": name}
+        )
+        r.raise_for_status()
+
     async def pause(self) -> None:
         (await self._client.post(f"{self.base_url}/pause")).raise_for_status()
 

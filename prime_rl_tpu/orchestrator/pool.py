@@ -25,6 +25,8 @@ class PoolMember:
     client: InferenceClient
     inflight: int = 0
     healthy: bool = True
+    # serving adapters already reconciled onto this engine (elastic pool)
+    adapters: set = field(default_factory=set)
 
     @property
     def base_url(self) -> str:
@@ -81,6 +83,21 @@ class ElasticInferencePool(StaticInferencePool):
         self.timeout = timeout
         self.weight_dir_fn = weight_dir_fn  # version -> weight dir (joiner sync)
         self.current_version = -1
+        # desired serving-adapter state, reconciled onto joiners (reference:
+        # utils/elastic.py:250-400 per-server LoRA adapter reconciliation)
+        self.adapters: dict[str, str] = {}  # name -> path
+
+    def register_adapter(self, name: str, path: str) -> None:
+        """Declare an adapter every pool member must serve; loaded onto
+        current members on the next sync and onto every future joiner."""
+        self.adapters[name] = path
+
+    def unregister_adapter(self, name: str) -> None:
+        self.adapters.pop(name, None)
+
+    async def _reconcile_adapters(self, client) -> None:
+        for name, path in self.adapters.items():
+            await client.load_lora_adapter(name, path)
 
     def _discover(self) -> list[str]:
         if self.discovery.startswith("file://"):
@@ -101,17 +118,25 @@ class ElasticInferencePool(StaticInferencePool):
         logger = get_logger()
         urls = set(self._discover())
         known = {m.base_url for m in self.members}
-        # health-check existing
+        # health-check existing + reconcile late-registered adapters
         for m in list(self.members):
             try:
                 await m.client.liveness()
                 m.healthy = True
+                missing = {n: p for n, p in self.adapters.items()
+                           if n not in getattr(m, "adapters", set())}
+                if missing:
+                    for name, path in missing.items():
+                        await m.client.load_lora_adapter(name, path)
+                    m.adapters = getattr(m, "adapters", set()) | set(missing)
+                    logger.info(
+                        f"elastic: reconciled adapters {sorted(missing)} on {m.base_url}")
             except Exception:
                 m.healthy = False
                 if m.base_url not in urls:
                     self.members.remove(m)
                     logger.info(f"elastic: dropped dead engine {m.base_url}")
-        # admit joiners (after syncing them to the current policy)
+        # admit joiners (after syncing them to the current policy + adapters)
         for url in urls - known:
             client = InferenceClient(url, self.timeout)
             try:
@@ -120,7 +145,10 @@ class ElasticInferencePool(StaticInferencePool):
                     await client.update_weights(
                         str(self.weight_dir_fn(self.current_version)), self.current_version
                     )
-                self.members.append(PoolMember(client))
+                await self._reconcile_adapters(client)
+                member = PoolMember(client)
+                member.adapters = set(self.adapters)
+                self.members.append(member)
                 logger.info(f"elastic: admitted engine {url} (v{self.current_version})")
             except Exception as e:
                 logger.debug(f"elastic: candidate {url} not ready: {e}")

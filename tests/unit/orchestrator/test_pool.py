@@ -55,3 +55,47 @@ def test_elastic_sync_admits_live_only(tmp_path, free_port):
         assert pool.members == []
 
     asyncio.run(run())
+
+
+def test_elastic_adapter_reconciliation(tmp_path, free_port):
+    """Registered serving adapters load onto joiners at admission and onto
+    existing members on the next sync (reference: utils/elastic.py:250-400
+    per-server LoRA adapter reconciliation)."""
+    from aiohttp import web
+
+    port = free_port()
+    urls = tmp_path / "urls.txt"
+    urls.write_text(f"http://127.0.0.1:{port}\n")
+    loaded: list[tuple[str, str]] = []
+
+    async def run():
+        async def load(request):
+            body = await request.json()
+            loaded.append((body["lora_name"], body["lora_path"]))
+            return web.json_response({"ok": True})
+
+        app = web.Application()
+        app.add_routes([
+            web.get("/liveness", lambda r: web.json_response({"policy_version": 1})),
+            web.post("/load_lora_adapter", load),
+        ])
+        runner = web.AppRunner(app)
+        await runner.setup()
+        await web.TCPSite(runner, "127.0.0.1", port).start()
+
+        pool = ElasticInferencePool(f"file://{urls}", timeout=5)
+        pool.register_adapter("tenant-a", "/weights/a")
+        await pool.sync()  # joiner gets the pre-registered adapter
+        assert loaded == [("tenant-a", "/weights/a")]
+        assert pool.members[0].adapters == {"tenant-a"}
+
+        pool.register_adapter("tenant-b", "/weights/b")
+        await pool.sync()  # existing member reconciles the late registration
+        assert ("tenant-b", "/weights/b") in loaded and len(loaded) == 2
+        assert pool.members[0].adapters == {"tenant-a", "tenant-b"}
+
+        await pool.sync()  # idempotent: nothing re-loads
+        assert len(loaded) == 2
+        await runner.cleanup()
+
+    asyncio.run(run())
