@@ -169,7 +169,7 @@ def bench_decode(args) -> None:
         num_pages=pages_needed, page_size=64, max_slots=args.batch_size,
         max_seq_len=max_len,
     )
-    engine = Engine(params, spec, cache_cfg)
+    engine = Engine(params, spec, cache_cfg, lookahead=16)
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]

@@ -29,6 +29,10 @@ class SchedulerConfig(BaseConfig):
     max_batch_size: int = 64  # concurrent decode slots
     max_prefill_tokens: int = 8192  # per prefill step
     prefill_chunk: int = 512
+    # in-flight decode steps per batched drain: higher hides host<->device
+    # latency behind more device work (throughput), lower tightens
+    # per-token streaming latency
+    lookahead: int = 8
 
 
 class ServerConfig(BaseConfig):

@@ -70,7 +70,7 @@ def build_server(config: InferenceConfig):
     engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
                     lora_config=config.lora,
                     collect_routed_experts=config.collect_routed_experts,
-                    mesh=mesh)
+                    mesh=mesh, lookahead=config.scheduler.lookahead)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

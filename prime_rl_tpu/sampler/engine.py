@@ -150,8 +150,11 @@ class Engine:
         mesh=None,  # TP serving (reference: vLLM tensor_parallel_size):
         # params/pools shard over the mesh's "tensor" axis; decode attention
         # runs head-local under shard_map, the o/down psum rides GSPMD
+        lookahead: int | None = None,  # in-flight decode steps per drain
     ):
         self.spec = spec
+        if lookahead:
+            self.LOOKAHEAD = int(lookahead)
         self.mesh = mesh
         self._tp = mesh.shape.get("tensor", 1) if mesh is not None else 1
         self.compute_dtype = compute_dtype
