@@ -1248,16 +1248,47 @@ def decode(
             k_out.append(k_l)
             v_out.append(v_l)
             continue
-        x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
-        q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
-                       rope_scaling, adapter_idx)
+        freqs = _freqs_for(spec, inv_freq, win)
+        fused_qkv = False
+        if attn_impl == "pallas" and adapter_idx is None and mesh is None:
+            from prime_rl_tpu.ops.decode_qkv import decode_qkv_prep, fits_vmem
+
+            fused_qkv = (
+                spec.qk_norm_scope != "layer"
+                and not (spec.attn_gate and "attn_gate" in lp)
+                and "lora" not in lp
+                and fits_vmem(spec.hidden_size, spec.num_heads,
+                              spec.num_kv_heads, spec.head_dim)
+            )
+        if fused_qkv:
+            # one Pallas launch for norm + qkv + bias + qk-norm + rope: the
+            # ~12 small fusions this chain lowers to otherwise dominate the
+            # decode step at serving batch sizes (ops/decode_qkv.py)
+            q3, k3, v3 = decode_qkv_prep(
+                h[:, 0], lp["attn_norm"], lp["q"], lp["k"], lp["v"],
+                positions[:, 0], freqs,
+                num_heads=spec.num_heads, num_kv_heads=spec.num_kv_heads,
+                head_dim=spec.head_dim, qk_norm=bool(spec.qk_norm),
+                q_norm_w=lp.get("q_norm"), k_norm_w=lp.get("k_norm"),
+                q_bias=lp.get("q_bias"), k_bias=lp.get("k_bias"),
+                v_bias=lp.get("v_bias"),
+                scaling=rope_scaling, eps=spec.rms_eps,
+            )
+            x0 = None
+        else:
+            x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+            q, k, v = _qkv(x, lp, spec, positions, freqs,
+                           rope_scaling, adapter_idx)
+            q3, k3, v3 = q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0]
+            x0 = x[:, 0]
         # fused append + attention (windows/sinks handled in-kernel on TPU)
         o, k_l, v_l = _decode_attn_fused(
-            q[:, 0].astype(compute_dtype), k[:, 0], v[:, 0], k_l, v_l,
+            q3.astype(compute_dtype), k3, v3, k_l, v_l,
             lengths, page_table, attn_impl, window=win, sinks=lp.get("sink"),
             mesh=mesh,
         )  # o: [S, NH, HD]
-        o = _gated_o(o, x[:, 0], lp, spec)
+        if x0 is not None:
+            o = _gated_o(o, x0, lp, spec)
         proj = _mm_l(o.reshape(s, 1, spec.q_dim).astype(compute_dtype), lp["o"],
                      lp.get("lora"), "o", adapter_idx) + _obias(lp, h.dtype)
         h = h + _post_attn(proj, lp, spec)
