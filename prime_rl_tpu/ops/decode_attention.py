@@ -136,13 +136,18 @@ def _kernel(
         n = lengths_ref[slot]
         page = table_ref[slot, n // page_size]
         pos0 = jax.lax.rem(n, page_size) // 8 * 8
-        k_slice = k_hbm.at[:, page, pl.ds(pos0, 8)]
-        v_slice = v_hbm.at[:, page, pl.ds(pos0, 8)]
         if writeback:
+            # write through the OUTPUT refs: on hardware they alias the input
+            # pools (same buffer); in interpret mode input and output are
+            # separate and only output writes are captured
+            k_slice = k_out.at[:, page, pl.ds(pos0, 8)]
+            v_slice = v_out.at[:, page, pl.ds(pos0, 8)]
             return (
                 pltpu.make_async_copy(wk_buf.at[slot], k_slice, sem_wk.at[slot]),
                 pltpu.make_async_copy(wv_buf.at[slot], v_slice, sem_wv.at[slot]),
             )
+        k_slice = k_hbm.at[:, page, pl.ds(pos0, 8)]
+        v_slice = v_hbm.at[:, page, pl.ds(pos0, 8)]
         return (
             pltpu.make_async_copy(k_slice, wk_buf.at[slot], sem_wk.at[slot]),
             pltpu.make_async_copy(v_slice, wv_buf.at[slot], sem_wv.at[slot]),
@@ -194,11 +199,20 @@ def _kernel(
         valid = offs < n
         if window > 0:
             valid &= offs >= jnp.maximum(n + 1 - window, 0)
+        # zero the invalid rows before the dots: pages past the slot's length
+        # are never DMA'd, and stale VMEM bytes can decode to Inf/NaN — the
+        # 0-weight in the softmax does NOT save us (0*NaN = NaN in the pv dot).
+        # (column iota, not valid.reshape: Mosaic can't reshape i1 vectors
+        # across the minor dim)
+        offs_col = b * t_blk + jax.lax.broadcasted_iota(jnp.int32, (t_blk, 1), 0)
+        validc = offs_col < n
+        if window > 0:
+            validc &= offs_col >= jnp.maximum(n + 1 - window, 0)
         for h in range(num_kv_heads):
             hs = slice(h * group, (h + 1) * group)
             q_h = q_ref[0, hs, :]
-            k_h = k_b[ring, h].reshape(t_blk, -1)
-            v_h = v_b[ring, h].reshape(t_blk, -1)
+            k_h = jnp.where(validc, k_b[ring, h].reshape(t_blk, -1), 0)
+            v_h = jnp.where(validc, v_b[ring, h].reshape(t_blk, -1), 0)
             scores = jax.lax.dot_general(
                 q_h, k_h, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,

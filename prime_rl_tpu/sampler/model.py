@@ -1257,6 +1257,10 @@ def decode(
                 spec.qk_norm_scope != "layer"
                 and not (spec.attn_gate and "attn_gate" in lp)
                 and "lora" not in lp
+                # int8 weight-only layers store q/k/v as {"q8","scale"} dicts
+                # (quantize_params); the Pallas kernel wants plain arrays, so
+                # those layers take the XLA _qkv path whose _mm dequantizes.
+                and not isinstance(lp["q"], dict)
                 and fits_vmem(spec.hidden_size, spec.num_heads,
                               spec.num_kv_heads, spec.head_dim)
             )

@@ -115,7 +115,12 @@ class WeightPlaneReceiver(threading.Thread):
                 time.sleep(self.poll_interval)
                 continue
             t0 = time.time()
-            named = reader.pull(v)
+            try:
+                named = reader.pull(v)
+            except RuntimeError:
+                # marker went stale between read and claim (writer drained
+                # the slots) — loop re-reads latest_version and retries
+                continue
             params = unflatten_params(dequantize_named_device(named))
             self.engine.pause()
             try:

@@ -166,7 +166,9 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             host = multihost_utils.process_allgather(host, tiled=True)
         if is_main:
             weight_sink.publish(host, version)
-            export_adapter(version)
+            # adapter export happens after weight_mgr.save creates the
+            # snapshot dir (the step loop) — not here, where the dir rarely
+            # exists yet and the device_get of the adapter tree is wasted
 
     def export_adapter(version: int) -> None:
         """Standalone PEFT-style adapter next to the merged snapshot
@@ -191,6 +193,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
 
     version = progress.step
     gather_and_publish(version)
+    if is_main and snapshot_interval is None:
+        export_adapter(version)
     logger.info(f"published initial weights v{version}")
 
     from prime_rl_tpu.utils.memory import GarbageCollection, device_memory_stats
@@ -292,9 +296,13 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         if bench is None:
             t_pub = time.perf_counter()
             gather_and_publish(version)
-            if is_main and snapshot_interval and progress.step % snapshot_interval == 0:
-                weight_mgr.save(publish_params(), version)
-                export_adapter(version)
+            if is_main:
+                if snapshot_interval is None:
+                    # filesystem plane: publish itself wrote the snapshot dir
+                    export_adapter(version)
+                elif progress.step % snapshot_interval == 0:
+                    weight_mgr.save(publish_params(), version)
+                    export_adapter(version)
             pub_s = time.perf_counter() - t_pub
         else:
             pub_s = 0.0

@@ -416,6 +416,10 @@ class ZmqStreamReader:
 
 _DCN_MANIFEST = "dcn_plane.json"
 _DCN_VERSION = "dcn_version"
+# uuid = version * _DCN_SLOT_STRIDE + slot: one registration per (version,
+# puller-slot), so un-pulled registrations of a stale version can be drained
+# individually (jax.experimental.transfer has no cancel API).
+_DCN_SLOT_STRIDE = 4096
 
 
 def _dcn_dir(output_dir: str):
@@ -426,24 +430,68 @@ def _dcn_dir(output_dir: str):
     return d
 
 
+def _routable_ip() -> str:
+    """Best-effort routable address of this host (UDP-connect trick — no
+    packets are sent). Used when the transfer server binds a wildcard."""
+    import socket
+
+    s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    try:
+        s.connect(("8.8.8.8", 80))
+        return s.getsockname()[0]
+    except OSError:
+        return "127.0.0.1"
+    finally:
+        s.close()
+
+
+def _claim_slot(plane_dir, version: int, slot: int) -> bool:
+    """Atomically claim (version, slot). Exactly one process — a reader
+    about to pull, or the writer about to drain — wins each slot."""
+    import os
+
+    try:
+        fd = os.open(plane_dir / f"claim_{version}_{slot}",
+                     os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        return True
+    except FileExistsError:
+        return False
+
+
 class DcnPullWriter:
     """Learner side: queue each version's device arrays for one-sided pulls.
 
-    Holds references to the queued arrays until the next publish so the
-    buffers outlive in-flight pulls (one-version-deep, like the shm arena's
-    double buffer: samplers lagging more than one version re-pull the next
-    marker instead)."""
+    Registration protocol: each publish registers ``num_pullers`` pulls, one
+    per (version, slot) uuid. A reader atomically claims a slot file before
+    pulling; at publish of version N the writer reclaims every unclaimed slot
+    of versions ≤ N-2 and drains it by pulling from itself, releasing the
+    device buffers the transfer server pins per registration (the API has no
+    cancel). Arrays of the last two versions are kept alive host-side like
+    the shm arena's double buffer.
+    """
 
-    def __init__(self, output_dir: str, num_pullers: int = 1):
+    def __init__(self, output_dir: str, num_pullers: int = 1,
+                 advertise_ip: str | None = None):
         import jax
         from jax.experimental import transfer
 
         self._dir = _dcn_dir(output_dir)
         client = jax.devices()[0].client
         self._server = transfer.start_transfer_server(client)
-        self.address = self._server.address()
+        addr = self._server.address()
+        # a wildcard bind is unreachable from other hosts: advertise a real IP
+        # (ADVICE r3: the reader used to patch "[::]" to loopback, which broke
+        # cross-host pulls — the writer owns the rewrite now)
+        ip = advertise_ip or _routable_ip()
+        for wild in ("[::]", "0.0.0.0", "::"):
+            if wild in addr:
+                addr = addr.replace(wild, ip)
+                break
+        self.address = addr
         self._num_pullers = max(1, num_pullers)
-        self._pending: list = []
+        self._live: dict[int, list] = {}   # version -> arrays kept alive
+        self._self_conn = None
         self._layout_written = False
 
     def publish(self, named_dev: dict, version: int) -> None:
@@ -457,6 +505,7 @@ class DcnPullWriter:
         if not self._layout_written:
             manifest = {
                 "address": self.address,
+                "num_pullers": self._num_pullers,
                 "tensors": [
                     {"path": p, "dtype": _dtype_name(named_dev[p].dtype),
                      "shape": list(named_dev[p].shape)}
@@ -467,20 +516,46 @@ class DcnPullWriter:
             tmp.write_text(json.dumps(manifest))
             os.replace(tmp, self._dir / _DCN_MANIFEST)
             self._layout_written = True
-        # every puller issues its own pull of this uuid
-        for _ in range(self._num_pullers):
-            self._server.await_pull(version, arrays)
-        self._pending = arrays  # keep alive until the next publish
+        for slot in range(self._num_pullers):
+            self._server.await_pull(version * _DCN_SLOT_STRIDE + slot, arrays)
+        self._live[version] = arrays
         tmp = self._dir / (_DCN_VERSION + ".tmp")
         tmp.write_text(str(version))
         os.replace(tmp, self._dir / _DCN_VERSION)
+        self._expire_stale(version)
+
+    def _expire_stale(self, current: int) -> None:
+        """Release registrations of versions at least two behind ``current``.
+
+        Readers always pull the latest marker, so anything two markers old
+        can only be an un-pulled leftover from a lagging/over-provisioned
+        fleet. Slots a reader already claimed are its responsibility (it is
+        mid-pull or crashed post-claim — the latter leaks one registration,
+        the documented residual risk)."""
+        import jax
+
+        for v in [v for v in self._live if v <= current - 2]:
+            arrays = self._live.pop(v)
+            specs = [jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding)
+                     for a in arrays]
+            for slot in range(self._num_pullers):
+                if _claim_slot(self._dir, v, slot):
+                    if self._self_conn is None:
+                        self._self_conn = self._server.connect(
+                            self._server.address())
+                    self._self_conn.pull(v * _DCN_SLOT_STRIDE + slot, specs)
+            for f in self._dir.glob(f"claim_{v}_*"):
+                try:
+                    f.unlink()
+                except OSError:
+                    pass
 
     def close(self) -> None:
-        self._pending = []
+        self._live = {}
 
 
 class DcnPullReader:
-    """Sampler side: poll the version marker, pull straight to device."""
+    """Sampler side: poll the version marker, claim a slot, pull to device."""
 
     def __init__(self, output_dir: str, sharding=None):
         import json
@@ -492,6 +567,7 @@ class DcnPullReader:
             _t.sleep(0.2)
         self._manifest = json.loads(man.read_text())
         self._paths = [t["path"] for t in self._manifest["tensors"]]
+        self._num_slots = int(self._manifest.get("num_pullers", 1))
         self._specs = None
         self._sharding = sharding
         self._conn = None
@@ -509,8 +585,7 @@ class DcnPullReader:
         if self._conn is None:
             client = jax.devices()[0].client
             self._server = transfer.start_transfer_server(client)
-            addr = self._manifest["address"].replace("[::]", "127.0.0.1")
-            self._conn = self._server.connect(addr)
+            self._conn = self._server.connect(self._manifest["address"])
         if self._specs is None:
             import jax
 
@@ -525,10 +600,19 @@ class DcnPullReader:
     def pull(self, version: int) -> dict:
         """One-sided pull of ``version``'s arrays onto this process's
         devices. Returns flat path -> device jax.Array (scales included —
-        dequantize with ``dequantize_named_device``)."""
+        dequantize with ``dequantize_named_device``). Raises ``RuntimeError``
+        if every slot of ``version`` is already taken (another reader or the
+        writer's stale-drain won the claim) — re-read ``latest_version()``
+        and retry with the fresher marker."""
         conn = self._connect()
-        arrays = conn.pull(version, self._specs)
-        return dict(zip(self._paths, arrays))
+        for slot in range(self._num_slots):
+            if _claim_slot(self._dir, version, slot):
+                arrays = conn.pull(version * _DCN_SLOT_STRIDE + slot,
+                                   self._specs)
+                return dict(zip(self._paths, arrays))
+        raise RuntimeError(
+            f"dcn_pull: no free slot for version {version} "
+            f"({self._num_slots} slots) — stale marker, retry latest_version()")
 
 
 def dequantize_named_device(named: dict, target: str = "bfloat16") -> dict:

@@ -238,7 +238,9 @@ class _FakeConn:
     def pull(self, uuid, specs):
         import jax.numpy as jnp
 
-        arrays = _FakeServer.MAILBOX[(self.address, uuid)]
+        # a registration serves exactly one pull (matches the C++ server:
+        # pulled buffers are released) — the writer's stale-drain relies on it
+        arrays = _FakeServer.MAILBOX.pop((self.address, uuid))
         assert len(arrays) == len(specs)
         for a, s in zip(arrays, specs):
             assert tuple(a.shape) == tuple(s.shape) and a.dtype == s.dtype, \
@@ -307,3 +309,48 @@ def test_dcn_pull_roundtrip(tmp_path, fake_transfer):
     got4 = unflatten_params(dequantize_named_device(named4))
     np.testing.assert_allclose(np.asarray(got4["embed"], np.float32),
                                np.asarray(params["embed"]) * 2)
+
+
+def test_dcn_pull_stale_drain_and_slots(tmp_path, fake_transfer):
+    """Skipped versions must not pin device buffers forever: at publish of
+    version N the writer self-drains every unclaimed registration of
+    versions <= N-2 (there is no cancel API), and slot claims guarantee a
+    registration serves exactly one puller."""
+    import jax.numpy as jnp
+
+    from prime_rl_tpu.transport.weights import (
+        _DCN_SLOT_STRIDE,
+        DcnPullReader,
+        DcnPullWriter,
+    )
+
+    named = {"w": jnp.ones((4, 4), jnp.float32)}
+    w = DcnPullWriter(str(tmp_path), num_pullers=2)
+    addr = w.address
+    w.publish(named, version=1)          # never pulled by anyone
+    assert (addr, 1 * _DCN_SLOT_STRIDE) in _FakeServer.MAILBOX
+    w.publish(named, version=2)
+    # v1 still inside the two-deep ring
+    assert 1 in w._live
+    w.publish(named, version=3)
+    # v1 expired: both slots drained from the mailbox, arrays released
+    assert 1 not in w._live
+    assert (addr, 1 * _DCN_SLOT_STRIDE) not in _FakeServer.MAILBOX
+    assert (addr, 1 * _DCN_SLOT_STRIDE + 1) not in _FakeServer.MAILBOX
+    # claim files cleaned up
+    assert not list((tmp_path / "weight_plane").glob("claim_1_*"))
+
+    # two readers each get their own slot of the live version; a third is
+    # told the marker is contended/stale instead of blocking forever
+    r1 = DcnPullReader(str(tmp_path))
+    r2 = DcnPullReader(str(tmp_path))
+    r3 = DcnPullReader(str(tmp_path))
+    assert r1.pull(3)["w"].shape == (4, 4)
+    assert r2.pull(3)["w"].shape == (4, 4)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="no free slot"):
+        r3.pull(3)
+
+    # the advertised address never points at a wildcard bind
+    assert "[::]" not in w.address and "0.0.0.0" not in w.address
