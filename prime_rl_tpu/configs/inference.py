@@ -39,6 +39,10 @@ class ServerConfig(BaseConfig):
     host: str = "0.0.0.0"
     port: int = 8000
     api_key: str | None = None
+    # P/D deployment role, exposed in /metrics so the orchestrator can roll
+    # engine scrapes up per role (reference: inference_metrics.py:136 node/
+    # role rollup). "mixed" = a normal engine doing both phases.
+    role: Literal["mixed", "prefill", "decode"] = "mixed"
 
 
 class ServingLoRAConfig(BaseConfig):

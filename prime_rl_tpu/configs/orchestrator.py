@@ -80,6 +80,13 @@ class EvalSourceConfig(BaseConfig):
     interval: int = 50
     sampling: SamplingConfig = SamplingConfig()
     args: dict = Field(default_factory=dict)
+    # which episode metric marks a rollout "correct" for pass@k/pass^k.
+    # None = auto: an explicit `correct`/`exact` metric if the env emits one,
+    # else reward >= correct_threshold. Continuous-reward envs should set
+    # either a metric name or a threshold explicitly — the old implicit
+    # `reward >= 1.0` fallback reported pass@k = 0 for a 0.99-reward env.
+    correct_metric: str | None = None
+    correct_threshold: float = 1.0
 
 
 class ClientConfig(BaseConfig):

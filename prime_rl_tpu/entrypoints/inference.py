@@ -75,7 +75,8 @@ def build_server(config: InferenceConfig):
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 
     tokenizer = get_tokenizer(config.tokenizer.name or config.model.name)
-    server = InferenceServer(engine, config.model.name, tokenizer)
+    server = InferenceServer(engine, config.model.name, tokenizer,
+                             role=config.server.role)
     if config.weight_plane is not None:
         from prime_rl_tpu.sampler.weight_receiver import WeightPlaneReceiver
         from prime_rl_tpu.transport.weights import resolve_plane_id

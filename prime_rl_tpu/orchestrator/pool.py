@@ -53,6 +53,21 @@ class StaticInferencePool:
                 m.inflight -= 1
                 return
 
+    def quarantine(self, base_url: str) -> bool:
+        """Mark an engine unhealthy so pick()/clients skip it (e.g. a failed
+        weight update would leave it serving a stale policy). Refuses to
+        quarantine the last healthy member — returns False in that case.
+        An elastic pool's sync() re-admits the engine once it passes health
+        checks again (and re-syncs weights/adapters on the way in)."""
+        healthy = [m for m in self.members if m.healthy]
+        for m in healthy:
+            if m.base_url == base_url:
+                if len(healthy) <= 1:
+                    return False
+                m.healthy = False
+                return True
+        return True  # already gone
+
     async def wait_live(self, timeout: float = 600.0) -> dict:
         """Block until every member answers /liveness; returns the max-version
         liveness payload."""
@@ -122,6 +137,15 @@ class ElasticInferencePool(StaticInferencePool):
         for m in list(self.members):
             try:
                 await m.client.liveness()
+                if not m.healthy:
+                    # rejoining after quarantine/outage: it may be serving a
+                    # stale policy — re-sync weights BEFORE readmission
+                    if self.weight_dir_fn is not None and self.current_version >= 0:
+                        await m.client.update_weights(
+                            str(self.weight_dir_fn(self.current_version)),
+                            self.current_version)
+                    logger.info(f"elastic: re-admitted {m.base_url} "
+                                f"(re-synced to v{self.current_version})")
                 m.healthy = True
                 missing = {n: p for n, p in self.adapters.items()
                            if n not in getattr(m, "adapters", set())}

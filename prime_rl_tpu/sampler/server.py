@@ -88,10 +88,12 @@ async def _quiet_disconnects(request: web.Request, handler):
 
 
 class InferenceServer:
-    def __init__(self, engine: Engine, model_name: str, tokenizer=None):
+    def __init__(self, engine: Engine, model_name: str, tokenizer=None,
+                 role: str = "mixed"):
         self.engine = engine
         self.model_name = model_name
         self.tokenizer = tokenizer
+        self.role = role  # P/D deployment role, exposed via /metrics
         self.weight_receiver = None  # set by the entrypoint when a plane is configured
         self.loop_thread = EngineLoop(engine)
         self.app = web.Application(client_max_size=256 * 1024 * 1024,
@@ -139,6 +141,8 @@ class InferenceServer:
         orchestrator/inference_metrics.py scrapes)."""
         e = self.engine
         lines = [
+            "# TYPE prime_rl_engine_info gauge",
+            f'prime_rl_engine_info{{role="{self.role}"}} 1',
             "# TYPE prime_rl_engine_requests_total counter",
             f"prime_rl_engine_requests_total {self._metrics['requests']}",
             "# TYPE prime_rl_engine_generation_tokens_total counter",
