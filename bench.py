@@ -1,22 +1,59 @@
-"""Benchmark harness: RL train step throughput on the flagship model.
+"""Benchmark harness: RL train step / decode throughput on the flagship model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...} to stdout —
+one after EVERY measured step (flushed, cumulative), so a run killed by a
+tunnel flap or driver timeout still leaves its best number on stdout (round 3
+lost its only driver-visible perf datum to exactly this: BENCH_r03.json
+rc=124 with no output). The LAST line is the final result. Extra resilience:
+
+- internal deadline (--deadline, default 540 s): when it expires the bench
+  emits the final JSON from the steps measured so far and exits 0 instead of
+  being killed emptyhanded;
+- one automatic retry: a fatal device/tunnel error re-execs the bench once
+  with --no-retry (a dead PJRT connection cannot be recovered in-process).
+
 Baseline: reference Qwen3-0.6B RL full 16k seq on 1xH100 = 11.90k tok/s
-(BASELINE.md, reference benchmarks/results/BENCHMARKS.md:29).
+(BASELINE.md, reference benchmarks/results/BENCHMARKS.md:29). Checked-in
+regression baselines: benchmarks/baselines/*.json, gated by
+tests/tpu/test_benchmark_regression.py (reference:
+tests/integration/test_benchmark_regression.py).
 
-Usage: python bench.py [--seq-len 16384] [--steps 10] [--warmup 3]
-       [--model Qwen/Qwen3-0.6B] [--micro-batches 4]
+Usage: python bench.py [--mode train|decode] [--seq-len 16384] [--steps 10]
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
 import sys
 import time
 
 
 BASELINE_TOKENS_PER_SEC = 11_900.0  # Qwen3-0.6B RL, 16k seq, 1xH100 (BASELINE.md)
+
+
+class _Deadline(Exception):
+    pass
+
+
+def _install_deadline(seconds: int) -> None:
+    def _raise(signum, frame):
+        raise _Deadline()
+
+    signal.signal(signal.SIGALRM, _raise)
+    signal.alarm(max(1, seconds))
+
+
+def _emit(metric: str, value: float, unit: str, vs_baseline, *, partial: bool,
+          steps: int, extra: dict | None = None) -> None:
+    rec = {"metric": metric, "value": round(value, 1), "unit": unit,
+           "vs_baseline": (round(vs_baseline, 3) if vs_baseline else None),
+           "partial": partial, "steps": steps}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
 def main() -> None:
@@ -29,11 +66,16 @@ def main() -> None:
     p.add_argument("--micro-batches", type=int, default=4)
     p.add_argument("--micro-batch-rows", type=int, default=1)
     p.add_argument("--batch-size", type=int, default=64, help="decode: concurrent slots"
-                   " (decode at RL-serving batch is op-dispatch-bound, so"
-                   " throughput scales near-linearly with slots until HBM fills)")
+                   " (decode at RL-serving batch amortizes op dispatch over"
+                   " decode_block on-device steps; throughput scales with slots)")
     p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
+    p.add_argument("--decode-block", type=int, default=8,
+                   help="on-device decode steps per dispatched program")
     p.add_argument("--remat", default=None,
                    help="activation-checkpoint mode: none|full|save_attn|offload_attn|selective")
+    p.add_argument("--optimizer", default=None,
+                   help="optimizer type override: adamw|adamw_8bit|adafactor_mom|...")
+    p.add_argument("--master-dtype", default=None, help="float32|bfloat16 (SR applies)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in host memory (long-context)")
     p.add_argument("--offload-params", action="store_true",
@@ -44,12 +86,35 @@ def main() -> None:
     p.add_argument("--grad-accum-dtype", default=None, help="float32|bfloat16")
     p.add_argument("--dispatch-micro-batches", action="store_true",
                    help="one device program per micro-batch (bounds program wall time)")
+    p.add_argument("--deadline", type=int, default=540,
+                   help="seconds before the bench self-terminates with partial results")
+    p.add_argument("--no-retry", action="store_true",
+                   help="internal: disables the re-exec retry (set on the retry)")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
-    if args.mode == "decode":
-        return bench_decode(args)
+    _install_deadline(args.deadline)
+    try:
+        if args.mode == "decode":
+            bench_decode(args)
+        else:
+            bench_train(args)
+    except _Deadline:
+        # partial results were already streamed per-step; exit clean so the
+        # driver records the last stdout line
+        print("bench: internal deadline hit; last emitted line is the result",
+              file=sys.stderr)
+        sys.exit(0)
+    except Exception as e:  # tunnel flap / device loss: one re-exec retry
+        print(f"bench: fatal error: {type(e).__name__}: {e}", file=sys.stderr)
+        if args.no_retry:
+            raise
+        print("bench: retrying once (re-exec)", file=sys.stderr)
+        os.execv(sys.executable, [sys.executable, os.path.abspath(__file__),
+                                  *sys.argv[1:], "--no-retry"])
 
+
+def bench_train(args) -> None:
     import jax
 
     if args.cpu:
@@ -67,7 +132,12 @@ def main() -> None:
 
     n_dev = len(jax.devices())
     mesh_info = build_mesh(MeshConfig(fsdp=-1))
-    cfg = TrainerConfig()
+    opt_override = {}
+    if args.optimizer:
+        opt_override["type"] = args.optimizer
+    if args.master_dtype:
+        opt_override["master_dtype"] = args.master_dtype
+    cfg = TrainerConfig(optimizer=opt_override) if opt_override else TrainerConfig()
     cfg.model.name = args.model
     cfg.model.seq_len = args.seq_len
     if args.remat:
@@ -85,9 +155,10 @@ def main() -> None:
     optimizer, _sched = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
     state = init_train_state(spec, mesh_info, optimizer, seed=0,
                              offload_optimizer=args.offload_optimizer,
-                             offload_params=args.offload_params)
+                             offload_params=args.offload_params,
+                             master_dtype=getattr(cfg.optimizer, "master_dtype", "float32"))
     state_out_shardings = (
-        __import__("jax").tree.map(lambda x: x.sharding, state)
+        jax.tree.map(lambda x: x.sharding, state)
         if (args.offload_optimizer or args.offload_params) else None
     )
     train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
@@ -107,6 +178,7 @@ def main() -> None:
     perf = PerfCounter(
         flops_per_token=spec.flops_per_token(args.seq_len), n_devices=n_dev
     )
+    measured = 0
     for i in range(args.warmup + args.steps):
         batch, counts = loader.next_batch()
         batch = step_lib.put_batch(jax.tree.map(jnp.asarray, batch), mesh_info)
@@ -121,32 +193,31 @@ def main() -> None:
         # before the enqueued execution actually finishes
         float(metrics["loss"])
         dt = time.perf_counter() - t0
-        if i >= args.warmup:
-            perf.record(dt, tokens_per_batch)
         print(
             f"step {i}: {dt * 1e3:.1f} ms, {tokens_per_batch / dt:,.0f} tok/s"
             + (" (warmup)" if i < args.warmup else ""),
             file=sys.stderr,
         )
+        if i >= args.warmup:
+            perf.record(dt, tokens_per_batch)
+            measured += 1
+            # stream the running result after EVERY measured step
+            _emit("rl_train_tokens_per_sec", perf.tokens_per_sec, "tok/s",
+                  perf.tokens_per_sec / BASELINE_TOKENS_PER_SEC,
+                  partial=(measured < args.steps), steps=measured,
+                  extra={"mfu": round(perf.mfu(), 4)})
 
-    tps = perf.tokens_per_sec
-    mfu = perf.mfu()
     print(
         f"model={args.model} seq={args.seq_len} devices={n_dev} "
-        f"peak={device_peak_flops() / 1e12:.0f}TF MFU={mfu * 100:.1f}%",
+        f"peak={device_peak_flops() / 1e12:.0f}TF MFU={perf.mfu() * 100:.1f}%",
         file=sys.stderr,
     )
-    print(json.dumps({
-        "metric": "rl_train_tokens_per_sec",
-        "value": round(tps, 1),
-        "unit": "tok/s",
-        "vs_baseline": round(tps / BASELINE_TOKENS_PER_SEC, 3),
-    }))
 
 
 def bench_decode(args) -> None:
     """Steady-state decode throughput of the sampling engine: ``batch_size``
-    concurrent requests generating ``gen_tokens`` each."""
+    concurrent requests generating ``gen_tokens`` each, measured in waves so
+    partial results stream out between waves."""
     import jax
 
     if args.cpu:
@@ -169,29 +240,34 @@ def bench_decode(args) -> None:
         num_pages=pages_needed, page_size=64, max_slots=args.batch_size,
         max_seq_len=max_len,
     )
-    engine = Engine(params, spec, cache_cfg, lookahead=16)
+    engine = Engine(params, spec, cache_cfg, lookahead=16,
+                    decode_block=args.decode_block)
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]
         for _ in range(args.batch_size)
     ]
+    # warmup: compile prefill + the full-block decode program at full batch
+    t0 = time.perf_counter()
+    engine.generate(prompts, SamplingParams(
+        max_tokens=args.decode_block + 1, temperature=1.0, ignore_eos=True))
+    print(f"warmup/compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
     sp = SamplingParams(max_tokens=args.gen_tokens, temperature=1.0,
                         ignore_eos=True, seed=1)
-    # warmup: compile prefill + decode
-    engine.generate(prompts[:1], SamplingParams(max_tokens=4, temperature=1.0, ignore_eos=True))
-
-    t0 = time.perf_counter()
-    results = engine.generate(prompts, sp)
-    dt = time.perf_counter() - t0
-    total = sum(len(r.token_ids) for r in results)
-    tps = total / dt
-    print(f"decode: {total} tokens in {dt:.2f}s across {args.batch_size} slots", file=sys.stderr)
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec",
-        "value": round(tps, 1),
-        "unit": "tok/s",
-        "vs_baseline": None,
-    }))
+    total = 0
+    total_dt = 0.0
+    waves = 3
+    for w in range(waves):
+        t0 = time.perf_counter()
+        results = engine.generate(prompts, sp)
+        dt = time.perf_counter() - t0
+        total += sum(len(r.token_ids) for r in results)
+        total_dt += dt
+        print(f"wave {w}: {total} tokens in {total_dt:.2f}s", file=sys.stderr)
+        _emit("decode_tokens_per_sec", total / total_dt, "tok/s", None,
+              partial=(w + 1 < waves), steps=w + 1,
+              extra={"slots": args.batch_size, "decode_block": args.decode_block})
 
 
 if __name__ == "__main__":

@@ -29,10 +29,15 @@ class SchedulerConfig(BaseConfig):
     max_batch_size: int = 64  # concurrent decode slots
     max_prefill_tokens: int = 8192  # per prefill step
     prefill_chunk: int = 512
-    # in-flight decode steps per batched drain: higher hides host<->device
+    # in-flight decode TOKENS per batched drain: higher hides host<->device
     # latency behind more device work (throughput), lower tightens
     # per-token streaming latency
     lookahead: int = 8
+    # on-device decode steps per dispatched program (lax.scan with in-program
+    # EOS/length masking): the host pays one op-dispatch per decode_block
+    # tokens. 1 = dispatch per token (tightest admission latency; the engine
+    # already drops to 1 while admissions are pending)
+    decode_block: int = 8
 
 
 class ServerConfig(BaseConfig):

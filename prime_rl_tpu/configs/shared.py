@@ -269,8 +269,41 @@ class SignSGDConfig(BaseConfig):
     weight_decay: float = 0.0
 
 
+class AdamW8bitConfig(BaseConfig):
+    """AdamW with blockwise-int8 moments: 8x less optimizer-state HBM
+    (~1 byte/param/moment). State HBM freed this way can buy back
+    rematerialization (ac.mode=save_attn) at long context. Optionally pairs
+    with bf16 master weights + stochastic rounding (master_dtype) for
+    another 2x on the params."""
+
+    type: Literal["adamw_8bit"] = "adamw_8bit"
+    lr: float = 1e-6
+    weight_decay: float = 0.01
+    betas: tuple[float, float] = (0.9, 0.999)
+    eps: float = 1e-8
+    block: int = 2048  # params per quantization block
+    master_dtype: Literal["float32", "bfloat16"] = "float32"
+
+
+class AdafactorMomConfig(BaseConfig):
+    """Adafactor with bf16 momentum (Adam-like recipe: no relative step,
+    no param scaling): the second moment is rank-1 factored — O(N+M) instead
+    of O(NM) — and the first moment is half-width. The biggest state shrink
+    available; quality within noise of Adam for LLM training at these
+    scales."""
+
+    type: Literal["adafactor_mom"] = "adafactor_mom"
+    lr: float = 1e-6
+    weight_decay: float = 0.0
+    momentum: float = 0.9
+    decay_rate: float = 0.8  # adafactor's step-dependent 2nd-moment decay
+    clipping_threshold: float = 1.0
+    master_dtype: Literal["float32", "bfloat16"] = "float32"
+
+
 OptimizerConfig = Annotated[
-    AdamWConfig | SGDConfig | MuonConfig | SignSGDConfig,
+    AdamWConfig | SGDConfig | MuonConfig | SignSGDConfig
+    | AdamW8bitConfig | AdafactorMomConfig,
     Field(discriminator="type"),
     default_tag("adamw"),
 ]

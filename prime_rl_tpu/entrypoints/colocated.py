@@ -52,7 +52,9 @@ def run_colocated(config: RLConfig) -> None:
         max_seq_len=icfg.max_model_len,
     )
     engine = Engine(placeholder, spec, cache_cfg, seed=icfg.seed,
-                    collect_routed_experts=icfg.collect_routed_experts)
+                    collect_routed_experts=icfg.collect_routed_experts,
+                    lookahead=icfg.scheduler.lookahead,
+                    decode_block=icfg.scheduler.decode_block)
     engine.pause()  # no serving until real weights land
     tokenizer = get_tokenizer(icfg.tokenizer.name or icfg.model.name)
     server = InferenceServer(engine, tcfg.model.name, tokenizer)

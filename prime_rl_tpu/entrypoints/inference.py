@@ -70,7 +70,8 @@ def build_server(config: InferenceConfig):
     engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
                     lora_config=config.lora,
                     collect_routed_experts=config.collect_routed_experts,
-                    mesh=mesh, lookahead=config.scheduler.lookahead)
+                    mesh=mesh, lookahead=config.scheduler.lookahead,
+                    decode_block=config.scheduler.decode_block)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import optax
 
 from prime_rl_tpu.configs.shared import (
+    AdafactorMomConfig,
+    AdamW8bitConfig,
     AdamWConfig,
     ConstantSchedulerConfig,
     CosineSchedulerConfig,
@@ -41,6 +43,99 @@ def make_schedule(cfg, base_lr: float) -> optax.Schedule:
         warmup = optax.linear_schedule(0.0, base_lr, cfg.warmup_steps)
         return optax.join_schedules([warmup, main], [cfg.warmup_steps])
     return main
+
+
+def _quant_q8(x: jax.Array, block: int) -> tuple[jax.Array, jax.Array, int]:
+    """Blockwise-absmax int8: flatten, pad to ``block``, return (q [nb, block]
+    int8, scale [nb, 1] f32, orig_size)."""
+    flat = x.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    nb = -(-n // block)
+    flat = jnp.pad(flat, (0, nb * block - n))
+    blocks = flat.reshape(nb, block)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True) / 127.0
+    q = jnp.round(blocks / jnp.maximum(scale, 1e-30)).astype(jnp.int8)
+    return q, scale, n
+
+
+def _dequant_q8(q: jax.Array, scale: jax.Array, n: int, shape) -> jax.Array:
+    return (q.astype(jnp.float32) * scale).reshape(-1)[:n].reshape(shape)
+
+
+def scale_by_adam_8bit(
+    b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, block: int = 2048,
+) -> optax.GradientTransformation:
+    """Adam whose moments live as blockwise int8 (+1 f32 scale per ``block``
+    params): ~1.004 bytes/param/moment instead of 4 — an 8x optimizer-state
+    HBM shrink (reference analogue: the memory-lever family of
+    trainer/optim.py:17-108; technique: bitsandbytes 8-bit Adam, blockwise
+    dynamic quantization). ``nu`` (non-negative, huge dynamic range) is
+    stored in sqrt space so linear int8 keeps relative resolution where the
+    denominator matters; the quantization error is re-absorbed every step by
+    the EMA (self-correcting, like SR in low-precision training)."""
+
+    def init(params):
+        def leaf(p):
+            z = jnp.zeros(p.shape, jnp.float32)
+            mq, ms, n = _quant_q8(z, block)
+            nq, ns, _ = _quant_q8(z, block)
+            return {"mu_q": mq, "mu_s": ms, "nu_q": nq, "nu_s": ns}
+
+        return {"count": jnp.zeros((), jnp.int32),
+                "m": jax.tree.map(leaf, params)}
+
+    def update(updates, state, params=None):
+        count = state["count"] + 1
+        cf = count.astype(jnp.float32)
+
+        def leaf(g, m):
+            g = g.astype(jnp.float32)
+            mu = _dequant_q8(m["mu_q"], m["mu_s"], g.size, g.shape)
+            nu_sqrt_q = _dequant_q8(m["nu_q"], m["nu_s"], g.size, g.shape)
+            nu = jnp.square(nu_sqrt_q)
+            mu = b1 * mu + (1.0 - b1) * g
+            nu = b2 * nu + (1.0 - b2) * jnp.square(g)
+            mu_hat = mu / (1.0 - jnp.power(b1, cf))
+            nu_hat = nu / (1.0 - jnp.power(b2, cf))
+            # a coordinate whose sqrt(nu) sits below its block's quantization
+            # step carries NO denominator information after the round-trip —
+            # mu noise over eps would explode it. Floor the denominator at
+            # the block step (broadcast) so quantization-noise updates are
+            # bounded by mu_noise/step ~ O(1) quant steps, and freeze coords
+            # whose stored nu is exactly zero.
+            nu_step = jnp.broadcast_to(
+                m["nu_s"], (m["nu_q"].shape[0], block)
+            ).reshape(-1)[: g.size].reshape(g.shape)
+            denom = jnp.sqrt(nu_hat) + jnp.maximum(eps, nu_step)
+            upd = jnp.where(
+                (nu_sqrt_q > 0) | (count <= 1), mu_hat / denom, 0.0)
+            mq, ms, _ = _quant_q8(mu, block)
+            nq, ns, _ = _quant_q8(jnp.sqrt(nu), block)
+            return upd, {"mu_q": mq, "mu_s": ms, "nu_q": nq, "nu_s": ns}
+
+        flat_u = jax.tree.leaves(updates)
+        flat_m = jax.tree.leaves(state["m"], is_leaf=lambda x: isinstance(x, dict) and "mu_q" in x)
+        out = [leaf(g, m) for g, m in zip(flat_u, flat_m)]
+        treedef = jax.tree.structure(updates)
+        new_u = jax.tree.unflatten(treedef, [o[0] for o in out])
+        new_m = jax.tree.unflatten(treedef, [o[1] for o in out])
+        return new_u, {"count": count, "m": new_m}
+
+    return optax.GradientTransformation(init, update)
+
+
+def stochastic_round_to(dtype, x: jax.Array, key: jax.Array) -> jax.Array:
+    """f32 -> bf16 stochastic rounding (bit trick: add 16 random low bits,
+    truncate). Unbiased: E[sr(x)] = x — the accumulated-update argument for
+    bf16 master weights (the f32 information lives in the randomness across
+    steps). Non-finite values pass through unchanged."""
+    if dtype != jnp.bfloat16:
+        return x.astype(dtype)
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    rnd = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
+    rounded = (bits + rnd) & jnp.uint32(0xFFFF0000)
+    out = jax.lax.bitcast_convert_type(rounded, jnp.float32).astype(jnp.bfloat16)
+    return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
 
 
 def _sign_sgd(lr: optax.Schedule, weight_decay: float) -> optax.GradientTransformation:
@@ -78,6 +173,23 @@ def make_optimizer(
         opt = optax.adamw(
             schedule, b1=cfg.betas[0], b2=cfg.betas[1], eps=cfg.eps,
             weight_decay=cfg.weight_decay,
+        )
+    elif isinstance(cfg, AdamW8bitConfig):
+        opt = optax.chain(
+            scale_by_adam_8bit(cfg.betas[0], cfg.betas[1], cfg.eps, cfg.block),
+            optax.add_decayed_weights(cfg.weight_decay) if cfg.weight_decay else optax.identity(),
+            optax.scale_by_learning_rate(schedule),
+        )
+    elif isinstance(cfg, AdafactorMomConfig):
+        opt = optax.adafactor(
+            learning_rate=schedule,
+            multiply_by_parameter_scale=False,
+            decay_rate=cfg.decay_rate,
+            clipping_threshold=cfg.clipping_threshold,
+            momentum=cfg.momentum,
+            dtype_momentum=jnp.bfloat16,
+            weight_decay_rate=cfg.weight_decay or None,
+            factored=True,
         )
     elif isinstance(cfg, SGDConfig):
         opt = optax.chain(

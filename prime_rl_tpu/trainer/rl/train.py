@@ -82,7 +82,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
                                  params=init_params,
                                  offload_optimizer=config.offload_optimizer,
-                                 offload_params=config.offload_params)
+                                 offload_params=config.offload_params,
+                                 master_dtype=getattr(config.optimizer, "master_dtype", "float32"))
     state_out_shardings = (
         jax.tree.map(lambda x: x.sharding, state)
         if (config.offload_optimizer or config.offload_params) else None

@@ -62,7 +62,8 @@ def train(config: SFTConfig) -> None:
                     "(reference scenario: sft_lora)")
     else:
         state = init_train_state(spec, mesh_info, optimizer, seed=config.seed,
-                                 params=init_params)
+                                 params=init_params,
+                                 master_dtype=getattr(config.optimizer, "master_dtype", "float32"))
     train_step = make_train_step(spec, config.model, loss_cfg, optimizer, mesh_info,
                                  base_params=base_params)
 

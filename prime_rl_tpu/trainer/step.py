@@ -344,6 +344,10 @@ def make_train_step(
         return finalize_grads_jit(g_acc), loss, metrics
 
     def apply_update(state: TrainState, grads):
+        # bf16 masters: moments/updates still run in f32
+        grads = jax.tree.map(
+            lambda g: g.astype(jnp.float32)
+            if jnp.issubdtype(g.dtype, jnp.floating) else g, grads)
         grad_norm = optax.global_norm(grads)
         opt_state_in = state.opt_state
         if state_out_shardings is not None:
@@ -367,7 +371,27 @@ def make_train_step(
                     return x
 
             opt_state = jax.tree.map(to_home, opt_state, state_out_shardings.opt_state)
-        params = optax.apply_updates(state.params, updates)
+        if any(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(state.params)
+               if jnp.issubdtype(l.dtype, jnp.floating)):
+            # bf16 masters: apply the f32 update with stochastic rounding so
+            # sub-bf16-ulp updates survive in expectation (master_dtype lever)
+            from prime_rl_tpu.trainer.optim import stochastic_round_to
+
+            step_key = jax.random.fold_in(jax.random.key(17), state.step)
+            leaves, treedef = jax.tree_util.tree_flatten(state.params)
+            u_leaves = jax.tree.leaves(updates)
+            new_leaves = []
+            for i, (p, u) in enumerate(zip(leaves, u_leaves)):
+                if p.dtype == jnp.bfloat16:
+                    new_leaves.append(stochastic_round_to(
+                        jnp.bfloat16, p.astype(jnp.float32) + u,
+                        jax.random.fold_in(step_key, i)))
+                else:
+                    new_leaves.append((p + u.astype(p.dtype)))
+            params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        else:
+            params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), grad_norm
 
     if state_out_shardings is None:
@@ -598,20 +622,30 @@ def init_train_state(
     params: Params | None = None,
     offload_optimizer: bool = False,
     offload_params: bool = False,
+    master_dtype: str = "float32",
 ) -> TrainState:
     """Sharded-init the train state. With ``params=None``, random-init directly
     into the sharded layout (single jit, no host materialization).
 
     ``offload_optimizer=True`` parks optimizer-state leaves in pinned host
     memory (the TPU analogue of the reference's CPUOffloadOptimizer,
-    trainer/optim.py:17-108) — XLA streams them in/out around the update."""
+    trainer/optim.py:17-108) — XLA streams them in/out around the update.
+    ``master_dtype='bfloat16'`` halves master-weight HBM; the update applies
+    with stochastic rounding (apply_update)."""
     from prime_rl_tpu.models import get_family
+
+    mdt = jnp.bfloat16 if master_dtype == "bfloat16" else jnp.float32
+
+    def _to_master(p):
+        return jax.tree.map(
+            lambda x: x.astype(mdt)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
 
     if params is None:
         family = get_family(spec)
 
         def init_fn():
-            p = family.init(spec, jax.random.key(seed))
+            p = _to_master(family.init(spec, jax.random.key(seed)))
             return TrainState(params=p, opt_state=optimizer.init(p), step=jnp.zeros((), jnp.int32))
 
         shapes = jax.eval_shape(init_fn)
@@ -620,7 +654,7 @@ def init_train_state(
     shardings = model_base.param_shardings(params, mesh_info)
     if offload_params:
         shardings = jax.tree.map(_to_host_kind, shardings)
-    params = jax.device_put(params, shardings)
+    params = jax.device_put(_to_master(params), shardings)
     opt_shardings = state_shardings_for_opt(optimizer, params, mesh_info)
     if offload_optimizer:
         opt_shardings = jax.tree.map(_to_host_kind, opt_shardings)
