@@ -39,7 +39,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def moe_mlp_ep(
-    x: jax.Array,  # [T, D], T sharded over the `expert` mesh axis
+    x: jax.Array,  # [T, D], T sharded over ``token_axes``
     router_w: jax.Array,  # [D, E] replicated
     w_gate: jax.Array,  # [E, D, M] sharded over experts (axis 0)
     w_up: jax.Array,
@@ -48,24 +48,39 @@ def moe_mlp_ep(
     norm_topk_prob: bool,
     mesh: jax.sharding.Mesh,
     capacity_factor: float = 2.0,
+    token_axes: tuple[str, ...] = ("expert",),
     **route_kwargs,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (output [T, D], dropped-pair fraction scalar)."""
+) -> tuple[jax.Array, "RouterOutput", jax.Array]:
+    """Returns (output [T, D], RouterOutput with global [T, K] ids/weights,
+    dropped-pair fraction scalar).
+
+    ``token_axes``: mesh axes the token dim is sharded over (must include
+    "expert"; e.g. ("replica", "fsdp", "expert") in the trainer, where each
+    dp row forms its own ep group). The dispatch/combine all_to_all runs
+    over "expert" only — the reference's ``ep = dp_shard_in_ep x cp`` layout
+    (parallel_dims.py:82-152) expressed as mesh axes."""
+    from prime_rl_tpu.ops.moe import RouterOutput
+
     ep = mesh.shape["expert"]
     e = router_w.shape[1]
     if e % ep != 0:
         raise ValueError(f"{e} experts not divisible by expert axis {ep}")
     e_local = e // ep
     t = x.shape[0]
-    if t % ep != 0:
-        raise ValueError(f"{t} tokens not divisible by expert axis {ep}")
-    t_local = t // ep
+    shard_n = 1
+    for a in token_axes:
+        shard_n *= mesh.shape[a]
+    if t % shard_n != 0:
+        raise ValueError(f"{t} tokens not divisible by token shards {shard_n}")
+    t_local = t // shard_n
     # per-(src, dst) bucket capacity (static): even split + slack
     capacity = _round_up(max(1, int(capacity_factor * t_local * top_k / ep)), 8)
 
     def fn(x_l, router_w, wg_l, wu_l, wd_l):
         tl, d = x_l.shape
         routing = route_topk(x_l, router_w, top_k, norm_topk_prob, **route_kwargs)
+        lb = jax.lax.pmean(routing.load_balance_loss, token_axes)
+        ent = jax.lax.pmean(routing.router_entropy, token_axes)
         flat_e = routing.expert_ids.reshape(-1)  # [tl*K]
         flat_w = routing.weights.reshape(-1)
         flat_tok = jnp.repeat(jnp.arange(tl, dtype=jnp.int32), top_k)
@@ -125,13 +140,15 @@ def moe_mlp_ep(
         contrib = back.astype(jnp.float32) * w_slot[:, None]
         out = jnp.zeros((tl, d), jnp.float32).at[tok_slot].add(contrib)
         # drop fraction averaged over ranks
-        dropped = jax.lax.pmean(dropped, "expert")
-        return out.astype(x_l.dtype), dropped
+        dropped = jax.lax.pmean(dropped, token_axes)
+        return (out.astype(x_l.dtype), routing.expert_ids, routing.weights,
+                lb, ent, dropped)
 
-    out, dropped = shard_map(
+    tok_spec = P(token_axes)
+    out, ids, weights, lb, ent, dropped = shard_map(
         fn, mesh=mesh,
-        in_specs=(P("expert"), P(), P("expert"), P("expert"), P("expert")),
-        out_specs=(P("expert"), P()),
+        in_specs=(tok_spec, P(), P("expert"), P("expert"), P("expert")),
+        out_specs=(tok_spec, tok_spec, tok_spec, P(), P(), P()),
         check_rep=False,
     )(x, router_w, w_gate, w_up, w_down)
-    return out, dropped
+    return out, RouterOutput(ids, weights, lb, ent), dropped

@@ -70,6 +70,17 @@ def build_mesh(config: MeshConfig, devices: Sequence[jax.Device] | None = None) 
     shape = tuple(sizes[a] for a in AXIS_NAMES)
     arr = np.asarray(devices).reshape(shape)
     mesh = Mesh(arr, AXIS_NAMES)
+    # expert>1: register the ambient EP mesh so moe_mlp routes the supported
+    # family through the explicit a2a shard_map path (ops/moe.py — avoids
+    # GSPMD's scatter-add full-rematerialization in the dispatch backward)
+    from prime_rl_tpu.ops import moe as _moe
+
+    if sizes.get("expert", 1) > 1:
+        token_axes = tuple(a for a in ("replica", "fsdp", "expert")
+                           if sizes.get(a, 1) > 1)
+        _moe.set_ep_mesh(mesh, token_axes or ("expert",))
+    else:
+        _moe.set_ep_mesh(None)
     return MeshInfo(mesh=mesh, sizes=sizes)
 
 

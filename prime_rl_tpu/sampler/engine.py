@@ -116,8 +116,7 @@ class _StepOutput:
     """One dispatched decode program (k on-device steps) awaiting drain."""
 
     seq: int
-    tokens: jax.Array  # [K, S] device
-    logprobs: jax.Array  # [K, S] device
+    packed: jax.Array  # [K, S, 2] f32 device: tokens (exact) + logprobs
     slots: list[int]  # slots active at dispatch time
     routed: "jax.Array | None" = None  # [K, S, NL_moe, topk] routing of INPUT tokens
     k: int = 1  # on-device decode steps in this program
@@ -334,11 +333,17 @@ class Engine:
                 lps_rows.append(out_logprobs)
                 if collect:
                     routed_rows.append(routed)
-            toks_k = jnp.stack(toks_rows)          # [K, S]
-            lps_k = jnp.stack(lps_rows)
+            # pack tokens+logprobs into ONE output: each fetched array pays a
+            # full host round-trip on remote runtimes (~25 ms on the tunnel),
+            # so the drain wants exactly one small array per program. Tokens
+            # ride as f32 (exact below 2^24 >> any vocab).
+            packed = jnp.stack([
+                jnp.stack(toks_rows).astype(jnp.float32),   # [K, S]
+                jnp.stack(lps_rows).astype(jnp.float32),
+            ], axis=-1)                                      # [K, S, 2]
             routed_k = jnp.stack(routed_rows) if collect else None
             return (k_pool, v_pool, tokens, lengths, active, key,
-                    toks_k, lps_k, routed_k, r_conv, r_state)
+                    packed, routed_k, r_conv, r_state)
 
         return decode_fn
 
@@ -684,12 +689,159 @@ class Engine:
         if not req.future.done():
             req.future.set_exception(exc)
 
+    PREFILL_BATCH_SIZES = (8, 4, 2)  # largest-first; each is one compile
+
+    def _batchable(self, req: _Request) -> bool:
+        """Eligible for the batched plain prefill program: standard-attention
+        request on a homogeneous-"A" model with no special surfaces."""
+        sp = req.params
+        n = max(len(req.prompt), 1)
+        return (not req.aborted and req.mm is None and req.inject is None
+                and not sp.extract_kv and not sp.prompt_logprobs
+                and sp.max_tokens >= 1
+                and n <= self.buckets[-1]
+                and n + 1 <= self.config.max_seq_len
+                and (not sp.adapter or sp.adapter in self.adapters))
+
+    def _admit_batch_plain(self) -> bool:
+        """Batch same-bucket pending prefills into ONE program: per-request
+        prefill is dispatch-bound on remote runtimes (~75 ms fixed cost
+        each), so an admission burst of R requests serializes R of them —
+        batching amortizes it B-fold (reference: vLLM's batched prefill
+        scheduler). Cache-hit requests fall through to the single path where
+        the prefix actually gets reused."""
+        if (self.is_hybrid or self.spec.kv_lora_rank > 0
+                or self.spec.layer_pattern or self.spec.gdn_pattern
+                or self.spec.vision is not None):
+            return False
+        from prime_rl_tpu.sampler.cache import hash_pages
+
+        with self._lock:
+            window = list(self.pending)[: self.ADMIT_WINDOW]
+        groups: dict[tuple, list] = {}
+        for req in window:
+            if not self._batchable(req):
+                continue
+            n = max(len(req.prompt), 1)
+            groups.setdefault(
+                (_bucket(n, self.buckets), req.params.adapter or ""), []
+            ).append(req)
+        any_admitted = False
+        ps = self.config.page_size
+        for (lpad, adapter), reqs in groups.items():
+            while len(reqs) >= 2:
+                bsz = next((b for b in self.PREFILL_BATCH_SIZES
+                            if b <= len(reqs)), 2)
+                chunk, reqs = reqs[:bsz], reqs[bsz:]
+                acquired = []
+                for req in chunk:
+                    n = max(len(req.prompt), 1)
+                    hashes = []
+                    if self.slots.cache is not None:
+                        n_shareable = ((n - 1) // ps) * ps
+                        salt = (req.params.cache_salt, req.params.adapter)
+                        hashes = hash_pages(req.prompt[:n_shareable], ps, salt=salt)
+                        if hashes and self.slots.cache.match_len(hashes) > 0:
+                            continue  # single path reuses the cached prefix
+                    got = self.slots.acquire(self._acquire_want(req, n), hashes)
+                    if got is None:
+                        break  # out of slots/pages: stop growing this batch
+                    acquired.append((req, got[0], n))
+                if len(acquired) < 2:
+                    for req, slot, _n in acquired:
+                        self.slots.cancel_donation(slot)  # pages never written
+                        self.slots.release(slot)
+                    return any_admitted
+                self._dispatch_prefill_batch(acquired, lpad, adapter)
+                any_admitted = True
+        return any_admitted
+
+    def _prefill_batch_fn(self, lpad: int, bsz: int):
+        fn = self._prefill_fns.get(("batch", lpad, bsz))
+        if fn is None:
+            spec, dtype, impl = self.spec, self.compute_dtype, self._prefill_attn_impl
+            lora_on = self._lora_bank is not None
+
+            @functools.partial(jax.jit, donate_argnums=(1, 2))
+            def prefill_b(params, k_pool, v_pool, ids, lengths, pages,
+                          temp, top_k, top_p, key, adapter):
+                k_pool, v_pool, last_hidden = smodel.prefill_batch(
+                    params, spec, k_pool, v_pool, ids, lengths, pages,
+                    compute_dtype=dtype, attn_impl=impl,
+                    adapter_idx=adapter if lora_on else None,
+                )
+                logits = smodel.logits_from_hidden(params, spec, last_hidden, dtype)
+                tok, lp = sample_tokens(logits, temp, top_k, top_p, key)
+                return k_pool, v_pool, tok, lp
+
+            fn = self._prefill_fns[("batch", lpad, bsz)] = prefill_b
+        return fn
+
+    def _dispatch_prefill_batch(self, acquired: list, lpad: int, adapter: str) -> None:
+        ps = self.config.page_size
+        real = len(acquired)
+        bsz = next((b for b in reversed(self.PREFILL_BATCH_SIZES) if b >= real),
+                   self.PREFILL_BATCH_SIZES[0])
+        ids = np.zeros((bsz, lpad), np.int32)
+        lengths = np.zeros((bsz,), np.int32)
+        pages = np.zeros((bsz, lpad // ps), np.int32)  # dummy rows: null page
+        temp = np.ones((bsz,), np.float32)
+        topk = np.full((bsz,), -1, np.int32)
+        topp = np.ones((bsz,), np.float32)
+        seed_mix = self._dispatch_seq + 1
+        for b, (req, slot, n) in enumerate(acquired):
+            sp = req.params
+            ids[b, :n] = req.prompt
+            lengths[b] = n
+            pages[b] = self.slots.page_table[slot][: lpad // ps]
+            temp[b] = sp.temperature
+            topk[b] = sp.top_k
+            topp[b] = sp.top_p
+            seed_mix = (seed_mix * 1000003
+                        + (sp.seed if sp.seed is not None else slot + 1)) % (1 << 31)
+        adapter_row = jnp.int32(self.adapters.get(adapter, 0) if adapter else 0)
+        fn = self._prefill_batch_fn(lpad, bsz)
+        (self.k_pool, self.v_pool, tok, lp) = fn(
+            self.params, self.k_pool, self.v_pool,
+            jnp.asarray(ids), jnp.asarray(lengths), jnp.asarray(pages),
+            jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+            jax.random.key(seed_mix), adapter_row,
+        )
+        self._table_dirty = True
+        for b, (req, slot, n) in enumerate(acquired):
+            sp = req.params
+            self.slots.lengths[slot] = n
+            self._shadow_lengths[slot] = n
+            self.stats["requests_admitted"] += 1
+            self.stats["prefill_tokens_computed"] += n
+            active = _Active(req, slot)
+            active.first_token_handle = (tok[b], lp[b])
+            self.active[slot] = active
+            limit = self._limit_for(n, sp)
+            self._host_limit[slot] = limit
+            (self._d_tokens, self._d_lengths, self._d_active,
+             self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+             self._d_pos_delta, self._d_limit, self._d_stop) = self._set_slot_fn(
+                self._d_tokens, self._d_lengths, self._d_active,
+                self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+                self._d_pos_delta, self._d_limit, self._d_stop,
+                jnp.int32(slot), tok[b], jnp.int32(n),
+                jnp.float32(sp.temperature), jnp.int32(sp.top_k),
+                jnp.float32(sp.top_p), adapter_row, jnp.int32(0),
+                jnp.int32(limit), jnp.asarray(self._stop_row(sp)),
+            )
+            with self._lock:
+                try:
+                    self.pending.remove(req)
+                except ValueError:
+                    pass
+
     def _admit_pending(self) -> bool:
         """Admit every pending request that fits right now. The head never
         hard-blocks the queue: smaller requests behind it are admitted
         (skip-over) until the head has been passed over HOL_MAX_STRIKES
         times, after which admission waits for it (no starvation)."""
-        any_admitted = False
+        any_admitted = self._admit_batch_plain()
         progress = True
         while progress and self.pending:
             progress = False
@@ -1317,7 +1469,7 @@ class Engine:
         slots = sorted(s for s, a in self.active.items() if not a.done)
         k_steps = self._pick_block(slots)
         (self.k_pool, self.v_pool, self._d_tokens, self._d_lengths,
-         self._d_active, self._d_key, toks_k, lps_k, routed_k,
+         self._d_active, self._d_key, packed, routed_k,
          self.r_conv, self.r_state) = self._decode_fn_for(k_steps)(
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
@@ -1325,8 +1477,17 @@ class Engine:
             self._d_pos_delta, self.r_conv, self.r_state,
             self._d_limit, self._d_stop,
         )
+        # start the device->host copy NOW, right behind the program in the
+        # stream — the drain then reads a (mostly) already-landed buffer
+        # instead of paying the full round-trip at fetch time
+        try:
+            packed.copy_to_host_async()
+            if routed_k is not None:
+                routed_k.copy_to_host_async()
+        except Exception:
+            pass
         self._dispatch_seq += 1
-        self._inflight.append(_StepOutput(self._dispatch_seq, toks_k, lps_k,
+        self._inflight.append(_StepOutput(self._dispatch_seq, packed,
                                           slots, routed_k, k=k_steps))
 
     def _drain(self, force: bool = False) -> None:
@@ -1349,8 +1510,10 @@ class Engine:
             self._inflight.clear()
         else:
             steps = [self._inflight.popleft()]
-        fetched = jax.device_get([(st.tokens, st.logprobs, st.routed) for st in steps])
-        for step, (tokens, logprobs, routed) in zip(steps, fetched):
+        fetched = jax.device_get([(st.packed, st.routed) for st in steps])
+        for step, (packed, routed) in zip(steps, fetched):
+            tokens = packed[..., 0].astype(np.int64)
+            logprobs = packed[..., 1]
             for i in range(step.k):
                 for s in step.slots:
                     a = self.active.get(s)

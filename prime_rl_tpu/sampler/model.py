@@ -801,6 +801,72 @@ def prefill(
     return k_pool, v_pool, last_hidden, prompt_logprobs, r_rows
 
 
+def prefill_batch(
+    params: Params,
+    spec: ModelSpec,
+    k_pool: list[jax.Array],
+    v_pool: list[jax.Array],
+    input_ids: jax.Array,  # [B, Lpad] int32 (bucketed)
+    lengths: jax.Array,  # [B] int32 true prompt lengths
+    pages: jax.Array,  # [B, Lpad // page_size] int32 per-row page rows
+    *,
+    compute_dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    adapter_idx: jax.Array | None = None,  # scalar: one adapter per batch
+):
+    """Batched prefill for homogeneous-"A" models (standard attention+MLP/MoE
+    stacks — qwen3/llama/gpt-oss class): B prompts through ONE program.
+
+    Per-request prefill programs are dispatch-bound on remote runtimes
+    (~75 ms fixed cost each through the tunnel); an admission burst of R
+    requests serializes R of them. Batching amortizes the fixed cost B-fold
+    (the reference gets this from vLLM's batched prefill scheduler). Rows are
+    independent: per-row segment masking, per-row page writes; dummy rows
+    (length 0, pages all-null) are legal padding.
+
+    Returns (k_pool, v_pool, last_hidden [B, D], r_rows (all None)).
+    """
+    b, lpad = input_ids.shape
+    page_size = next((p.shape[2] for p in k_pool if p is not None), 1)
+    n_pages = lpad // page_size
+    inv_freq, rope_scaling = _rope(spec)
+    positions = jnp.broadcast_to(jnp.arange(lpad, dtype=jnp.int32), (b, lpad))
+    segment_ids = (positions < lengths[:, None]).astype(jnp.int32)
+
+    embed = params["embed"].astype(compute_dtype)
+    h = jnp.take(embed, input_ids, axis=0)
+
+    from prime_rl_tpu.models.qwen3 import layer_windows_list
+
+    windows = layer_windows_list(spec)
+    k_out, v_out = [], []
+    for lp, k_l, v_l, win in zip(params["layers"], k_pool, v_pool, windows):
+        lp = _cast_layer(lp, compute_dtype)
+        x = rms_norm(h, lp["attn_norm"], spec.rms_eps)
+        q, k, v = _qkv(x, lp, spec, positions, _freqs_for(spec, inv_freq, win),
+                       rope_scaling, adapter_idx)
+        o = attention(q, k, v, segment_ids, causal=True, impl=attn_impl,
+                      window=win, sinks=lp.get("sink"))
+        o = _gated_o(o, x, lp, spec)
+        proj = _mm_l(o.reshape(b, lpad, spec.q_dim), lp["o"], lp.get("lora"), "o",
+                     adapter_idx) + _obias(lp, h.dtype)
+        h = h + _post_attn(proj, lp, spec)
+        h = h + _mlp(rms_norm(h, lp["mlp_norm"], spec.rms_eps), lp, spec, adapter_idx)
+        # per-row page writes: dus-in-loop over B static rows stays in place
+        # on the donated pools (same rationale as the single-row prefill)
+        k_w = k.transpose(0, 2, 1, 3).reshape(b, spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        v_w = v.transpose(0, 2, 1, 3).reshape(b, spec.num_kv_heads, n_pages, page_size, spec.head_dim)
+        for r in range(b):
+            k_l = _write_pages(k_l, k_w[r].astype(k_l.dtype), pages[r])
+            v_l = _write_pages(v_l, v_w[r].astype(v_l.dtype), pages[r])
+        k_out.append(k_l)
+        v_out.append(v_l)
+    h = rms_norm(h, params["final_norm"], spec.rms_eps)
+    last_hidden = jnp.take_along_axis(
+        h, jnp.maximum(lengths - 1, 0)[:, None, None], axis=1)[:, 0]  # [B, D]
+    return k_out, v_out, last_hidden
+
+
 def _chunk_attention_xla(q, k_l, v_l, q_pos, page_row, valid_hi, window=0, sinks=None):
     """Chunk queries against the slot's full paged history (already written,
     including this chunk). q: [C, NH, HD]; page_row: [P] this slot's pages;

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models import get_family
 from prime_rl_tpu.models.base import BUILTIN_SPECS, ModelSpec, spec_from_hf_config
 

@@ -6,6 +6,8 @@ first-k dense layers (reference: trainer/models/glm_moe_dsa/ MoE block)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import ModelSpec
 from prime_rl_tpu.models.glm4_moe import (
     forward,

@@ -7,6 +7,8 @@ biases, clamped-GLU experts with biases, top-k-softmax routing, YaRN RoPE
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import ModelSpec
 from prime_rl_tpu.models.gpt_oss import (
     forward,

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import BUILTIN_SPECS, ModelSpec, count_params, param_pspec
 from prime_rl_tpu.models.nemotron_h import (
     forward,

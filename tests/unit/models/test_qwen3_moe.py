@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models import get_family, qwen3_moe
 from prime_rl_tpu.models.base import get_spec
 from prime_rl_tpu.ops.moe import moe_mlp, route_topk

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import BUILTIN_SPECS, spec_from_hf_config
 from prime_rl_tpu.models.qwen3_next import (
     forward,

@@ -5,6 +5,8 @@ models/test_* per-family parity)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import ModelSpec, debug_spec
 from prime_rl_tpu.models.qwen3 import (
     forward,

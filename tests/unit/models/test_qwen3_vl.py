@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models.base import ModelSpec, param_pspec, spec_from_hf_config
 from prime_rl_tpu.models.qwen3_vl import (
     forward,

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.configs import MeshConfig
 from prime_rl_tpu.ops.mamba import mamba2_mixer
 from prime_rl_tpu.parallel.mesh import build_mesh

@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.ops.decode_attention import decode_paged_attention
 from prime_rl_tpu.sampler.model import _decode_attention_xla, _write_tokens
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.ops.gated_delta import (
     chunk_gated_delta_rule,
     recurrent_gated_delta_rule,

@@ -5,6 +5,8 @@ _mamba_chunk_scan_combined behavior)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 jnp = pytest.importorskip("jax.numpy")
 import jax
 

@@ -36,11 +36,12 @@ def test_a2a_matches_gspmd_at_full_capacity(mesh):
     xs = jax.device_put(x, NamedSharding(mesh, P("expert")))
     ws = [jax.device_put(w, NamedSharding(mesh, P("expert"))) for w in (wg, wu, wd)]
     rws = jax.device_put(rw, NamedSharding(mesh, P()))
-    got, dropped = jax.jit(
+    got, routing, dropped = jax.jit(
         lambda *a: moe_mlp_ep(*a, top_k=2, norm_topk_prob=True, mesh=mesh,
                               capacity_factor=16.0)
     )(xs, rws, *ws)
     assert float(dropped) == 0.0
+    assert routing.expert_ids.shape == (64, 2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
 
@@ -51,7 +52,7 @@ def test_a2a_drops_at_tight_capacity(mesh):
     xs = jax.device_put(x, NamedSharding(mesh, P("expert")))
     ws = [jax.device_put(w, NamedSharding(mesh, P("expert"))) for w in (wg, wu, wd)]
     rws = jax.device_put(rw, NamedSharding(mesh, P()))
-    got, dropped = jax.jit(
+    got, _routing, dropped = jax.jit(
         lambda *a: moe_mlp_ep(*a, top_k=2, norm_topk_prob=True, mesh=mesh,
                               capacity_factor=0.25)
     )(xs, rws, *ws)
@@ -66,8 +67,8 @@ def test_a2a_gradients_flow(mesh):
     rws = jax.device_put(rw, NamedSharding(mesh, P()))
 
     def loss(wg_, wu_, wd_):
-        out, _ = moe_mlp_ep(xs, rws, wg_, wu_, wd_, top_k=2, norm_topk_prob=True,
-                            mesh=mesh, capacity_factor=16.0)
+        out, _r, _d = moe_mlp_ep(xs, rws, wg_, wu_, wd_, top_k=2, norm_topk_prob=True,
+                                 mesh=mesh, capacity_factor=16.0)
         return jnp.sum(out ** 2)
 
     g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(*ws)

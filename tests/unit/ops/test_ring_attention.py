@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.configs import MeshConfig
 from prime_rl_tpu.ops.attention import xla_attention
 from prime_rl_tpu.ops.ring_attention import ring_attention

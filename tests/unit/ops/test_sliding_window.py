@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models import qwen3
 from prime_rl_tpu.models.base import debug_spec
 from prime_rl_tpu.ops.attention import xla_attention

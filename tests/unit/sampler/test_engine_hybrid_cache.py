@@ -13,6 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 from prime_rl_tpu.models import get_family
 from prime_rl_tpu.models.base import get_spec
 from prime_rl_tpu.sampler.cache import CacheConfig

@@ -2,6 +2,10 @@
 base+adapter merge; base requests stay bit-identical (VERDICT r1 item #7;
 reference: inference/vllm/server.py:98-147 punica multi-LoRA)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 import jax
 import jax.numpy as jnp
 import numpy as np

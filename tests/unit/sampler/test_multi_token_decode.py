@@ -82,6 +82,24 @@ def test_adaptive_k_drops_while_pending(stack):
     assert e._pick_block([0]) == 8  # stable batch: full block
 
 
+def test_batched_prefill_engages_and_matches_single(stack):
+    """An admission burst of same-bucket plain requests must prefill through
+    ONE batched program (per-request prefill programs are dispatch-bound on
+    remote runtimes), with greedy output identical to solo admission."""
+    spec, params = stack
+    e = _engine(spec, params, 8)
+    rng = np.random.default_rng(21)
+    prompts = [[int(x) for x in rng.integers(1, 100, 12)] for _ in range(5)]
+    sp = SamplingParams(max_tokens=6, temperature=0.0)
+    batch_results = e.generate(prompts, sp)
+    # the (lpad, bsz) batched program was compiled and used: 4 + leftover 1
+    assert any(isinstance(k, tuple) and k and k[0] == "batch"
+               for k in e._prefill_fns)
+    for p, r in zip(prompts, batch_results):
+        solo = e.generate([p], sp)[0]
+        assert r.token_ids == solo.token_ids
+
+
 def test_many_stop_ids_beyond_device_window(stack):
     """More stop ids than MAX_STOP: host-side enforcement still exact."""
     spec, params = stack

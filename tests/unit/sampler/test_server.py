@@ -12,6 +12,8 @@ import time
 import httpx
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 
 @pytest.fixture(scope="module")
 def server(free_port_module):

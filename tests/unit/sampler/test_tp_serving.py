@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
 from jax.sharding import Mesh, PartitionSpec as P
 
 from prime_rl_tpu.models import qwen3

@@ -2,6 +2,10 @@
 train under the SFT loop, snapshots are base+merged, and a standalone PEFT
 adapter is exported alongside (reference: ckpt.py:322-517)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy parity suite: full run covers it
+
 import numpy as np
 
 
