@@ -33,11 +33,16 @@ class SchedulerConfig(BaseConfig):
     # latency behind more device work (throughput), lower tightens
     # per-token streaming latency
     lookahead: int = 8
-    # on-device decode steps per dispatched program (lax.scan with in-program
-    # EOS/length masking): the host pays one op-dispatch per decode_block
-    # tokens. 1 = dispatch per token (tightest admission latency; the engine
-    # already drops to 1 while admissions are pending)
+    # on-device decode steps per dispatched program (unrolled in one jit,
+    # with in-program EOS/length masking): the host pays one op-dispatch per
+    # decode_block tokens. 1 = dispatch per token (tightest admission
+    # latency; the engine already shrinks the block 4x while blocked
+    # admissions wait)
     decode_block: int = 8
+    # dummy requests run at startup to pre-compile the hot programs (minutes
+    # each on remote runtimes — live traffic would burn its HTTP timeouts on
+    # them). 0 = compile lazily on first traffic.
+    warmup_requests: int = 0
 
 
 class ServerConfig(BaseConfig):

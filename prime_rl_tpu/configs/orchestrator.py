@@ -141,6 +141,17 @@ class OrchestratorConfig(BaseConfig):
     # in-process and just bumps the version)
     watch: Literal["filesystem", "liveness"] = "filesystem"
 
+    # Multi-tenant runs (reference: trainer/runs.py + docs/advanced.md
+    # multi-run): this orchestrator's batches train tenant ``run_{run_idx}``
+    # on a shared multi_run trainer. ``serve_adapter``: instead of swapping
+    # the engines' base weights at each version, (re)load this LoRA adapter
+    # from the snapshot's adapter/ dir and sample rollouts through it —
+    # many tenants share one engine, each decoding with its own adapter.
+    # Point output_dir at the trainer's runs/run_{run_idx}/ dir so the
+    # watcher sees the per-tenant publishes.
+    run_idx: int | None = None
+    serve_adapter: str | None = None
+
     # Async pipeline control (reference: orchestrator.py:103-107,912-942)
     target_lag: int = 1
     max_off_policy_steps: int = 8

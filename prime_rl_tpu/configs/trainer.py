@@ -210,6 +210,12 @@ class TrainerConfig(BaseConfig):
     # remote TPU runtimes (axon tunnel) kill programs running over ~100 s,
     # which multi-micro-batch 64k-context steps exceed
     dispatch_micro_batches: bool = False
+    # shutdown edge: skip the final N weight publishes — under a target_lag
+    # pipeline, rollouts sampled from the last target_lag+1 policies are
+    # never shipped, so those publishes are pure waste (reference:
+    # rl/train.py:597-605 final-broadcast carve-out; the launcher sets this
+    # to orchestrator.target_lag + 1). 0 = publish every step.
+    final_publish_skip: int = 0
     # multi-tenant LoRA runs: route batches by TrainingBatch.run_idx to
     # per-tenant adapter states (requires model.lora; reference: runs.py)
     multi_run: bool = False

@@ -55,6 +55,8 @@ def run_colocated(config: RLConfig) -> None:
                     collect_routed_experts=icfg.collect_routed_experts,
                     lookahead=icfg.scheduler.lookahead,
                     decode_block=icfg.scheduler.decode_block)
+    if icfg.scheduler.warmup_requests > 0:
+        engine.warmup(icfg.scheduler.warmup_requests)
     engine.pause()  # no serving until real weights land
     tokenizer = get_tokenizer(icfg.tokenizer.name or icfg.model.name)
     server = InferenceServer(engine, tcfg.model.name, tokenizer)

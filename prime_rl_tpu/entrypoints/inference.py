@@ -72,6 +72,8 @@ def build_server(config: InferenceConfig):
                     collect_routed_experts=config.collect_routed_experts,
                     mesh=mesh, lookahead=config.scheduler.lookahead,
                     decode_block=config.scheduler.decode_block)
+    if config.scheduler.warmup_requests > 0:
+        engine.warmup(config.scheduler.warmup_requests)
 
     from prime_rl_tpu.renderers.tokenizer import get_tokenizer
 

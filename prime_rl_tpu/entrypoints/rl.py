@@ -130,6 +130,12 @@ def rl(config: RLConfig) -> int:
     config.inference.output_dir = str(output_dir)
     if config.colocated:
         config.orchestrator.watch = "liveness"
+    # shutdown carve-out: the last target_lag+1 policies are never consumed
+    # by a shipped batch (reference: rl/train.py:597-605 +
+    # orchestrator.py:921-930 matching gate)
+    if (config.trainer.final_publish_skip == 0
+            and config.trainer.max_steps is not None):
+        config.trainer.final_publish_skip = config.orchestrator.target_lag + 1
     plane_env: dict[str, str] = {}
     bcast = config.trainer.broadcast
     if not config.colocated and getattr(bcast, "mode", None) in ("shm", "zmq_stream"):

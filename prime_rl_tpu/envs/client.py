@@ -28,7 +28,7 @@ class TokenCompletion:
 class InferenceClient:
     """Async client for the sampler's token route."""
 
-    def __init__(self, base_url: str, timeout: float = 600.0):
+    def __init__(self, base_url: str, timeout: float = 1200.0):
         self.base_url = base_url.rstrip("/")
         self._client = httpx.AsyncClient(timeout=timeout)
 
@@ -51,6 +51,8 @@ class InferenceClient:
                 "logprobs": True,
                 "prompt_logprobs": int(prompt_logprobs),
                 **({"seed": sampling.seed} if sampling.seed is not None else {}),
+                **({"adapter": sampling.adapter}
+                   if getattr(sampling, "adapter", None) else {}),
             },
         }
         if cache_salt is not None:

@@ -71,6 +71,8 @@ class SamplingConfig:
     top_p: float = 1.0
     top_k: int = -1
     seed: int | None = None
+    # multi-tenant serving: decode through this loaded LoRA adapter
+    adapter: str | None = None
 
 
 def episode_to_wire(ep: Episode) -> dict:

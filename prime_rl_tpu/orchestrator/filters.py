@@ -37,7 +37,16 @@ def repetition_frac(rollout: Rollout, ngram: int) -> float:
 
 
 def zero_advantage(rollout: Rollout) -> bool:
+    """All-zero advantages carry no PG signal — but ONLY for rollouts whose
+    tokens route to the RL loss. Distillation algos (opd/opsd/sft) stamp
+    advantage 0.0 by design and train through ce/ref_kl weights; dropping
+    them would starve the batch forever."""
     for s in rollout.samples:
+        ce = getattr(s, "ce_weights", None)
+        rk = getattr(s, "ref_kl_weights", None)
+        if (ce is not None and np.any(np.asarray(ce) != 0)) or (
+                rk is not None and np.any(np.asarray(rk) != 0)):
+            return False  # trains through a non-RL component
         if s.advantages is not None and np.any(s.advantages != 0):
             return False
     return True

@@ -232,6 +232,7 @@ class Orchestrator:
             temperature=src.config.sampling.temperature,
             top_p=src.config.sampling.top_p,
             top_k=src.config.sampling.top_k,
+            adapter=self._serving_adapter(),
         )
         for i in range(group.group_size):
             await self._rate_limiter.acquire()
@@ -306,12 +307,20 @@ class Orchestrator:
             self.logger.info(f"eval '{name}' @ step {step}: {len(tasks)} examples x{src.config.group_size}")
             asyncio.create_task(self._schedule_eval_run(name, src, tasks, step))
 
+    def _serving_adapter(self) -> str | None:
+        """Multi-tenant: rollouts decode through this tenant's adapter once
+        its first publish landed; before that, the base policy serves."""
+        if self.config.serve_adapter is None or self.policy.version < 0:
+            return None
+        return self.config.serve_adapter
+
     async def _schedule_eval_run(self, name: str, src: EnvSource, tasks: list, step: int) -> None:
         sampling = SamplingConfig(
             max_tokens=src.config.sampling.max_tokens or 256,
             temperature=src.config.sampling.temperature,
             top_p=src.config.sampling.top_p,
             top_k=src.config.sampling.top_k,
+            adapter=self._serving_adapter(),
         )
         for task in tasks:
             # pick per GROUP: load accounting stays balanced (one pick, one
@@ -425,7 +434,8 @@ class Orchestrator:
                 "num_output_tokens": r.num_output_tokens,
                 "off_policy_steps": true_staleness,
             })
-        batch = TrainingBatch(examples=samples, step=self.progress.step)
+        batch = TrainingBatch(examples=samples, step=self.progress.step,
+                              run_idx=self.config.run_idx)
         self.sender.send(batch)
         self.progress.total_rollouts += len(batch_rollouts)
         self.progress.total_tokens += sum(len(s) for s in samples)
@@ -618,9 +628,28 @@ class Orchestrator:
         wdir = str(pathing.weights_dir(self.config.output_dir, latest))
         if hasattr(self.pool, "current_version"):
             self.pool.current_version = latest  # joiners sync to this
-        await self._update_engines(wdir, latest)
+        if self.config.serve_adapter is not None:
+            # multi-tenant: (re)load this tenant's adapter into the shared
+            # engines — the base weights stay; other tenants are untouched
+            await self._reload_adapter(wdir, latest)
+        else:
+            await self._update_engines(wdir, latest)
         self.logger.info(f"policy -> v{latest}")
         return True
+
+    async def _reload_adapter(self, wdir: str, version: int) -> None:
+        adapter_path = str(pathing.Path(wdir) / "adapter")
+        name = self.config.serve_adapter
+        for client in self.pool.clients:
+            try:
+                await self._retry(f"load_lora_adapter {name} {client.base_url}",
+                                  lambda c=client: c.load_lora_adapter(name, adapter_path))
+                if hasattr(self.pool, "register_adapter"):
+                    self.pool.register_adapter(name, adapter_path)
+            except Exception as e:
+                self.logger.error(
+                    f"adapter reload v{version} failed on {client.base_url}: {e}")
+                self._quarantine_engine(client.base_url, version)
 
     async def _retry(self, label: str, fn, attempts: int = 3, backoff: float = 0.5):
         for k in range(attempts):

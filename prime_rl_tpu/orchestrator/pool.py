@@ -68,9 +68,10 @@ class StaticInferencePool:
                 return True
         return True  # already gone
 
-    async def wait_live(self, timeout: float = 600.0) -> dict:
+    async def wait_live(self, timeout: float = 1800.0) -> dict:
         """Block until every member answers /liveness; returns the max-version
-        liveness payload."""
+        liveness payload. Generous default: engines may warm up (pre-compile
+        serving programs) before binding — many minutes on remote runtimes."""
         best: dict = {}
         for m in self.members:
             deadline = asyncio.get_event_loop().time() + timeout

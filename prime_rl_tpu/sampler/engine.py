@@ -225,6 +225,12 @@ class Engine:
         self.paused = False
         self.policy_version = -1
         self._lock = threading.Lock()
+        # serializes the engine loop's step() against cross-thread mutators
+        # (update_params from a colocated trainer / weight receiver,
+        # load_adapter from the server): a dispatch donates the device state
+        # arrays, and a concurrent drain on another thread can read a
+        # just-donated buffer ("Buffer has been deleted or donated")
+        self._step_lock = threading.Lock()
         self._by_id: dict[str, _Request] = {}
         self._hol_strikes = 0
         self.stats = {
@@ -586,16 +592,27 @@ class Engine:
             return serving_params
         scale = jnp.float32(self.lora_config.alpha / self.lora_config.rank)
         for l, lp in enumerate(serving_params["layers"]):
-            lp["lora"] = {k: v[:, l] for k, v in self._lora_bank.items()}
-            lp["lora"]["scale"] = scale
+            # build the dict COMPLETE before publishing it on the layer:
+            # load_adapter runs on the server thread while the engine thread
+            # may be tracing a program that reads lp["lora"] — a two-step
+            # mutation raced the tracer into a KeyError on "scale"
+            new = {k: v[:, l] for k, v in self._lora_bank.items()}
+            new["scale"] = scale
+            lp["lora"] = new
         return serving_params
 
     def load_adapter(self, name: str, layers: dict) -> None:
         """Install (or refresh) an adapter into the bank. ``layers``: stacked
         {"q_a": [NL, in, r], "q_b": [NL, r, out], ...} (models/lora.py
-        adapter_from_state_dict). Live requests keep their current rows."""
+        adapter_from_state_dict). Live requests keep their current rows.
+        Cross-thread safe (step lock): the params swap must not interleave
+        with a tracing/dispatching engine iteration."""
         if self._lora_bank is None:
             raise RuntimeError("engine built without lora_config")
+        with self._step_lock:
+            return self._load_adapter_locked(name, layers)
+
+    def _load_adapter_locked(self, name: str, layers: dict) -> None:
         row = self.adapters.get(name)
         if row is None:
             if not self._free_adapter_rows:
@@ -614,6 +631,10 @@ class Engine:
         self.params = self._attach_lora(self.params)
 
     def unload_adapter(self, name: str) -> bool:
+        with self._step_lock:
+            return self._unload_adapter_locked(name)
+
+    def _unload_adapter_locked(self, name: str) -> bool:
         row = self.adapters.pop(name, None)
         if row is None:
             return False
@@ -637,7 +658,12 @@ class Engine:
 
     def update_params(self, new_params: Params, version: int | None = None) -> None:
         """Swap weights between dispatches (caller pauses for a version-atomic
-        boundary across a batch of requests)."""
+        boundary across a batch of requests). Cross-thread safe: the step
+        lock keeps the swap out of a mid-flight engine iteration."""
+        with self._step_lock:
+            return self._update_params_locked(new_params, version)
+
+    def _update_params_locked(self, new_params: Params, version: int | None) -> None:
         self._drain(force=True)  # complete steps sampled under the old policy
         self.params = self._prepare_params(new_params)
         # cached prefix KV was computed under the old weights — flush (the
@@ -654,7 +680,9 @@ class Engine:
 
     # -- scheduler ----------------------------------------------------------
 
-    ADMIT_WINDOW = 16  # skip-over scan depth over the pending queue
+    ADMIT_WINDOW = 64  # skip-over scan depth over the pending queue (also
+    # the batched-prefill grouping window: a 64-request burst forms full
+    # 8-row batches in one pass)
     HOL_MAX_STRIKES = 256  # anti-starvation: stop skipping a stuck head
 
     def step(self) -> bool:
@@ -663,6 +691,10 @@ class Engine:
         Returns True if any work was done."""
         if self.paused:
             return False
+        with self._step_lock:
+            return self._step_locked()
+
+    def _step_locked(self) -> bool:
         did = False
         # finalize aborts flagged from other threads
         for a in list(self.active.values()):
@@ -988,10 +1020,32 @@ class Engine:
         lpad = _bucket(n, self.buckets) if n <= self.buckets[-1] else 0
         return min(max(lpad, n + req.params.max_tokens + 1), self.config.max_seq_len)
 
+    def warmup(self, n_requests: int = 8, prompt_len: int = 32) -> None:
+        """Pre-compile the hot serving programs (batched + single prefill,
+        full-block decode) with dummy requests BEFORE real traffic: the
+        first compile of each program takes minutes on remote runtimes and
+        would otherwise burn live requests' HTTP timeouts (vLLM warms up at
+        startup for the same reason)."""
+        import time as _t
+
+        t0 = _t.perf_counter()
+        prompts = [[(i + 7) % 97 + 1 for i in range(prompt_len)]
+                   for _ in range(max(1, n_requests))]
+        self.generate(prompts, SamplingParams(
+            max_tokens=self.decode_block + 1, temperature=1.0, ignore_eos=True))
+        # the compiled-under-pressure decode block too (pending admissions)
+        if self.decode_block > 4:
+            self._decode_fn_for(max(1, self.decode_block // 4))
+        self.slots.flush_cache()  # dummy pages must never prefix-hit
+        get_logger().info(
+            f"engine warmup: {_t.perf_counter() - t0:.1f}s "
+            f"({len(self._prefill_fns)} prefill + {len(self._decode_fns)} decode programs)")
+
     def run_until_idle(self) -> None:
         while self.has_work():
             if not self.step():
-                self._drain(force=True)
+                with self._step_lock:
+                    self._drain(force=True)
 
     def generate(
         self, prompts: list[list[int]], params: SamplingParams | list[SamplingParams] | None = None,

@@ -294,7 +294,16 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         # weight broadcast: v{step} — filesystem snapshot+STABLE or direct
         # in-process engine swap (colocated)
         version = progress.step
-        if bench is None:
+        skip_final = (
+            config.final_publish_skip > 0
+            and config.max_steps is not None
+            and progress.step > config.max_steps - config.final_publish_skip
+        )
+        if skip_final and progress.step == config.max_steps - config.final_publish_skip + 1:
+            logger.info(
+                f"skipping the final {config.final_publish_skip} publishes "
+                "(one-step-off shutdown carve-out)")
+        if bench is None and not skip_final:
             t_pub = time.perf_counter()
             gather_and_publish(version)
             if is_main:

@@ -140,12 +140,25 @@ class MultiRunManager:
 
     def publish(self, run: Run, base_params, version: int) -> Path:
         """Merged per-tenant weights under runs/<id>/weights/step_N
-        (the filesystem broadcast surface for that tenant's sampler)."""
-        from prime_rl_tpu.models.lora import merge_lora
+        (the filesystem broadcast surface for that tenant's sampler), plus
+        the standalone PEFT-style adapter under .../adapter/ so a SHARED
+        engine serves this tenant via /load_lora_adapter without a swap
+        (the multi-tenant serving surface; reference: ckpt.py:322-517
+        separate LoRA adapter + docs/advanced.md multi-run)."""
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from prime_rl_tpu.models.lora import adapter_state_dict, merge_lora
         from prime_rl_tpu.trainer.weights import save_hf_weights
-        from prime_rl_tpu.utils import pathing
 
         merged = merge_lora(base_params, run.state.params, self.lora_cfg, spec=self.spec)
         path = self.run_dir(run.run_id) / "weights" / f"step_{version}"
+        # adapter FIRST: save_hf_weights drops the STABLE marker, which gates
+        # the tenant watcher's /load_lora_adapter — the adapter must be
+        # on disk before the dir goes visible
+        host = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), run.state.params)
+        (path / "adapter").mkdir(parents=True, exist_ok=True)
+        save_file(adapter_state_dict(host, self.spec, self.lora_cfg),
+                  path / "adapter" / "adapter_model.safetensors")
         save_hf_weights(merged, self.spec, path)
         return path
