@@ -1564,7 +1564,41 @@ class Engine:
             self._inflight.clear()
         else:
             steps = [self._inflight.popleft()]
-        fetched = jax.device_get([(st.packed, st.routed) for st in steps])
+        try:
+            fetched = jax.device_get([(st.packed, st.routed) for st in steps])
+        except Exception as first_err:
+            # remote runtimes flap: a transient fetch failure must not kill
+            # the whole serving process (reference posture: per-request error
+            # isolation; the orchestrator re-dispatches). Retry once; if the
+            # buffers are truly poisoned, fail the AFFECTED requests only and
+            # keep serving.
+            import time as _t
+
+            _t.sleep(1.0)
+            try:
+                fetched = jax.device_get([(st.packed, st.routed) for st in steps])
+            except Exception:
+                get_logger().error(
+                    f"drain fetch failed twice ({type(first_err).__name__}: "
+                    f"{first_err}); failing {sum(len(st.slots) for st in steps)} "
+                    "slot-steps and continuing")
+                affected = {s for st in steps for s in st.slots}
+                for s in affected:
+                    a = self.active.get(s)
+                    if a is not None and not a.done:
+                        a.first_token_handle = None  # device handle is dead
+                        if not a.req.future.done():
+                            a.req.future.set_exception(RuntimeError(
+                                "decode output lost to a device fetch failure"))
+                        a.done = True
+                        if a.req.request_id is not None:
+                            with self._lock:
+                                self._by_id.pop(a.req.request_id, None)
+                        self._d_active = self._deactivate_fn(
+                            self._d_active, jnp.int32(a.slot))
+                        self._deferred_release.append((a.slot, self._dispatch_seq))
+                self._process_deferred(self._dispatch_seq, drained_all=True)
+                return
         for step, (packed, routed) in zip(steps, fetched):
             tokens = packed[..., 0].astype(np.int64)
             logprobs = packed[..., 1]

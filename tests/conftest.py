@@ -30,6 +30,16 @@ def _reset_logger():
     reset_logger()
 
 
+@pytest.fixture(autouse=True)
+def _reset_ep_mesh():
+    """build_mesh(expert>1) registers a process-global EP mesh that reroutes
+    moe_mlp — never let it leak across tests."""
+    yield
+    from prime_rl_tpu.ops import moe
+
+    moe.set_ep_mesh(None)
+
+
 @pytest.fixture
 def output_dir(tmp_path):
     return tmp_path / "outputs"

@@ -100,6 +100,26 @@ def test_batched_prefill_engages_and_matches_single(stack):
         assert r.token_ids == solo.token_ids
 
 
+def test_warmup_precompiles_and_leaves_engine_clean(stack):
+    """engine.warmup() must compile the hot programs (batched prefill +
+    both decode blocks) and leave no slots, pages, or cache entries behind
+    (dummy pages must never prefix-hit real traffic)."""
+    spec, params = stack
+    e = _engine(spec, params, 8)
+    e.warmup(4, prompt_len=12)
+    assert any(isinstance(k, tuple) and k and k[0] == "batch"
+               for k in e._prefill_fns)
+    assert 8 in e._decode_fns and 2 in e._decode_fns
+    assert not e.active and not e.pending and not e._inflight
+    assert len(e.slots.free_slots) == e.config.max_slots
+    # real traffic still exact after warmup
+    prompt = [5, 9, 23, 47]
+    r = e.generate([prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+    r2 = _engine(spec, params, 8).generate(
+        [prompt], SamplingParams(max_tokens=6, temperature=0.0))[0]
+    assert r.token_ids == r2.token_ids
+
+
 def test_many_stop_ids_beyond_device_window(stack):
     """More stop ids than MAX_STOP: host-side enforcement still exact."""
     spec, params = stack
