@@ -645,8 +645,17 @@ class Engine:
         return True
 
     def _prepare_params(self, params: Params) -> Params:
+        def to_engine(x):
+            a = jnp.asarray(x, self.compute_dtype)
+            # NEVER alias the caller's buffers: in colocated mode the trainer
+            # hands its LIVE param arrays, and its next train step DONATES
+            # them — an aliased engine param then dies mid-serving ("Array
+            # has been deleted"). The cast copies when dtypes differ; when
+            # they match (bf16 masters) force the copy explicitly.
+            return a if a is not x else a.copy()
+
         out = smodel.unstack_params(
-            jax.tree.map(lambda x: jnp.asarray(x, self.compute_dtype), params), self.spec
+            jax.tree.map(to_engine, params), self.spec
         )
         if self.quantize == "int8":
             out = jax.jit(lambda p: smodel.quantize_params(p, self.spec))(out)

@@ -85,3 +85,35 @@ def test_weight_ckpt_retention(tmp_path, state_and_spec):
     mgr.save(state.params, 2)
     assert not (tmp_path / "weights" / "step_1").exists()
     assert (tmp_path / "weights" / "step_2" / "model.safetensors").exists()
+
+
+def test_lowmem_optimizer_state_roundtrip(tmp_path):
+    """adamw_8bit (int8 moment blocks) + bf16 masters survive an orbax
+    checkpoint/restore bit-exactly — the production resume path for the
+    round-4 memory-lever recipe."""
+    cfg = TrainerConfig(optimizer={"type": "adamw_8bit", "lr": 1e-3,
+                                   "master_dtype": "bfloat16"})
+    spec = debug_spec(num_layers=2)
+    mesh_info = build_mesh(MeshConfig(fsdp=4, tensor=2))
+    opt, _ = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
+    state = init_train_state(spec, mesh_info, opt, seed=0,
+                             master_dtype="bfloat16")
+    # one real update so the int8 blocks are non-trivial
+    import optax
+
+    grads = jax.tree.map(lambda x: jnp.ones_like(x, jnp.float32)
+                         if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                         state.params)
+    updates, opt_state = opt.update(grads, state.opt_state, state.params)
+    from prime_rl_tpu.trainer.step import TrainState
+
+    state = TrainState(params=state.params, opt_state=opt_state,
+                       step=state.step + 1)
+    mgr = CheckpointManager(tmp_path, CheckpointConfig(keep_last=2))
+    mgr.save(state, Progress(step=1))
+    restored, progress = mgr.load(abstract_train_state(state), step=1)
+    for a, b in zip(jax.tree.leaves(state.opt_state),
+                    jax.tree.leaves(restored.opt_state)):
+        assert a.dtype == b.dtype
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert jax.tree.leaves(restored.params)[0].dtype == jnp.bfloat16
