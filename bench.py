@@ -71,6 +71,9 @@ def main() -> None:
     p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
     p.add_argument("--decode-block", type=int, default=8,
                    help="on-device decode steps per dispatched program")
+    p.add_argument("--quantize", default=None,
+                   help="decode: weight-only quantization (int8) — halves the"
+                        " weight bandwidth that dominates small-batch decode")
     p.add_argument("--remat", default=None,
                    help="activation-checkpoint mode: none|full|save_attn|offload_attn|selective")
     p.add_argument("--optimizer", default=None,
@@ -261,7 +264,7 @@ def bench_decode(args) -> None:
         max_seq_len=max_len,
     )
     engine = Engine(params, spec, cache_cfg, lookahead=16,
-                    decode_block=args.decode_block)
+                    decode_block=args.decode_block, quantize=args.quantize)
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]

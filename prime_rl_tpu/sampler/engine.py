@@ -645,20 +645,26 @@ class Engine:
         return True
 
     def _prepare_params(self, params: Params) -> Params:
-        def to_engine(x):
-            a = jnp.asarray(x, self.compute_dtype)
-            # NEVER alias the caller's buffers: in colocated mode the trainer
-            # hands its LIVE param arrays, and its next train step DONATES
-            # them — an aliased engine param then dies mid-serving ("Array
-            # has been deleted"). The cast copies when dtypes differ; when
-            # they match (bf16 masters) force the copy explicitly.
-            return a if a is not x else a.copy()
+        """Cast + unstack (+ optional int8 quantize) as ONE jitted program:
+        per-leaf host dispatches cost ~3.6 s per weight update through a
+        remote tunnel (~300 slice/cast ops), vs one dispatch here. Jit
+        outputs are fresh buffers, which also guarantees the engine NEVER
+        aliases the caller's arrays — in colocated mode the trainer hands
+        its LIVE params and its next train step DONATES them (an aliased
+        engine param would die mid-serving: "Array has been deleted")."""
+        if getattr(self, "_prepare_jit", None) is None:
+            spec, dtype, quant = self.spec, self.compute_dtype, self.quantize
 
-        out = smodel.unstack_params(
-            jax.tree.map(to_engine, params), self.spec
-        )
-        if self.quantize == "int8":
-            out = jax.jit(lambda p: smodel.quantize_params(p, self.spec))(out)
+            @jax.jit
+            def prep(p):
+                p = jax.tree.map(lambda x: x.astype(dtype), p)
+                out = smodel.unstack_params(p, spec)
+                if quant == "int8":
+                    out = smodel.quantize_params(out, spec)
+                return out
+
+            self._prepare_jit = prep
+        out = self._prepare_jit(params)
         if self.mesh is not None:
             from prime_rl_tpu.sampler.sharding import shard_serving_params
 
@@ -1038,10 +1044,16 @@ class Engine:
         import time as _t
 
         t0 = _t.perf_counter()
-        prompts = [[(i + 7) % 97 + 1 for i in range(prompt_len)]
-                   for _ in range(max(1, n_requests))]
-        self.generate(prompts, SamplingParams(
-            max_tokens=self.decode_block + 1, temperature=1.0, ignore_eos=True))
+        mk = lambda n: [[(i + 7) % 97 + 1 for i in range(prompt_len)]
+                        for _ in range(n)]
+        sp = SamplingParams(max_tokens=self.decode_block + 1, temperature=1.0,
+                            ignore_eos=True)
+        self.generate(mk(max(1, n_requests)), sp)
+        # every batched-prefill size gets its compile here, not as a
+        # multi-second stall mid-traffic
+        for b in self.PREFILL_BATCH_SIZES:
+            if b < max(1, n_requests):
+                self.generate(mk(b), sp)
         # the compiled-under-pressure decode block too (pending admissions)
         if self.decode_block > 4:
             self._decode_fn_for(max(1, self.decode_block // 4))
