@@ -79,6 +79,10 @@ def main() -> None:
     p.add_argument("--optimizer", default=None,
                    help="optimizer type override: adamw|adamw_8bit|adafactor_mom|...")
     p.add_argument("--master-dtype", default=None, help="float32|bfloat16 (SR applies)")
+    p.add_argument("--lora", type=int, default=0,
+                   help="train: LoRA rank (0 = full finetune) — lets models"
+                        " whose full state exceeds HBM train on one chip"
+                        " (reference benchmark rows: RL LoRA r16)")
     p.add_argument("--offload-optimizer", action="store_true",
                    help="park optimizer state in host memory (long-context)")
     p.add_argument("--offload-params", action="store_true",
@@ -165,15 +169,26 @@ def bench_train(args) -> None:
     spec = get_spec(args.model)
 
     optimizer, _sched = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)
-    state = init_train_state(spec, mesh_info, optimizer, seed=0,
-                             offload_optimizer=args.offload_optimizer,
-                             offload_params=args.offload_params,
-                             master_dtype=getattr(cfg.optimizer, "master_dtype", "float32"))
-    state_out_shardings = (
-        jax.tree.map(lambda x: x.sharding, state)
-        if (args.offload_optimizer or args.offload_params) else None
-    )
+    base_params = None
+    if args.lora > 0:
+        from prime_rl_tpu.configs.shared import LoRAConfig
+        from prime_rl_tpu.trainer.step import init_base_params, init_lora_train_state
+
+        cfg.model.lora = LoRAConfig(rank=args.lora, alpha=2.0 * args.lora)
+        base_params = init_base_params(spec, mesh_info, seed=0)
+        state = init_lora_train_state(spec, cfg.model.lora, mesh_info, optimizer, seed=0)
+        state_out_shardings = None
+    else:
+        state = init_train_state(spec, mesh_info, optimizer, seed=0,
+                                 offload_optimizer=args.offload_optimizer,
+                                 offload_params=args.offload_params,
+                                 master_dtype=getattr(cfg.optimizer, "master_dtype", "float32"))
+        state_out_shardings = (
+            jax.tree.map(lambda x: x.sharding, state)
+            if (args.offload_optimizer or args.offload_params) else None
+        )
     train_step = make_train_step(spec, cfg.model, cfg.loss, optimizer, mesh_info,
+                                 base_params=base_params,
                                  state_out_shardings=state_out_shardings,
                                  optimizer_cfg=cfg.optimizer, schedule=_sched,
                                  grad_clip=cfg.grad_clip,
@@ -264,7 +279,8 @@ def bench_decode(args) -> None:
         max_seq_len=max_len,
     )
     engine = Engine(params, spec, cache_cfg, lookahead=16,
-                    decode_block=args.decode_block, quantize=args.quantize)
+                    decode_block=args.decode_block, quantize=args.quantize,
+                    donate_startup_params=True)
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]

@@ -68,6 +68,7 @@ def build_server(config: InferenceConfig):
         mesh = build_mesh(config.mesh).mesh
         logger.info(f"serving mesh: {dict(mesh.shape)}")
     engine = Engine(params, spec, cache_cfg, seed=config.seed, quantize=config.quantization,
+                    donate_startup_params=True,
                     lora_config=config.lora,
                     collect_routed_experts=config.collect_routed_experts,
                     mesh=mesh, lookahead=config.scheduler.lookahead,

@@ -152,6 +152,9 @@ class Engine:
         # runs head-local under shard_map, the o/down psum rides GSPMD
         lookahead: int | None = None,  # in-flight decode TOKENS per drain
         decode_block: int = 8,  # on-device decode steps per dispatched program
+        donate_startup_params: bool = False,  # caller hands over `params`:
+        # halves transient HBM during setup (required for 4B-class serving
+        # on 16 GB); the caller must never touch the arrays again
     ):
         self.spec = spec
         if lookahead:
@@ -168,7 +171,7 @@ class Engine:
         self._free_adapter_rows: list[int] = []
         if lora_config is not None:
             self._init_lora_bank()
-        self.params = self._prepare_params(params)
+        self.params = self._prepare_params(params, donate=donate_startup_params)
         self.config = cache_config or CacheConfig()
         pool = KVPool(spec, self.config, dtype=compute_dtype)
         self.k_pool, self.v_pool = pool.k, pool.v
@@ -644,18 +647,26 @@ class Engine:
         self.params = self._attach_lora(self.params)
         return True
 
-    def _prepare_params(self, params: Params) -> Params:
+    def _prepare_params(self, params: Params, donate: bool = False) -> Params:
         """Cast + unstack (+ optional int8 quantize) as ONE jitted program:
         per-leaf host dispatches cost ~3.6 s per weight update through a
         remote tunnel (~300 slice/cast ops), vs one dispatch here. Jit
         outputs are fresh buffers, which also guarantees the engine NEVER
         aliases the caller's arrays — in colocated mode the trainer hands
         its LIVE params and its next train step DONATES them (an aliased
-        engine param would die mid-serving: "Array has been deleted")."""
-        if getattr(self, "_prepare_jit", None) is None:
+        engine param would die mid-serving: "Array has been deleted").
+
+        ``donate=True`` hands the INPUT buffers to the program (the without-
+        donation path holds input + output together — 2x model HBM, which
+        OOMs 4B-class serving startup on a 16 GB chip). Only for callers
+        that own the arrays and never touch them again (weight receivers,
+        /update_weights reloads, entrypoint startup) — NEVER colocated."""
+        jits = getattr(self, "_prepare_jits", None)
+        if jits is None:
+            jits = self._prepare_jits = {}
+        if donate not in jits:
             spec, dtype, quant = self.spec, self.compute_dtype, self.quantize
 
-            @jax.jit
             def prep(p):
                 p = jax.tree.map(lambda x: x.astype(dtype), p)
                 out = smodel.unstack_params(p, spec)
@@ -663,24 +674,30 @@ class Engine:
                     out = smodel.quantize_params(out, spec)
                 return out
 
-            self._prepare_jit = prep
-        out = self._prepare_jit(params)
+            jits[donate] = jax.jit(
+                prep, donate_argnums=(0,) if donate else ())
+        out = jits[donate](params)
         if self.mesh is not None:
             from prime_rl_tpu.sampler.sharding import shard_serving_params
 
             out = shard_serving_params(out, self.mesh)
         return self._attach_lora(out)
 
-    def update_params(self, new_params: Params, version: int | None = None) -> None:
+    def update_params(self, new_params: Params, version: int | None = None,
+                      donate: bool = False) -> None:
         """Swap weights between dispatches (caller pauses for a version-atomic
         boundary across a batch of requests). Cross-thread safe: the step
-        lock keeps the swap out of a mid-flight engine iteration."""
+        lock keeps the swap out of a mid-flight engine iteration.
+        ``donate=True`` reuses the caller's buffers for the swap (halves the
+        transient HBM) — only when the caller never touches them again
+        (filesystem reloads, weight-plane receivers); NEVER colocated."""
         with self._step_lock:
-            return self._update_params_locked(new_params, version)
+            return self._update_params_locked(new_params, version, donate)
 
-    def _update_params_locked(self, new_params: Params, version: int | None) -> None:
+    def _update_params_locked(self, new_params: Params, version: int | None,
+                              donate: bool = False) -> None:
         self._drain(force=True)  # complete steps sampled under the old policy
-        self.params = self._prepare_params(new_params)
+        self.params = self._prepare_params(new_params, donate=donate)
         # cached prefix KV was computed under the old weights — flush (the
         # version-salt analogue of reference dispatcher.py:437-441)
         self.slots.flush_cache()

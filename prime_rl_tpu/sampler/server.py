@@ -421,7 +421,8 @@ class InferenceServer:
             return load_hf_weights(weight_dir, self.engine.spec)
 
         params = await asyncio.get_running_loop().run_in_executor(None, load)
-        self.engine.update_params(params, version=version)
+        # freshly-loaded host weights: hand the buffers to the swap (donate)
+        self.engine.update_params(params, version=version, donate=True)
         logger.info(f"updated weights from {weight_dir} (v{version}) in {time.perf_counter()-t0:.1f}s")
         return web.json_response({"status": "ok", "version": version})
 

@@ -124,7 +124,7 @@ class WeightPlaneReceiver(threading.Thread):
             params = unflatten_params(dequantize_named_device(named))
             self.engine.pause()
             try:
-                self.engine.update_params(params, version=v)
+                self.engine.update_params(params, version=v, donate=True)
             finally:
                 self.engine.resume()
             self.version = v
@@ -142,7 +142,7 @@ class WeightPlaneReceiver(threading.Thread):
         params = unflatten_params(dequantize_named(named))
         self.engine.pause()
         try:
-            self.engine.update_params(params, version=version)
+            self.engine.update_params(params, version=version, donate=True)
         finally:
             self.engine.resume()
         self.version = version
