@@ -281,6 +281,8 @@ def bench_decode(args) -> None:
     engine = Engine(params, spec, cache_cfg, lookahead=16,
                     decode_block=args.decode_block, quantize=args.quantize,
                     donate_startup_params=True)
+    del params  # the stacked original (8 GB at 4B) must die: donation cannot
+    # alias stacked buffers into the engine's per-layer slices
     rng = np.random.default_rng(0)
     prompts = [
         [int(x) for x in rng.integers(1, min(spec.vocab_size, 1000), 64)]

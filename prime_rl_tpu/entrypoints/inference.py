@@ -73,6 +73,7 @@ def build_server(config: InferenceConfig):
                     collect_routed_experts=config.collect_routed_experts,
                     mesh=mesh, lookahead=config.scheduler.lookahead,
                     decode_block=config.scheduler.decode_block)
+    del params  # free the stacked original — the engine holds its own layout
     if config.scheduler.warmup_requests > 0:
         engine.warmup(config.scheduler.warmup_requests)
 
