@@ -152,17 +152,22 @@ def model_logprobs(
 
 
 def make_loss_fn(spec: ModelSpec, model_cfg, loss_cfg, mesh=None, base_params: Params | None = None):
-    """Per-micro-batch loss closure: (params, mb, scales) -> (loss, metrics).
+    """Per-micro-batch loss: (params, mb, scales, base) -> (loss, metrics).
 
-    With ``base_params`` set (LoRA mode), ``params`` is the adapter pytree and
-    the frozen base is captured — gradients flow only through the adapters."""
+    With a frozen ``base`` (LoRA mode), ``params`` is the adapter pytree and
+    gradients flow only through the adapters. The base rides as a CALL
+    ARGUMENT of the jitted step, never a closure: closed-over device arrays
+    are baked into the program as constants (observed: 16 GB of captured
+    constants lowering a 4B LoRA step)."""
 
-    def loss_fn(params: Params, mb, scales: Scales):
-        if base_params is not None:
+    lora_mode = base_params is not None
+
+    def loss_fn(params: Params, mb, scales: Scales, base: Params | None = None):
+        if lora_mode:
             from prime_rl_tpu.models.lora import lora_scale as _ls
 
             logprobs, entropy, moe_aux = model_logprobs(
-                base_params, spec, mb, model_cfg, mesh,
+                base, spec, mb, model_cfg, mesh,
                 lora=params, lora_scale=_ls(model_cfg.lora),
             )
         else:
@@ -271,7 +276,7 @@ def make_train_step(
     accum_bf16 = (getattr(model_cfg, "grad_accum_dtype", "float32") == "bfloat16"
                   and base_params is None)
 
-    def accum_grads(params, batch: MicroBatchArrays, scales: Scales):
+    def accum_grads(params, batch: MicroBatchArrays, scales: Scales, base=None):
         # bf16 accumulation: differentiate against a pre-cast bf16 tree so
         # the per-micro-batch grad tree AND the accumulator are half-size —
         # the long-context HBM lever (f32 masters never enter the grad path)
@@ -283,7 +288,7 @@ def make_train_step(
 
         def accum(carry, mb):
             grads_acc, loss_acc, metrics_acc = carry
-            (loss, metrics), grads = grad_fn(gp, mb, scales)
+            (loss, metrics), grads = grad_fn(gp, mb, scales, base)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
             return (grads_acc, loss_acc + loss, metrics_acc), None
@@ -291,7 +296,7 @@ def make_train_step(
         zero_grads = jax.tree.map(jnp.zeros_like, gp)
         # trace once to get the metrics pytree structure
         metrics_shape = jax.eval_shape(
-            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales)[1]
+            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales, base)[1]
         )
         zero_metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
 
@@ -315,8 +320,8 @@ def make_train_step(
             if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
     @functools.partial(jax.jit, donate_argnums=(3, 4, 5))
-    def one_mb_jit(gp, mb, scales, g_acc, loss_acc, metrics_acc):
-        (loss, metrics), grads = grad_fn(gp, mb, scales)
+    def one_mb_jit(gp, mb, scales, g_acc, loss_acc, metrics_acc, base=None):
+        (loss, metrics), grads = grad_fn(gp, mb, scales, base)
         g_acc = jax.tree.map(jnp.add, g_acc, grads)
         metrics_acc = jax.tree.map(jnp.add, metrics_acc, metrics)
         return g_acc, loss_acc + loss, metrics_acc
@@ -330,17 +335,17 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         return apply_freeze(grads)
 
-    def dispatched_accum(params, batch: MicroBatchArrays, scales: Scales):
+    def dispatched_accum(params, batch: MicroBatchArrays, scales: Scales, base=None):
         gp = cast_mb_jit(params) if accum_bf16 else params
         n = batch.input_ids.shape[0]
         g_acc = zeros_jit(gp)
         metrics_shape = jax.eval_shape(
-            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales)[1])
+            lambda: loss_fn(gp, jax.tree.map(lambda x: x[0], batch), scales, base)[1])
         loss = jnp.zeros(())
         metrics = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
         for i in range(n):
             mb = jax.tree.map(lambda x: x[i] if x is not None else None, batch)
-            g_acc, loss, metrics = one_mb_jit(gp, mb, scales, g_acc, loss, metrics)
+            g_acc, loss, metrics = one_mb_jit(gp, mb, scales, g_acc, loss, metrics, base)
         return finalize_grads_jit(g_acc), loss, metrics
 
     def apply_update(state: TrainState, grads):
@@ -399,7 +404,8 @@ def make_train_step(
             update_jit0 = jax.jit(apply_update, donate_argnums=(0,))
 
             def dispatched_step(state, batch, scales):
-                grads, loss, metrics = dispatched_accum(state.params, batch, scales)
+                grads, loss, metrics = dispatched_accum(state.params, batch, scales,
+                                                        base_params)
                 new_state, grad_norm = update_jit0(state, grads)
                 metrics = dict(metrics)
                 metrics["loss"] = loss
@@ -408,8 +414,9 @@ def make_train_step(
 
             return dispatched_step
 
-        def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales):
-            grads, loss, metrics = accum_grads(state.params, batch, scales)
+        def step_fn(state: TrainState, batch: MicroBatchArrays, scales: Scales,
+                    base=None):
+            grads, loss, metrics = accum_grads(state.params, batch, scales, base)
             new_state, grad_norm = apply_update(state, grads)
             metrics = dict(metrics)
             metrics["loss"] = loss
@@ -418,7 +425,11 @@ def make_train_step(
 
         # The caller device_puts the batch with batch_sharding(); jit respects
         # those committed shardings and the donated state keeps its layout.
-        return jax.jit(step_fn, donate_argnums=(0,))
+        # The frozen LoRA base rides as a jit ARGUMENT (see make_loss_fn).
+        jitted = jax.jit(step_fn, donate_argnums=(0,))
+        if base_params is None:
+            return jitted
+        return lambda state, batch, scales: jitted(state, batch, scales, base_params)
 
     # Host-offloaded optimizer: separate grad and update programs. Inside a
     # single jit, XLA overlaps the opt-state host->device prefetch with the
@@ -427,6 +438,7 @@ def make_train_step(
     # 64k). ``state_out_shardings`` pins the output layout (state returns to
     # pinned host memory).
     grads_jit = dispatched_accum if dispatch_micro_batches else jax.jit(accum_grads)
+    # (offload paths never run LoRA mode: base_params is None here)
 
     from prime_rl_tpu.configs.shared import AdamWConfig
 
@@ -674,17 +686,27 @@ def init_base_params(
     mesh_info: MeshInfo,
     seed: int = 0,
     params: Params | None = None,
+    dtype=jnp.bfloat16,
 ) -> Params:
     """Sharded frozen base weights (LoRA mode): random-init in place or
-    device_put a loaded pytree."""
+    device_put a loaded pytree. The base is FROZEN, so it lives in the
+    compute dtype (bf16 by default) — f32 masters exist only for trained
+    params, and a 4B f32 base alone would eat 16 GB."""
     from prime_rl_tpu.models import get_family
 
+    def cast(p):
+        return jax.tree.map(
+            lambda x: x.astype(dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+
     if params is not None:
-        return jax.device_put(params, model_base.param_shardings(params, mesh_info))
+        return jax.device_put(cast(params),
+                              model_base.param_shardings(params, mesh_info))
     family = get_family(spec)
-    shapes = jax.eval_shape(lambda: family.init(spec, jax.random.key(seed)))
+    shapes = jax.eval_shape(lambda: cast(family.init(spec, jax.random.key(seed))))
     shardings = model_base.param_shardings(shapes, mesh_info)
-    return jax.jit(lambda: family.init(spec, jax.random.key(seed)), out_shardings=shardings)()
+    return jax.jit(lambda: cast(family.init(spec, jax.random.key(seed))),
+                   out_shardings=shardings)()
 
 
 def init_lora_train_state(
