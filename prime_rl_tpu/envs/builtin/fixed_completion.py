@@ -25,7 +25,9 @@ class FixedCompletionEnv(Environment):
         self.target = target
         self.tokenizer = ByteTokenizer()
         rng = random.Random(seed)
-        self.tasks = [{"prompt": f"Say {target}", "task_id": i} for i in range(num_examples)]
+        # "demonstration" feeds OPSD's demo-conditioned self-teacher prefix
+        self.tasks = [{"prompt": f"Say {target}", "demonstration": target,
+                       "task_id": i} for i in range(num_examples)]
 
     def load_taskset(self) -> list[dict]:
         return self.tasks

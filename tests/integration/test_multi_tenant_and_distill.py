@@ -370,3 +370,31 @@ base_url = ["http://127.0.0.1:{port_t}"]
     losses = [r["loss"] for r in trows if "loss" in r]
     assert len(losses) >= 10
     assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_rl_opsd_self_distillation(tmp_path, free_port):
+    """OPSD through the full loop: each rollout is re-scored by the LIVE
+    policy prefixed with the task's demonstration; ref_logprobs ride the
+    wire into the ref_kl loss. No separate teacher process."""
+    out = tmp_path / "run"
+    (out / "logs").mkdir(parents=True)
+    algo = """
+[orchestrator.tokenizer]
+name = "byte"
+[orchestrator.train_envs.algo]
+type = "opsd"
+"""
+    cfg = tmp_path / "rl.toml"
+    cfg.write_text(BASE_RL_CONFIG.format(
+        out=out, steps=10, port_h=free_port(), port_b=free_port(), algo=algo))
+    proc = subprocess.run(
+        [sys.executable, "-m", "prime_rl_tpu.entrypoints.rl", f"@{cfg}"],
+        env=_env(), cwd=REPO, timeout=700, capture_output=True, text=True,
+    )
+    logs = "\n".join(p.read_text()[-2000:] for p in (out / "logs").glob("*.out"))
+    assert proc.returncode == 0, f"rc={proc.returncode}\n{proc.stdout}\n{logs}"
+    for p in (out / "logs").glob("*.out"):
+        assert "Traceback" not in p.read_text(), p.name
+    trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
+    assert len(trows) >= 8
+    assert all(np.isfinite(r["loss"]) for r in trows)
