@@ -202,6 +202,13 @@ class Packer:
                     for mb in mbs:
                         if getattr(mb, name) is None:
                             setattr(mb, name, np.zeros(self.seq_len, np.float32))
+        # multi-tenant routing survives the re-binning: every row carries the
+        # batch's run id (reference: MultiPacker round-robin, rl/packer.py)
+        if batch.run_idx is not None:
+            rid = f"run_{batch.run_idx}"
+            for mbs in per_rank:
+                for mb in mbs:
+                    mb.run_id = rid
         return per_rank
 
     def run(self, max_batches: int | None = None) -> None:

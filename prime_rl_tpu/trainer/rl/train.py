@@ -238,6 +238,10 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             _step, mbs, counts = got
             batch = wire_to_arrays(mbs, config.batch.micro_batch_size,
                                    num_micro_batches=config.batch.num_micro_batches)
+            if run_mgr is not None:
+                rid = next((mb.run_id for mb in mbs if mb.run_id), "run_0")
+                run = run_mgr.get_or_create(rid)
+                state = run.state  # tenant swap (packer path)
         else:
             tb = None
             while tb is None:

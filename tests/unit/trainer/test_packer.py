@@ -93,3 +93,29 @@ def test_zmq_packer_flow(free_port):
     t.join(timeout=10)
     for s in (tb_recv, mb_send, rank0, rank1, sender):
         s.close()
+
+
+def test_run_idx_survives_packing():
+    """Multi-tenant routing through the multi-host path: the packer stamps
+    the batch's run id on every re-binned row (reference: MultiPacker
+    round-robin), so the trainer can swap to the right tenant state."""
+    from prime_rl_tpu.transport.base import MicroBatchSender, TrainingBatchReceiver
+
+    class NullR(TrainingBatchReceiver):
+        def receive(self, timeout=None):
+            return None
+
+    class NullS(MicroBatchSender):
+        def send(self, step, per_rank):
+            pass
+
+    p = Packer(NullR(), NullS(), seq_len=64, num_ranks=2)
+    batch = TrainingBatch(examples=[make_sample(n) for n in (30, 20)],
+                          step=0, run_idx=3)
+    per_rank = p.pack(batch)
+    for mbs in per_rank:
+        for mb in mbs:
+            assert mb.run_id == "run_3"
+    # untagged batches stay untagged (single-tenant default)
+    per_rank = p.pack(TrainingBatch(examples=[make_sample(8)], step=1))
+    assert all(mb.run_id is None for mbs in per_rank for mb in mbs)
