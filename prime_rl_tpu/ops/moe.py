@@ -179,6 +179,11 @@ def moe_mlp(
     # "moe_up_b": [E, r, M], ...} (models/lora moe_* targets) — each present
     # pair adds two ragged_dots on the same sorted groups
     lora_scale: float = 1.0,
+    allow_ep: bool = True,  # False: never take the ambient shard_map EP path.
+    # The serving engine passes False — in a colocated process the trainer's
+    # build_mesh registers a process-global EP mesh, and a serving-side trace
+    # (own jit, unsharded or TP-sharded params) must not be rerouted through
+    # shard_map over the TRAINER's mesh (ADVICE r4 #2).
 ) -> tuple[jax.Array, RouterOutput]:
     """Returns (output [T, D], router stats). Sorted ragged dispatch:
 
@@ -187,7 +192,7 @@ def moe_mlp(
       3. ragged grouped GEMMs over contiguous expert groups (MXU)
       4. unsort + weighted combine
     """
-    if _EP_MESH is not None and _ep_supported(
+    if allow_ep and _EP_MESH is not None and _ep_supported(
             x, x_experts, w_gate, b_gate, b_up, b_down, lora, forced_experts,
             activation_alpha, router_w, top_k):
         from prime_rl_tpu.ops.moe_ep import moe_mlp_ep

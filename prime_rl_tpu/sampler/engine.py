@@ -763,6 +763,10 @@ class Engine:
         return (not req.aborted and req.mm is None and req.inject is None
                 and not sp.extract_kv and not sp.prompt_logprobs
                 and sp.max_tokens >= 1
+                # explicit seed => single path: the batched program folds all
+                # rows' seeds into ONE shared key, so a seeded request's first
+                # token would depend on batch composition (ADVICE r4 #3)
+                and sp.seed is None
                 and n <= self.buckets[-1]
                 and n + 1 <= self.config.max_seq_len
                 and (not sp.adapter or sp.adapter in self.adapters))

@@ -112,6 +112,8 @@ def _mlp(x, lp, spec, adapter_idx=None, collect_routing: bool = False):
             correction_bias=lp.get("router_correction_bias"),
             n_group=spec.n_group, topk_group=spec.topk_group,
             routed_scaling=spec.routed_scaling_factor,
+            allow_ep=False,  # serving trace must not ride the trainer's
+            # ambient EP mesh in a colocated process (ADVICE r4 #2)
         )
         out = out.reshape(b, t, d)
         if "shared_gate" in lp:
@@ -500,6 +502,7 @@ def _tokenwise_block(h, lp, spec: ModelSpec, collect_routing: bool = False):
         correction_bias=lp.get("router_correction_bias"),
         n_group=spec.n_group, topk_group=spec.topk_group,
         routed_scaling=spec.routed_scaling_factor,
+        allow_ep=False,  # see _moe_block: serving never uses the ambient EP mesh
     )
     if "fc2_latent" in lp:
         out = _mm(out, lp["fc2_latent"])

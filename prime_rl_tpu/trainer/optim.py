@@ -14,6 +14,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from prime_rl_tpu.configs.shared import (
@@ -62,6 +63,39 @@ def _dequant_q8(q: jax.Array, scale: jax.Array, n: int, shape) -> jax.Array:
     return (q.astype(jnp.float32) * scale).reshape(-1)[:n].reshape(shape)
 
 
+# Nonlinear (log-spaced) 256-entry codebook for the NON-NEGATIVE second
+# moment: code 0 = exact zero, codes 1..255 span [1e-6, 1] geometrically
+# (~5.6% relative step). With the LINEAR absmax code a coordinate whose
+# sqrt(nu) is persistently ~127x below its block's max re-quantized to zero
+# every step and was frozen forever (ADVICE r4 #4); the log code keeps
+# relative resolution down to 1e-6 of the block max — the freeze guard now
+# only fires for coordinates ≥1e6x below the dominant one (nu ratio 1e-12),
+# i.e. effectively never. Same idea as bitsandbytes' dynamic quant map.
+_NU_CODE = jnp.asarray(
+    np.concatenate([[0.0], np.geomspace(1e-6, 1.0, 255)]), jnp.float32)
+
+
+def _quant_nu(x: jax.Array, block: int) -> tuple[jax.Array, jax.Array, int]:
+    """Blockwise dynamic-code uint8 for non-negative x: returns
+    (q [nb, block] uint8 codebook indices, absmax scale [nb, 1] f32, size)."""
+    flat = x.reshape(-1).astype(jnp.float32)
+    n = flat.shape[0]
+    nb = -(-n // block)
+    flat = jnp.pad(flat, (0, nb * block - n))
+    blocks = flat.reshape(nb, block)
+    scale = jnp.max(blocks, axis=1, keepdims=True)  # non-negative input
+    y = blocks / jnp.maximum(scale, 1e-30)
+    idx = jnp.searchsorted(_NU_CODE, y)
+    lo = jnp.clip(idx - 1, 0, 255)
+    hi = jnp.clip(idx, 0, 255)
+    q = jnp.where(_NU_CODE[hi] - y < y - _NU_CODE[lo], hi, lo)
+    return q.astype(jnp.uint8), scale, n
+
+
+def _dequant_nu(q: jax.Array, scale: jax.Array, n: int, shape) -> jax.Array:
+    return (_NU_CODE[q.astype(jnp.int32)] * scale).reshape(-1)[:n].reshape(shape)
+
+
 def scale_by_adam_8bit(
     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8, block: int = 2048,
 ) -> optax.GradientTransformation:
@@ -69,16 +103,17 @@ def scale_by_adam_8bit(
     params): ~1.004 bytes/param/moment instead of 4 — an 8x optimizer-state
     HBM shrink (reference analogue: the memory-lever family of
     trainer/optim.py:17-108; technique: bitsandbytes 8-bit Adam, blockwise
-    dynamic quantization). ``nu`` (non-negative, huge dynamic range) is
-    stored in sqrt space so linear int8 keeps relative resolution where the
-    denominator matters; the quantization error is re-absorbed every step by
-    the EMA (self-correcting, like SR in low-precision training)."""
+    dynamic quantization). ``mu`` (signed, EMA-self-correcting) uses linear
+    blockwise int8; ``nu`` is stored as sqrt(nu) under the nonlinear log
+    codebook (``_NU_CODE``) so small-magnitude coordinates sharing a block
+    with a dominant one keep relative denominator resolution instead of
+    freezing at zero (ADVICE r4 #4)."""
 
     def init(params):
         def leaf(p):
             z = jnp.zeros(p.shape, jnp.float32)
             mq, ms, n = _quant_q8(z, block)
-            nq, ns, _ = _quant_q8(z, block)
+            nq, ns, _ = _quant_nu(z, block)
             return {"mu_q": mq, "mu_s": ms, "nu_q": nq, "nu_s": ns}
 
         return {"count": jnp.zeros((), jnp.int32),
@@ -91,26 +126,26 @@ def scale_by_adam_8bit(
         def leaf(g, m):
             g = g.astype(jnp.float32)
             mu = _dequant_q8(m["mu_q"], m["mu_s"], g.size, g.shape)
-            nu_sqrt_q = _dequant_q8(m["nu_q"], m["nu_s"], g.size, g.shape)
+            nu_sqrt_q = _dequant_nu(m["nu_q"], m["nu_s"], g.size, g.shape)
             nu = jnp.square(nu_sqrt_q)
             mu = b1 * mu + (1.0 - b1) * g
             nu = b2 * nu + (1.0 - b2) * jnp.square(g)
             mu_hat = mu / (1.0 - jnp.power(b1, cf))
             nu_hat = nu / (1.0 - jnp.power(b2, cf))
-            # a coordinate whose sqrt(nu) sits below its block's quantization
-            # step carries NO denominator information after the round-trip —
-            # mu noise over eps would explode it. Floor the denominator at
-            # the block step (broadcast) so quantization-noise updates are
-            # bounded by mu_noise/step ~ O(1) quant steps, and freeze coords
-            # whose stored nu is exactly zero.
-            nu_step = jnp.broadcast_to(
-                m["nu_s"], (m["nu_q"].shape[0], block)
+            # The log code resolves sqrt(nu) down to 1e-6 of the block max
+            # with ~5.6% relative step, so the denominator is trustworthy for
+            # every representable coordinate; floor it at the smallest
+            # nonzero representable value (scale * code[1]) so sub-resolution
+            # coordinates can't be exploded by mu noise over eps, and freeze
+            # the (effectively unreachable) exact-zero codes.
+            nu_floor = jnp.broadcast_to(
+                m["nu_s"] * _NU_CODE[1], (m["nu_q"].shape[0], block)
             ).reshape(-1)[: g.size].reshape(g.shape)
-            denom = jnp.sqrt(nu_hat) + jnp.maximum(eps, nu_step)
+            denom = jnp.sqrt(nu_hat) + jnp.maximum(eps, nu_floor)
             upd = jnp.where(
                 (nu_sqrt_q > 0) | (count <= 1), mu_hat / denom, 0.0)
             mq, ms, _ = _quant_q8(mu, block)
-            nq, ns, _ = _quant_q8(jnp.sqrt(nu), block)
+            nq, ns, _ = _quant_nu(jnp.sqrt(nu), block)
             return upd, {"mu_q": mq, "mu_s": ms, "nu_q": nq, "nu_s": ns}
 
         flat_u = jax.tree.leaves(updates)

@@ -197,6 +197,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     if is_main and snapshot_interval is None:
         export_adapter(version)
     logger.info(f"published initial weights v{version}")
+    skipped_publishes = False  # set when the shutdown carve-out elides publishes
 
     from prime_rl_tpu.utils.memory import GarbageCollection, device_memory_stats
     from prime_rl_tpu.utils.metrics_server import maybe_start_metrics_server
@@ -304,6 +305,7 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             and progress.step > config.max_steps - config.final_publish_skip
         )
         if skip_final and progress.step == config.max_steps - config.final_publish_skip + 1:
+            skipped_publishes = True
             logger.info(
                 f"skipping the final {config.final_publish_skip} publishes "
                 "(one-step-off shutdown carve-out)")
@@ -363,6 +365,15 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         heartbeat.stop()
     if run_mgr is not None:
         run_mgr.save_all()
+    if bench is None and skipped_publishes and is_main:
+        # The carve-out skipped only the ENGINE broadcast; the final trained
+        # weights must still be persisted so the newest deployable snapshot
+        # is v{max_steps}, matching the reference's final-broadcast carve-out
+        # which still writes the checkpoint (ADVICE r4 #5).
+        weight_mgr.save(publish_params(), progress.step)
+        export_adapter(progress.step)
+        logger.info(f"persisted final weights v{progress.step} "
+                    "(broadcast elided by the shutdown carve-out)")
     if bench is None:
         ckpt_mgr.save(state, progress)
     if hasattr(weight_sink, "close"):

@@ -445,6 +445,18 @@ def _routable_ip() -> str:
         s.close()
 
 
+def _write_tombstone(plane_dir, version: int, slot: int) -> None:
+    """Mark (version, slot) as drained by the writer (registration consumed)."""
+    try:
+        (plane_dir / f"drained_{version}_{slot}").touch()
+    except OSError:
+        pass
+
+
+def _is_drained(plane_dir, version: int, slot: int) -> bool:
+    return (plane_dir / f"drained_{version}_{slot}").exists()
+
+
 def _claim_slot(plane_dir, version: int, slot: int) -> bool:
     """Atomically claim (version, slot). Exactly one process — a reader
     about to pull, or the writer about to drain — wins each slot."""
@@ -544,11 +556,21 @@ class DcnPullWriter:
                         self._self_conn = self._server.connect(
                             self._server.address())
                     self._self_conn.pull(v * _DCN_SLOT_STRIDE + slot, specs)
-            for f in self._dir.glob(f"claim_{v}_*"):
-                try:
-                    f.unlink()
-                except OSError:
-                    pass
+                    # Tombstone BEFORE unlinking the claim file: a late reader
+                    # that read latest_version==v just before this drain could
+                    # otherwise claim the freshly-unlinked slot and pull a
+                    # consumed registration — which blocks forever (the
+                    # transfer API has no pull timeout). With the tombstone
+                    # persisted first, any claim that succeeds post-unlink
+                    # necessarily observes it and raises into the retry path.
+                    # Slots a reader claimed first are left alone (claim file
+                    # kept, registration live, its pull completes normally).
+                    # Tombstones are empty files kept for the run's lifetime.
+                    _write_tombstone(self._dir, v, slot)
+                    try:
+                        (self._dir / f"claim_{v}_{slot}").unlink()
+                    except OSError:
+                        pass
 
     def close(self) -> None:
         self._live = {}
@@ -607,6 +629,16 @@ class DcnPullReader:
         conn = self._connect()
         for slot in range(self._num_slots):
             if _claim_slot(self._dir, version, slot):
+                # Check AFTER claiming: the writer tombstones a slot before it
+                # unlinks that slot's claim file, so a claim that raced the
+                # stale-drain (and would pull a consumed registration, hanging
+                # forever) is guaranteed to see the tombstone here. A slot we
+                # claimed before the writer's drain attempt has no tombstone
+                # and its registration is live — pull proceeds normally.
+                if _is_drained(self._dir, version, slot):
+                    raise RuntimeError(
+                        f"dcn_pull: version {version} slot {slot} was drained "
+                        f"by the writer — stale marker, retry latest_version()")
                 arrays = conn.pull(version * _DCN_SLOT_STRIDE + slot,
                                    self._specs)
                 return dict(zip(self._paths, arrays))

@@ -67,10 +67,30 @@ def test_adam_8bit_state_is_int8():
     params = {"w": jnp.zeros((2048, 16), jnp.float32)}  # block-aligned
     state = opt.init(params)
     m = state["m"]["w"]
-    assert m["mu_q"].dtype == jnp.int8 and m["nu_q"].dtype == jnp.int8
+    # mu: linear int8; nu: uint8 indices into the nonlinear log codebook
+    assert m["mu_q"].dtype == jnp.int8 and m["nu_q"].dtype == jnp.uint8
     # ~1 byte/param/moment (+ scales)
     bytes_per_param = (m["mu_q"].size + m["mu_s"].size * 4) / params["w"].size
     assert bytes_per_param < 1.1
+
+
+def test_adam_8bit_small_coords_not_frozen():
+    """ADVICE r4 #4 regression: a coordinate whose gradient is persistently
+    ~1000x below its block's max must keep receiving updates (the linear nu
+    code re-quantized its sqrt(nu) to zero every step, freezing it)."""
+    opt = scale_by_adam_8bit(block=64)
+    params = {"w": jnp.zeros((64,), jnp.float32)}
+    state = opt.init(params)
+    g = jnp.full((64,), 1e-3, jnp.float32).at[0].set(1.0)  # coord 1..63: 1000x below max
+    for _ in range(20):
+        updates, state = opt.update({"w": g}, state, params)
+        params = optax.apply_updates(params, updates)
+    # after the EMA warms up, the small coordinates still move every step
+    upd_small = np.asarray(updates["w"])[1:]
+    assert (np.abs(upd_small) > 0).all(), "small-magnitude coords were frozen"
+    # and their Adam update is near the signed-step regime (|u| ~ 1), not
+    # exploded by quantization noise
+    assert np.abs(upd_small).max() < 10.0
 
 
 def test_adafactor_mom_converges():
