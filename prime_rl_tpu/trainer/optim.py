@@ -71,8 +71,11 @@ def _dequant_q8(q: jax.Array, scale: jax.Array, n: int, shape) -> jax.Array:
 # relative resolution down to 1e-6 of the block max — the freeze guard now
 # only fires for coordinates ≥1e6x below the dominant one (nu ratio 1e-12),
 # i.e. effectively never. Same idea as bitsandbytes' dynamic quant map.
-_NU_CODE = jnp.asarray(
-    np.concatenate([[0.0], np.geomspace(1e-6, 1.0, 255)]), jnp.float32)
+# NUMPY constant on purpose: a module-level jnp array would initialize the
+# JAX backend at import time (which blocks when the device runtime isn't up
+# yet); inside jit it traces as a constant either way.
+_NU_CODE = np.concatenate(
+    [[0.0], np.geomspace(1e-6, 1.0, 255)]).astype(np.float32)
 
 
 def _quant_nu(x: jax.Array, block: int) -> tuple[jax.Array, jax.Array, int]:
@@ -88,12 +91,13 @@ def _quant_nu(x: jax.Array, block: int) -> tuple[jax.Array, jax.Array, int]:
     idx = jnp.searchsorted(_NU_CODE, y)
     lo = jnp.clip(idx - 1, 0, 255)
     hi = jnp.clip(idx, 0, 255)
-    q = jnp.where(_NU_CODE[hi] - y < y - _NU_CODE[lo], hi, lo)
+    code = jnp.asarray(_NU_CODE)
+    q = jnp.where(code[hi] - y < y - code[lo], hi, lo)
     return q.astype(jnp.uint8), scale, n
 
 
 def _dequant_nu(q: jax.Array, scale: jax.Array, n: int, shape) -> jax.Array:
-    return (_NU_CODE[q.astype(jnp.int32)] * scale).reshape(-1)[:n].reshape(shape)
+    return (jnp.asarray(_NU_CODE)[q.astype(jnp.int32)] * scale).reshape(-1)[:n].reshape(shape)
 
 
 def scale_by_adam_8bit(

@@ -26,6 +26,20 @@ from prime_rl_tpu.transport.types import MicroBatch, TrainingBatch
 from prime_rl_tpu.utils.logger import get_logger
 
 
+class _WireSample:
+    """Shim presenting a wire row's per-sample slice to ``_assemble_mm``
+    (which expects objects with ``token_ids``, ``mm_kwargs``, ``__len__``)."""
+
+    __slots__ = ("token_ids", "mm_kwargs")
+
+    def __init__(self, token_ids: np.ndarray, mm_kwargs: dict | None):
+        self.token_ids = token_ids
+        self.mm_kwargs = mm_kwargs
+
+    def __len__(self) -> int:
+        return len(self.token_ids)
+
+
 def row_to_wire(row, seq_len: int) -> MicroBatch:
     """PackedRow -> wire MicroBatch ([L] streams, zero-padded)."""
     L = seq_len
@@ -62,19 +76,33 @@ def row_to_wire(row, seq_len: int) -> MicroBatch:
         seq_lens.append(n)
         env_names.append(s.env_name)
         cursor += n
+    mm_list = None
+    if any(getattr(s, "mm_kwargs", None) for s in row.samples):
+        # ship each sample's HF-processor vision outputs with the row — the
+        # receiving rank rebuilds its micro-batch patch buffers from these
+        # (multi-host VLM; reference: trainer/batch.py:576-617)
+        mm_list = [getattr(s, "mm_kwargs", None) or None for s in row.samples]
     return MicroBatch(
         input_ids=input_ids, loss_mask=loss_mask, advantages=advantages,
         inference_logprobs=logprobs, position_ids=position_ids,
         temperatures=temperatures, seq_lens=seq_lens, env_names=env_names,
+        mm_kwargs_list=mm_list,
         **optional,
     )
 
 
 def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1,
-                   num_micro_batches: int | None = None) -> MicroBatchArrays:
+                   num_micro_batches: int | None = None,
+                   vlm_spec=None, max_mm_patches: int = 0) -> MicroBatchArrays:
     """Wire rows -> stacked [N, B, L] arrays (+ derived segment ids).
     ``num_micro_batches`` pins N (pad with empty rows; grow if overfull) so
-    the train step compiles once across steps."""
+    the train step compiles once across steps.
+
+    ``vlm_spec``: when the model is a VLM and rows carry ``mm_kwargs_list``,
+    each micro-batch's vision arrays are assembled here from the shipped
+    per-sample processor outputs (the per-rank leg of the multi-host VLM
+    contract; ``max_mm_patches`` MUST be pinned in config for world>1 so
+    every rank compiles the same patch-buffer shape)."""
     L = len(mbs[0].input_ids)
     B = rows_per_micro_batch
     rows = list(mbs)
@@ -115,7 +143,33 @@ def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1,
             np.stack([stream(rows[i * B + j], name) for j in range(B)]) for i in range(n)
         ])
 
+    mm: dict[str, np.ndarray] = {}
+    if vlm_spec is not None:
+        if max_mm_patches <= 0:
+            raise ValueError(
+                "multi-host VLM training requires batch.max_mm_patches > 0: "
+                "per-rank auto-sizing of the patch buffer would compile "
+                "different step programs across ranks")
+        from prime_rl_tpu.trainer.batch import _assemble_mm
+
+        per_mb = []
+        for i in range(n):
+            row_slots = []
+            for j in range(B):
+                mb = rows[i * B + j]
+                if mb is None:
+                    continue
+                mlist = mb.mm_kwargs_list or [None] * len(mb.seq_lens)
+                cursor = 0
+                for sl_len, mk in zip(mb.seq_lens, mlist):
+                    row_slots.append((j, cursor, _WireSample(
+                        np.asarray(mb.input_ids[cursor : cursor + sl_len]), mk)))
+                    cursor += sl_len
+            per_mb.append(_assemble_mm(row_slots, (B, L), vlm_spec, max_mm_patches))
+        mm = {k: np.stack([d[k] for d in per_mb]) for k in per_mb[0]}
+
     return MicroBatchArrays(
+        **mm,
         input_ids=grid("input_ids").astype(np.int32),
         loss_mask=grid("loss_mask").astype(bool),
         advantages=grid("advantages").astype(np.float32),

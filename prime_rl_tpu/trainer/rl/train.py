@@ -159,17 +159,25 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
     snapshot_interval = (
         None if isinstance(weight_sink, FilesystemBroadcast) else config.weight_ckpt.interval
     )
-    def gather_and_publish(version: int) -> None:
+    def gather_params():
+        """Merged policy as a HOST-complete tree: on world>1 every rank must
+        participate in the allgather (a bare device_get of a globally-sharded
+        array raises 'spans non-addressable devices')."""
         host = publish_params()
         if world > 1:
             from jax.experimental import multihost_utils
 
             host = multihost_utils.process_allgather(host, tiled=True)
+        return host
+
+    def gather_and_publish(version: int):
+        host = gather_params()
         if is_main:
             weight_sink.publish(host, version)
             # adapter export happens after weight_mgr.save creates the
             # snapshot dir (the step loop) — not here, where the dir rarely
             # exists yet and the device_get of the adapter tree is wasted
+        return host
 
     def export_adapter(version: int) -> None:
         """Standalone PEFT-style adapter next to the merged snapshot
@@ -238,7 +246,9 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 break
             _step, mbs, counts = got
             batch = wire_to_arrays(mbs, config.batch.micro_batch_size,
-                                   num_micro_batches=config.batch.num_micro_batches)
+                                   num_micro_batches=config.batch.num_micro_batches,
+                                   vlm_spec=spec if spec.vision is not None else None,
+                                   max_mm_patches=config.batch.max_mm_patches)
             if run_mgr is not None:
                 rid = next((mb.run_id for mb in mbs if mb.run_id), "run_0")
                 run = run_mgr.get_or_create(rid)
@@ -275,7 +285,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         mm_seg = getattr(batch, "mm_vis_seg_ids", None)
         mm_patches = None if mm_seg is None else int((np.asarray(mm_seg) > 0).sum())
         batch = step_lib.put_batch(
-            batch if world > 1 else jax.tree.map(jnp.asarray, batch), mesh_info)
+            batch if world > 1 else jax.tree.map(jnp.asarray, batch), mesh_info,
+            mm_merge_unit=(spec.vision.merge_unit if spec.vision is not None else 1))
         scales = Scales(
             rl=jnp.float32(max(counts["rl"], 1)),
             ce=jnp.float32(max(counts["ce"], 1)),
@@ -311,14 +322,15 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                 "(one-step-off shutdown carve-out)")
         if bench is None and not skip_final:
             t_pub = time.perf_counter()
-            gather_and_publish(version)
+            host_params = gather_and_publish(version)
             if is_main:
                 if snapshot_interval is None:
                     # filesystem plane: publish itself wrote the snapshot dir
                     export_adapter(version)
                 elif progress.step % snapshot_interval == 0:
-                    weight_mgr.save(publish_params(), version)
+                    weight_mgr.save(host_params, version)
                     export_adapter(version)
+            del host_params
             pub_s = time.perf_counter() - t_pub
         else:
             pub_s = 0.0
@@ -365,15 +377,19 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
         heartbeat.stop()
     if run_mgr is not None:
         run_mgr.save_all()
-    if bench is None and skipped_publishes and is_main:
+    if bench is None and skipped_publishes:
         # The carve-out skipped only the ENGINE broadcast; the final trained
         # weights must still be persisted so the newest deployable snapshot
         # is v{max_steps}, matching the reference's final-broadcast carve-out
-        # which still writes the checkpoint (ADVICE r4 #5).
-        weight_mgr.save(publish_params(), progress.step)
-        export_adapter(progress.step)
-        logger.info(f"persisted final weights v{progress.step} "
-                    "(broadcast elided by the shutdown carve-out)")
+        # which still writes the checkpoint (ADVICE r4 #5). All ranks join
+        # the gather (collective); only main writes.
+        final_host = gather_params()
+        if is_main:
+            weight_mgr.save(final_host, progress.step)
+            export_adapter(progress.step)
+            logger.info(f"persisted final weights v{progress.step} "
+                        "(broadcast elided by the shutdown carve-out)")
+        del final_host
     if bench is None:
         ckpt_mgr.save(state, progress)
     if hasattr(weight_sink, "close"):

@@ -598,12 +598,24 @@ def batch_sharding(mesh_info: MeshInfo, shape: tuple[int, ...] | None = None,
     return NamedSharding(mesh_info.mesh, P(*spec))
 
 
-def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
+def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo,
+              mm_merge_unit: int = 1) -> MicroBatchArrays:
     """Place a batch on the mesh. Single-process: a committed device_put.
     Multi-process: each rank holds its packer-fed LOCAL rows [N, B_local, L];
     the global array is [N, B_local*world, L] sharded over the dp axes with
     this process's shard backed by the local data (no cross-host data
-    movement — reference: rl/train.py per-rank MicroBatch feed)."""
+    movement — reference: rl/train.py per-rank MicroBatch feed).
+
+    Multi-process VLM contract (reference: trainer/batch.py:576-617
+    modality-uniform DP distribution — redesigned for SPMD): the per-rank
+    patch buffers [N, P_pad, pd] are all-gathered into ONE replicated global
+    buffer [N, world*P_pad, pd] (every dp shard gathers from the full merged-
+    embedding table, so the buffer must agree across ranks); vision segment
+    ids are renumbered per rank block to keep vision attention block-diagonal
+    across the concatenation, and each rank's local ``mm_img_slot`` rows are
+    offset by rank * P_pad // merge_unit — its block's base row in the global
+    merged table. Token-aligned mm streams (img_slot, mm_position_ids) stay
+    on the sharded local-rows path."""
     world = jax.process_count()
     if world == 1:
         return MicroBatchArrays(*[
@@ -612,18 +624,63 @@ def put_batch(batch: MicroBatchArrays, mesh_info: MeshInfo) -> MicroBatchArrays:
             for f, x in zip(MicroBatchArrays._fields, batch)
         ])
 
-    if batch.mm_patches is not None:
-        raise NotImplementedError(
-            "multi-process VLM batches need a per-rank patch-buffer contract "
-            "(replicated vision buffers would disagree across ranks)"
-        )
-
-    def put(x):
-        gshape = (x.shape[0], x.shape[1] * world, *x.shape[2:])
-        sh = batch_sharding(mesh_info, gshape)
+    def put(x, field=""):
+        b_axis = 2 if field == "mm_position_ids" else 1
+        gshape = (*x.shape[:b_axis], x.shape[b_axis] * world, *x.shape[b_axis + 1:])
+        sh = batch_sharding(mesh_info, gshape, field)
         return jax.make_array_from_process_local_data(sh, np.asarray(x), gshape)
 
-    return jax.tree.map(put, batch)
+    updates: dict[str, Any] = {}
+    if batch.mm_patches is not None:
+        from jax.experimental import multihost_utils
+
+        rank = jax.process_index()
+        p_pad = batch.mm_patches.shape[1]
+        # patch-aligned buffers: gather along P (leading process dim), then
+        # concatenate rank blocks per micro-batch
+        gathered = {
+            f: np.asarray(multihost_utils.process_allgather(np.asarray(getattr(batch, f))))
+            for f in ("mm_patches", "mm_vis_seg_ids", "mm_vis_pos_idx",
+                      "mm_vis_pos_w", "mm_vis_rope_coords")
+        }
+
+        def concat_p(g, p_axis):
+            # [R, N, ...] -> [N, ...] with rank blocks concatenated on p_axis
+            return np.concatenate(list(g), axis=p_axis)
+
+        def put_replicated(x):
+            # every rank holds the identical full array (post-gather, with
+            # deterministic renumbering) — the supported multi-controller way
+            # to build a replicated global array
+            return jax.make_array_from_process_local_data(
+                mesh_info.replicated(), x, x.shape)
+
+        seg = gathered["mm_vis_seg_ids"]  # [R, N, P]
+        seg_global = []
+        slot_base = np.int32(rank * (p_pad // max(mm_merge_unit, 1)))
+        for n_i in range(seg.shape[1]):
+            blocks, off = [], 0
+            for r in range(world):
+                blk = seg[r, n_i]
+                blocks.append(np.where(blk > 0, blk + off, 0).astype(np.int32))
+                off += int(blk.max(initial=0))
+            seg_global.append(np.concatenate(blocks))
+        updates["mm_vis_seg_ids"] = put_replicated(np.stack(seg_global))
+        for f, axis in (("mm_patches", 1), ("mm_vis_pos_idx", 2),
+                        ("mm_vis_pos_w", 2), ("mm_vis_rope_coords", 1)):
+            updates[f] = put_replicated(concat_p(gathered[f], axis))
+        slots = np.asarray(batch.mm_img_slot)
+        updates["mm_img_slot"] = put(
+            np.where(slots >= 0, slots + slot_base, slots).astype(np.int32),
+            "mm_img_slot")
+        updates["mm_position_ids"] = put(
+            np.asarray(batch.mm_position_ids), "mm_position_ids")
+
+    return MicroBatchArrays(**{
+        f: updates[f] if f in updates
+        else (None if x is None else put(x, f))
+        for f, x in zip(MicroBatchArrays._fields, batch)
+    })
 
 
 def init_train_state(

@@ -129,6 +129,12 @@ class MicroBatch:
     routed_experts: np.ndarray | None = None
     run_id: str | None = None
     run_step: int | None = None
+    # VLM: per-packed-sample HF-processor outputs ({"pixel_values": [P_i,
+    # patch_dim], "image_grid_thw": [n_i, 3]} or None), aligned with
+    # ``seq_lens`` — lets a multi-host packer ship vision data so each rank
+    # can assemble its micro-batch patch buffers (reference:
+    # trainer/batch.py:576-617 modality-uniform DP distribution)
+    mm_kwargs_list: list[dict | None] | None = None
 
     def __post_init__(self):
         self.input_ids = _as_arr(self.input_ids, np.int32)

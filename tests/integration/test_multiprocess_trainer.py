@@ -50,6 +50,13 @@ type = "transport"
 """
 
 
+# VLM variant: tiny qwen3_vl spec + pinned patch buffer (multi-host VLM
+# requires batch.max_mm_patches so every rank compiles the same shape)
+VLM_TRAINER_TOML = TRAINER_TOML.replace(
+    'name = "debug"', 'name = "debug_vlm"'
+).replace("[weight_ckpt]", "max_mm_patches = 64\n[weight_ckpt]")
+
+
 def write_batches(out: Path, steps: int) -> None:
     from prime_rl_tpu.transport.filesystem import FSTrainingBatchSender
     from prime_rl_tpu.transport.types import TrainingBatch, TrainingSample
@@ -71,12 +78,51 @@ def write_batches(out: Path, steps: int) -> None:
         sender.send(TrainingBatch(examples=samples, step=step))
 
 
-def run_trainer(tmp: Path, tag: str, steps: int, procs: int, fsdp: int) -> list[float]:
+def write_vlm_batches(out: Path, steps: int) -> None:
+    """Mixed text + image samples for the debug_vlm spec (image_token_id=301,
+    vision_start=300, merge=2, patch_dim=96): every step has at least one
+    sample with a real patch buffer riding TrainingSample.mm_kwargs."""
+    from prime_rl_tpu.transport.filesystem import FSTrainingBatchSender
+    from prime_rl_tpu.transport.types import TrainingBatch, TrainingSample
+
+    rng = np.random.default_rng(0)
+    sender = FSTrainingBatchSender(out)
+    for step in range(steps):
+        samples = []
+        for k in range(6):
+            if k % 2 == 0:
+                t, h, w = 1, 4, 4  # 16 patches -> 4 merged vision tokens
+                n_vis = t * (h // 2) * (w // 2)
+                ids = (list(rng.integers(3, 250, size=int(rng.integers(4, 10))))
+                       + [300] + [301] * n_vis
+                       + list(rng.integers(3, 250, size=4)))
+                mm = {"pixel_values": rng.standard_normal(
+                          (t * h * w, 96)).astype(np.float32),
+                      "image_grid_thw": np.asarray([[t, h, w]], np.int64)}
+            else:
+                ids = list(rng.integers(3, 250, size=int(rng.integers(8, 40))))
+                mm = None
+            n = len(ids)
+            samples.append(TrainingSample(
+                token_ids=np.asarray(ids, np.int32),
+                mask=np.ones(n, bool),
+                logprobs=rng.normal(-1.0, 0.1, n).astype(np.float32),
+                temperatures=np.ones(n, np.float32),
+                env_name="t",
+                advantages=np.full(n, float(rng.normal()), np.float32),
+                mm_kwargs=mm,
+            ))
+        sender.send(TrainingBatch(examples=samples, step=step))
+
+
+def run_trainer(tmp: Path, tag: str, steps: int, procs: int, fsdp: int,
+                vlm: bool = False) -> list[float]:
     out = tmp / tag
     out.mkdir(parents=True)
-    write_batches(out, steps)
+    (write_vlm_batches if vlm else write_batches)(out, steps)
     cfg = tmp / f"{tag}.toml"
-    cfg.write_text(TRAINER_TOML.format(out=out, steps=steps, fsdp=fsdp))
+    toml = VLM_TRAINER_TOML if vlm else TRAINER_TOML
+    cfg.write_text(toml.format(out=out, steps=steps, fsdp=fsdp))
 
     base_env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     base_env.update(JAX_PLATFORMS="cpu",
@@ -116,4 +162,18 @@ def test_two_process_matches_single_process(tmp_path):
     multi = run_trainer(tmp_path, "multi", steps, procs=2, fsdp=8)
     assert len(single) == len(multi) == steps
     np.testing.assert_allclose(multi, single, rtol=2e-3, atol=2e-4,
+                               err_msg=f"single={single} multi={multi}")
+
+
+@pytest.mark.slow
+def test_two_process_vlm_matches_single_process(tmp_path):
+    """Multi-host VLM contract (VERDICT r4 missing #1): per-rank patch
+    buffers ride the wire, put_batch all-gathers them into one replicated
+    global buffer with per-rank slot/segment offsets — the 2-process run
+    must reproduce the single-process losses on identical TrainingBatches."""
+    steps = 3
+    single = run_trainer(tmp_path, "vlm_single", steps, procs=1, fsdp=4, vlm=True)
+    multi = run_trainer(tmp_path, "vlm_multi", steps, procs=2, fsdp=8, vlm=True)
+    assert len(single) == len(multi) == steps
+    np.testing.assert_allclose(multi, single, rtol=5e-3, atol=5e-4,
                                err_msg=f"single={single} multi={multi}")

@@ -191,6 +191,66 @@ def test_rl_disaggregated_weight_plane(tmp_path, free_port):
 
 
 @pytest.mark.slow
+def test_rl_multiprocess_trainer_full_loop(tmp_path, free_port):
+    """VERDICT r4 next-round #5: the FULL 3-process async loop on a
+    multi-process trainer world — orchestrator + engine + 2 jax.distributed
+    trainer ranks (2 virtual devices each, global fsdp=4 mesh) with the
+    packer re-binning rollouts into per-rank MicroBatch streams and weights
+    crossing the shm plane. Gates: reward trend + bounded mismatch-KL +
+    per-step plane applies (reference bar: the 2-GPU reverse-text CI
+    topology, SURVEY.md §4)."""
+    out = tmp_path / "run"
+    cfg = tmp_path / "rl.toml"
+    text = CONFIG.format(out=out, port_h=free_port(), port_b=free_port())
+    text = text.replace("max_steps = 30", "max_steps = 20")
+    text = text.replace("[trainer.mesh]\nfsdp = 1", "[trainer.mesh]\nfsdp = 4")
+    text = text.replace("[trainer.weight_ckpt]\ninterval = 1",
+                        "[trainer.weight_ckpt]\ninterval = 10")
+    text = text.replace("micro_batch_size = 4",
+                        "micro_batch_size = 4\nnum_micro_batches = 2", 1)
+    port_b_line = text.split("[trainer.transport]\n", 1)[1].split("\n", 1)[0]
+    text = text.replace(f"[trainer.transport]\n{port_b_line}",
+                        f"[trainer.transport]\n{port_b_line}\n"
+                        f"micro_batch_port = {free_port()}", 1)
+    cfg.write_text("colocated = false\ntrainer_procs = 2\n"
+                   "trainer_devices_per_proc = 2\n" + text + DISAGG_EXTRA)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # inference keeps a single-device view
+    proc = subprocess.run(
+        [sys.executable, "-m", "prime_rl_tpu.entrypoints.rl", f"@{cfg}"],
+        env=env, cwd=REPO, timeout=900, capture_output=True, text=True,
+    )
+    logs = "\n".join(
+        p.read_text()[-2000:] for p in (out / "logs").glob("*.out") if p.exists()
+    )
+    assert proc.returncode == 0, f"launcher rc={proc.returncode}\n{proc.stdout}\n{logs}"
+    for p in (out / "logs").glob("*.out"):
+        t = p.read_text()
+        assert "Traceback" not in t, f"error in {p.name}:\n{t[-2000:]}"
+
+    # the packer actually ran on rank 0 and re-binned for 2 ranks
+    t0 = (out / "logs" / "trainer_0.out").read_text()
+    assert "packer up: re-binning for 2 ranks" in t0, t0[-2000:]
+
+    # reward trend through the multi-process world
+    rows = [json.loads(l) for l in open(out / "orchestrator.jsonl")]
+    rewards = [r["reward_mean"] for r in rows if "reward_mean" in r]
+    assert len(rewards) >= 15, rewards
+    first, last = np.mean(rewards[:5]), np.mean(rewards[-6:])
+    assert last > first + 0.01, f"no learning on the 2-rank world: {rewards}"
+
+    # healthy one-step-off pipeline (rank-0 writes trainer.jsonl)
+    trows = [json.loads(l) for l in open(out / "trainer.jsonl")]
+    kls = [r["mismatch_kl"] for r in trows if r.get("mismatch_kl") is not None]
+    assert kls and float(np.mean(kls)) < 0.5, kls
+
+    # weights crossed the shm plane every step (not the disk)
+    inf_log = (out / "logs" / "inference.log").read_text()
+    applied = [l for l in inf_log.splitlines() if "weight plane: applied v" in l]
+    assert len(applied) >= 10, inf_log[-2000:]
+
+
+@pytest.mark.slow
 def test_rl_hybrid_family_end_to_end(tmp_path, free_port):
     """The full async loop on the GatedDeltaNet hybrid (debug_qwen3_next):
     hybrid engine serving (recurrent pools), hybrid training step, colocated

@@ -16,11 +16,15 @@ import pytest
 from prime_rl_tpu.orchestrator.orchestrator import GroupState, Orchestrator
 
 
-def _stub(max_empty=3):
+def _stub(max_empty=3, batch_size=8):
     s = SimpleNamespace()
     s.config = SimpleNamespace(max_empty_batches=max_empty,
-                               max_inflight_episodes=8)
+                               max_inflight_episodes=8,
+                               batch_size=batch_size)
     s._empty_batches = 0
+    s._window_groups = 0
+    s._window_kept = 0
+    s.filters = SimpleNamespace(counts={})
     s.logger = SimpleNamespace(warning=lambda *a, **k: None,
                                info=lambda *a, **k: None)
     s._note_group_yield = Orchestrator._note_group_yield.__get__(s)
@@ -37,33 +41,44 @@ def _group(n_rollouts=0, errors=0, cancelled=False):
     return g
 
 
-def test_all_error_group_counts_toward_abort():
-    s = _stub(max_empty=2)
-    s._note_group_yield(_group(n_rollouts=0, errors=4), kept=[])
+def test_all_error_groups_count_toward_abort():
+    # batch_size 8 / group_size 4 -> 2 groups per window; 2 empty windows abort
+    s = _stub(max_empty=2, batch_size=8)
+    for _ in range(3):
+        s._note_group_yield(_group(n_rollouts=0, errors=4), kept=[])
     with pytest.raises(RuntimeError, match="consecutive empty"):
         s._note_group_yield(_group(n_rollouts=0, errors=4), kept=[])
 
 
-def test_filter_emptied_group_counts_toward_abort():
-    """A pathological filter config that drops 100% of rollouts (kept==[]
-    but group.rollouts non-empty) must count — the r4 code reset the counter
-    here and the orchestrator would spin forever."""
-    s = _stub(max_empty=3)
-    for _ in range(2):
+def test_filter_emptied_groups_count_toward_abort():
+    """A drop-everything filter config (kept==[] with rollouts present) must
+    count — the r4 code reset the counter here and spun forever."""
+    s = _stub(max_empty=2, batch_size=8)
+    for _ in range(3):
         s._note_group_yield(_group(n_rollouts=4), kept=[])
-    assert s._empty_batches == 2
+    assert s._empty_batches == 1
     with pytest.raises(RuntimeError, match="consecutive empty"):
         s._note_group_yield(_group(n_rollouts=4), kept=[])
 
 
-def test_trainable_group_resets_counter_and_cancelled_does_not_count():
-    s = _stub(max_empty=2)
+def test_batch_windows_not_single_groups():
+    """Cold-start tolerance: emptiness aggregates per batch_size//group_size
+    groups, so one kept rollout anywhere in the window resets the streak —
+    a short unlucky streak of all-zero-advantage groups never aborts."""
+    s = _stub(max_empty=2, batch_size=8)
+    for _ in range(10):
+        s._note_group_yield(_group(n_rollouts=4), kept=[])
+        s._note_group_yield(_group(n_rollouts=4), kept=["r"])  # window saved
+    assert s._empty_batches == 0
+
+
+def test_trainable_window_resets_counter_and_cancelled_does_not_count():
+    s = _stub(max_empty=2, batch_size=4)  # 1 group per window
     s._note_group_yield(_group(n_rollouts=4), kept=[])
     assert s._empty_batches == 1
     # cancelled groups are intentional staleness drops, not emptiness
     s._note_group_yield(_group(cancelled=True), kept=[])
-    assert s._empty_batches == 0
-    s._note_group_yield(_group(n_rollouts=4), kept=[])
+    assert s._empty_batches == 1  # untouched, not reset, not counted
     s._note_group_yield(_group(n_rollouts=4), kept=["rollout"])
     assert s._empty_batches == 0
 

@@ -1,0 +1,184 @@
+"""Constrained (guided) decoding: DFA compiler + in-jit token masking
+(VERDICT r4 next-round #8; reference bar: the vLLM guided-decoding stack the
+reference leans on via inference/patches.py).
+
+Engine contract under test: a request with ``json_schema``/``regex`` set
+produces output that PARSES under the schema, EOS fires only in accepting
+states, and unconstrained traffic never compiles or runs the masked decode
+program (zero throughput impact on the hot path)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from prime_rl_tpu.sampler.constrain import (
+    CompiledConstraint,
+    build_token_tables,
+    compile_regex,
+    host_allowed_mask,
+    json_schema_to_regex,
+)
+
+
+# -- compiler ----------------------------------------------------------------
+
+
+def _accepts(dfa, s: str) -> bool:
+    st = dfa.walk_bytes(0, s.encode())
+    return st >= 0 and bool(dfa.accept[st])
+
+
+def test_regex_basics():
+    dfa = compile_regex(r"ab+c?")
+    assert _accepts(dfa, "ab") and _accepts(dfa, "abbbc")
+    assert not _accepts(dfa, "a") and not _accepts(dfa, "abcc")
+    dfa = compile_regex(r"(?:foo|ba[rz]){2}")
+    assert _accepts(dfa, "foobar") and _accepts(dfa, "bazbaz")
+    assert not _accepts(dfa, "foo")
+    dfa = compile_regex(r"[a-c]{1,3}")
+    assert _accepts(dfa, "a") and _accepts(dfa, "abc")
+    assert not _accepts(dfa, "abca") and not _accepts(dfa, "d")
+    dfa = compile_regex(r"[^0-9]+")
+    assert _accepts(dfa, "xy!") and not _accepts(dfa, "x1")
+
+
+def test_schema_integer_and_number():
+    for t, good, bad in [
+        ("integer", ["0", "-7", "123"], ["01", "1.5", "x", "-"]),
+        ("number", ["0", "-1.25", "2e10", "3.5E-2"], ["01", ".5", "1."]),
+    ]:
+        dfa = compile_regex(json_schema_to_regex({"type": t}))
+        for g in good:
+            assert _accepts(dfa, g), (t, g)
+        for b in bad:
+            assert not _accepts(dfa, b), (t, b)
+
+
+def test_schema_object_roundtrip():
+    schema = {
+        "type": "object",
+        "properties": {
+            "op": {"enum": ["add", "del"]},
+            "count": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"},
+                     "maxItems": 2},
+            "note": {"type": "string"},
+        },
+        "required": ["op", "count", "tags"],
+    }
+    dfa = compile_regex(json_schema_to_regex(schema))
+    ok = json.dumps({"op": "add", "count": 3, "tags": ["a", "b"]})
+    ok2 = json.dumps({"op": "del", "count": -1, "tags": [], "note": "hi"})
+    assert _accepts(dfa, ok) and _accepts(dfa, ok2)
+    assert not _accepts(dfa, json.dumps({"op": "mul", "count": 3, "tags": []}))
+    assert not _accepts(dfa, json.dumps({"op": "add", "count": "3", "tags": []}))
+
+
+def test_host_mask_semantics():
+    token_bytes = [bytes([i]) for i in range(128)] + [b"true", b"null", b"x" * 40]
+    chars, lens = build_token_tables(token_bytes)
+    cc = CompiledConstraint.from_params({"type": "boolean"}, None)
+    m = host_allowed_mask(cc.dfa, 0, chars, lens, eos_id=0)
+    assert m[ord("t")] and m[ord("f")] and m[128]
+    assert not m[ord("x")] and not m[130]  # >16-byte token never allowed
+    st = cc.dfa.walk_bytes(0, b"true")
+    m2 = host_allowed_mask(cc.dfa, st, chars, lens, eos_id=0)
+    assert m2[0]  # accepting -> EOS allowed
+    assert not m2[ord("t")]
+    # dead end -> EOS force-allowed
+    m3 = host_allowed_mask(cc.dfa, -1, chars, lens, eos_id=0)
+    assert m3[0]
+
+
+# -- engine integration ------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def engine():
+    from prime_rl_tpu.models import qwen3
+    from prime_rl_tpu.models.base import debug_spec
+    from prime_rl_tpu.sampler.cache import CacheConfig
+    from prime_rl_tpu.sampler.engine import Engine
+
+    spec = debug_spec(num_layers=2, vocab_size=128)
+    params = qwen3.init_params(spec, jax.random.key(0))
+    params = jax.tree.map(lambda x: x * 3.0, params)
+    cache_cfg = CacheConfig(num_pages=64, page_size=16, max_slots=4,
+                            max_seq_len=256)
+    token_bytes = [bytes([i]) if 9 <= i < 127 else b"" for i in range(128)]
+    return Engine(params, spec, cache_cfg, compute_dtype=jnp.float32,
+                  token_bytes=token_bytes, decode_block=4)
+
+
+def _gen(engine, schema=None, regex=None, n=1, max_tokens=48, temperature=1.0):
+    from prime_rl_tpu.sampler.engine import SamplingParams
+
+    sp = SamplingParams(max_tokens=max_tokens, temperature=temperature,
+                        json_schema=schema, regex=regex)
+    prompts = [[5, 9, 23 + i, 47, 3] for i in range(n)]
+    return engine.generate(prompts, sp)
+
+
+def _text(engine, res) -> str:
+    ids = [t for t in res.token_ids if t != engine.spec.eos_token_id]
+    return bytes(ids).decode("utf-8", errors="replace")
+
+
+@pytest.mark.slow
+def test_constrained_boolean(engine):
+    for res in _gen(engine, schema={"type": "boolean"}, n=3):
+        assert _text(engine, res) in ("true", "false"), _text(engine, res)
+        assert res.finish_reason == "stop"
+
+
+@pytest.mark.slow
+def test_constrained_json_object_parses(engine):
+    schema = {
+        "type": "object",
+        "properties": {
+            "op": {"enum": ["add", "del"]},
+            "n": {"type": "integer"},
+        },
+        "required": ["op", "n"],
+    }
+    for res in _gen(engine, schema=schema, n=3, max_tokens=64):
+        text = _text(engine, res)
+        obj = json.loads(text)
+        assert obj["op"] in ("add", "del") and isinstance(obj["n"], int), text
+
+
+@pytest.mark.slow
+def test_constrained_regex(engine):
+    import re
+
+    for res in _gen(engine, regex=r"[ab]{3}[0-9]", n=2):
+        assert re.fullmatch(r"[ab]{3}[0-9]", _text(engine, res))
+
+
+@pytest.mark.slow
+def test_mixed_constrained_and_free(engine):
+    """A constrained and an unconstrained request share one decode batch;
+    the free request is NOT masked."""
+    from prime_rl_tpu.sampler.engine import SamplingParams
+
+    f1 = engine.submit([5, 9, 23], SamplingParams(
+        max_tokens=24, temperature=1.0, json_schema={"type": "boolean"}))
+    f2 = engine.submit([7, 11, 13], SamplingParams(
+        max_tokens=24, temperature=0.0))
+    engine.run_until_idle()
+    r1, r2 = f1.result(), f2.result()
+    assert _text(engine, r1) in ("true", "false")
+    assert len(r2.token_ids) >= 1  # free request unaffected, ran to length/stop
+    # bank row released after finish
+    assert engine._cons_active == 0
+    assert all(r == 0 for r in engine._cons_bank_refs)
+
+
+@pytest.mark.slow
+def test_unconstrained_path_never_compiles_masked_decode(engine):
+    engine._decode_fns.clear()
+    _gen(engine, n=2, max_tokens=8)
+    assert all(not constrained for (_, constrained) in engine._decode_fns)

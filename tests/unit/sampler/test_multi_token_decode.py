@@ -109,7 +109,7 @@ def test_warmup_precompiles_and_leaves_engine_clean(stack):
     e.warmup(4, prompt_len=12)
     assert any(isinstance(k, tuple) and k and k[0] == "batch"
                for k in e._prefill_fns)
-    assert 8 in e._decode_fns and 2 in e._decode_fns
+    assert (8, False) in e._decode_fns and (2, False) in e._decode_fns
     assert not e.active and not e.pending and not e._inflight
     assert len(e.slots.free_slots) == e.config.max_slots
     # real traffic still exact after warmup

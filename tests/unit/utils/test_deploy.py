@@ -29,6 +29,25 @@ def test_slurm_multi_template(tmp_path):
     assert "prime_rl_tpu.entrypoints.inference" in text
 
 
+def test_slurm_pd_disaggregated_template(tmp_path):
+    """P/D-disaggregated topology (VERDICT r4 next-round #10): prefill/decode
+    role split + router wiring, orchestrator fronted by the router only."""
+    d = render(tmp_path, "--deploy.type", "slurm_pd",
+               "--deploy.trainer-hosts", "4", "--deploy.prefill-hosts", "2",
+               "--deploy.decode-hosts", "3", "--deploy.pd-threshold", "256")
+    text = (d / "prime-rl-tpu.sbatch").read_text()
+    # 4 trainer + 1 router/orch + 2 prefill + 3 decode
+    assert "#SBATCH --nodes=10" in text
+    assert "T=4" in text and "P=2" in text and "D=3" in text
+    assert "PRIME_RL_NUM_PROCESSES=" in text
+    assert "--server.role prefill" in text
+    assert "--server.role decode" in text
+    assert "entrypoints.router" in text
+    assert "pd_threshold = 256" in text
+    # orchestrator talks to the ROUTER, not engines directly
+    assert "--client.base-urls" in text and "ROUTER_HOST" in text
+
+
 def test_gke_template_parses(tmp_path):
     import yaml
 
