@@ -314,6 +314,7 @@ class Engine:
 
         self._decode_fns: dict[int, any] = {}
         self._set_slot_fn = self._build_set_slot()
+        self._set_slot_batch_fn = None  # lazy (batched prefill admissions)
         self._deactivate_fn = jax.jit(
             lambda active, slot: active.at[slot].set(False), donate_argnums=(0,)
         )
@@ -523,6 +524,33 @@ class Engine:
             cc.dfa, 0, self._tok_chars_np, self._tok_lens_np,
             self.spec.eos_token_id)
         return jnp.asarray(np.where(allowed, 0.0, -1e9).astype(np.float32))
+
+    def _build_set_slot_batch(self):
+        """Row-vector slot seeding for batched prefill: ONE dispatched
+        program seeds every admitted slot's device state (the per-slot loop
+        paid one dispatch EACH — at 8-row batches through a remote tunnel
+        that was 8x the host latency per admission burst; VERDICT r4 #1).
+        Dummy rows carry an out-of-range slot index and mode="drop"."""
+
+        @functools.partial(jax.jit, donate_argnums=tuple(range(10)))
+        def set_slots(tokens, lengths, active, temp, topk, topp, adapter,
+                      pos_delta, limit, stop_ids,
+                      slots, toks, lens, temps, topks, topps, adapters,
+                      deltas, limits, stop_rows):
+            return (
+                tokens.at[slots].set(toks, mode="drop"),
+                lengths.at[slots].set(lens, mode="drop"),
+                active.at[slots].set(True, mode="drop"),
+                temp.at[slots].set(temps, mode="drop"),
+                topk.at[slots].set(topks, mode="drop"),
+                topp.at[slots].set(topps, mode="drop"),
+                adapter.at[slots].set(adapters, mode="drop"),
+                pos_delta.at[slots].set(deltas, mode="drop"),
+                limit.at[slots].set(limits, mode="drop"),
+                stop_ids.at[slots].set(stop_rows, mode="drop"),
+            )
+
+        return set_slots
 
     def _build_set_slot(self):
         # tokens not donated: the first sampled token may still be aliased by
@@ -1057,6 +1085,16 @@ class Engine:
             jax.random.key(seed_mix), adapter_row,
         )
         self._table_dirty = True
+        try:  # land the first tokens behind the program in the stream
+            tok.copy_to_host_async()
+            lp.copy_to_host_async()
+        except Exception:
+            pass
+        s_cap = self.config.max_slots
+        slots_arr = np.full((bsz,), s_cap + 1, np.int32)  # dummy rows drop
+        lens_arr = np.zeros((bsz,), np.int32)
+        limits_arr = np.zeros((bsz,), np.int32)
+        stop_rows = np.full((bsz, self.MAX_STOP), -1, np.int32)
         for b, (req, slot, n) in enumerate(acquired):
             sp = req.params
             self.slots.lengths[slot] = n
@@ -1064,26 +1102,34 @@ class Engine:
             self.stats["requests_admitted"] += 1
             self.stats["prefill_tokens_computed"] += n
             active = _Active(req, slot)
-            active.first_token_handle = (tok[b], lp[b])
+            active.first_token_handle = (tok, lp, b)  # shared [B] vectors
             self.active[slot] = active
             limit = self._limit_for(n, sp)
             self._host_limit[slot] = limit
-            (self._d_tokens, self._d_lengths, self._d_active,
-             self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
-             self._d_pos_delta, self._d_limit, self._d_stop) = self._set_slot_fn(
-                self._d_tokens, self._d_lengths, self._d_active,
-                self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
-                self._d_pos_delta, self._d_limit, self._d_stop,
-                jnp.int32(slot), tok[b], jnp.int32(n),
-                jnp.float32(sp.temperature), jnp.int32(sp.top_k),
-                jnp.float32(sp.top_p), adapter_row, jnp.int32(0),
-                jnp.int32(limit), jnp.asarray(self._stop_row(sp)),
-            )
+            slots_arr[b] = slot
+            lens_arr[b] = n
+            limits_arr[b] = limit
+            stop_rows[b] = self._stop_row(sp)
             with self._lock:
                 try:
                     self.pending.remove(req)
                 except ValueError:
                     pass
+        if self._set_slot_batch_fn is None:
+            self._set_slot_batch_fn = self._build_set_slot_batch()
+        # ONE program seeds every admitted slot (dispatch amortized B-fold)
+        (self._d_tokens, self._d_lengths, self._d_active,
+         self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+         self._d_pos_delta, self._d_limit, self._d_stop) = self._set_slot_batch_fn(
+            self._d_tokens, self._d_lengths, self._d_active,
+            self._d_temp, self._d_topk, self._d_topp, self._d_adapter,
+            self._d_pos_delta, self._d_limit, self._d_stop,
+            jnp.asarray(slots_arr), tok, jnp.asarray(lens_arr),
+            jnp.asarray(temp), jnp.asarray(topk), jnp.asarray(topp),
+            jnp.full((bsz,), adapter_row, jnp.int32),
+            jnp.zeros((bsz,), jnp.int32), jnp.asarray(limits_arr),
+            jnp.asarray(stop_rows),
+        )
 
     def _admit_pending(self) -> bool:
         """Admit every pending request that fits right now. The head never
@@ -1369,6 +1415,11 @@ class Engine:
                                           bias=cons_bias)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
+        try:  # overlap the tiny first-token fetch with later device work
+            tok.copy_to_host_async()
+            lp.copy_to_host_async()
+        except Exception:
+            pass
         if sp.extract_kv:
             # P/D prefill role: hand the request's KV pages + first token to
             # the caller and release the slot — no decode happens here
@@ -1533,6 +1584,11 @@ class Engine:
         tok, lp = self._sample_hidden(last_hidden, temp, topk, topp, key)
         active = _Active(req, slot)
         active.first_token_handle = (tok, lp)
+        try:  # overlap the tiny first-token fetch with later device work
+            tok.copy_to_host_async()
+            lp.copy_to_host_async()
+        except Exception:
+            pass
         if sp.extract_kv:
             # P/D prefill role: paged KV + recurrent rows + first token
             active.kv = self._extract_kv_payload(slot, n, 0)
@@ -1725,13 +1781,26 @@ class Engine:
         self._finish(a, "length")
 
     def _fetch_first_token(self, a: _Active) -> None:
-        if a.first_token_handle is not None:
-            tok, lp = a.first_token_handle
-            a.generated.append(int(tok))
-            a.logprobs.append(float(lp))
-            a.first_token_handle = None
-            if a.req.on_token is not None:
-                a.req.on_token(int(tok), float(lp))
+        if a.first_token_handle is None:
+            return
+        h = a.first_token_handle
+        if len(h) == 3:
+            # batched prefill: the handle is (tok [B], lp [B], row). ONE
+            # np.asarray fetches the whole row vector (async-prefetched at
+            # dispatch; jax caches the host copy on the ArrayImpl), so the 8
+            # actives of a batch share one transfer instead of paying a
+            # tunnel round-trip EACH for their scalar slice (VERDICT r4 #1:
+            # the host drain path)
+            tok_arr, lp_arr, b = h
+            t, l = int(np.asarray(tok_arr)[b]), float(np.asarray(lp_arr)[b])
+        else:
+            tok, lp = h
+            t, l = int(tok), float(lp)
+        a.generated.append(t)
+        a.logprobs.append(l)
+        a.first_token_handle = None
+        if a.req.on_token is not None:
+            a.req.on_token(t, l)
 
     def _pick_block(self, slots: list[int]) -> int:
         """Adaptive k, two values only (each distinct k is its own compiled

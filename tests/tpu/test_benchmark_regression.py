@@ -44,11 +44,23 @@ def test_benchmark_regression(baseline_path):
     assert lines, f"no JSON output:\n{proc.stdout}\n{proc.stderr[-1000:]}"
     result = json.loads(lines[-1])
     tol = base.get("tolerance", 0.05)
-    want = base["tokens_per_sec"]["mean"]
-    got = result["value"]
-    # one-sided with slack: regressions beyond tolerance+2*std fail; faster
-    # is always fine (update the baseline when a speedup lands)
-    floor = want * (1 - tol) - 2 * base["tokens_per_sec"]["std"]
+    # Environment-variance-aware gating (VERDICT r4 next-round #2): when both
+    # the baseline and this run carry the PIPELINED device rate (K chained
+    # steps, one sync — immune to per-dispatch tunnel-latency drift), gate on
+    # that; the wall-clock median becomes advisory. Otherwise fall back to
+    # wall with a WIDER floor (the tunnel has been observed to drift ~15%
+    # per-dispatch between sessions, which is not a code regression).
+    dev_base = base.get("device_tokens_per_sec")
+    dev_got = result.get("device_tok_s")
+    if dev_base and dev_got:
+        want, std, got, kind = dev_base["mean"], dev_base.get("std", 0.0), dev_got, "device"
+        floor = want * (1 - tol) - 2 * std
+    else:
+        want, std, got, kind = (base["tokens_per_sec"]["mean"],
+                                base["tokens_per_sec"]["std"],
+                                result["value"], "wall")
+        wall_tol = max(tol, base.get("wall_tolerance", 0.18))
+        floor = want * (1 - wall_tol) - 2 * std
     assert got >= floor, (
-        f"{baseline_path.stem}: {got:.0f} tok/s below regression floor "
-        f"{floor:.0f} (baseline {want:.0f} ± {tol * 100:.0f}%)")
+        f"{baseline_path.stem}: {got:.0f} tok/s ({kind}) below regression "
+        f"floor {floor:.0f} (baseline {want:.0f} ± {tol * 100:.0f}%)")
