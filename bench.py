@@ -79,6 +79,9 @@ def main() -> None:
     p.add_argument("--optimizer", default=None,
                    help="optimizer type override: adamw|adamw_8bit|adafactor_mom|...")
     p.add_argument("--master-dtype", default=None, help="float32|bfloat16 (SR applies)")
+    p.add_argument("--quantized-compute", default=None,
+                   help="train: int8 = MLP GEMMs on the int8 MXU (A/B lever;"
+                        " ops/int8_linear.py)")
     p.add_argument("--lora", type=int, default=0,
                    help="train: LoRA rank (0 = full finetune) — lets models"
                         " whose full state exceeds HBM train on one chip"
@@ -166,6 +169,8 @@ def bench_train(args) -> None:
         cfg.model.attn.impl = args.attn_impl
     if args.grad_accum_dtype:
         cfg.model.grad_accum_dtype = args.grad_accum_dtype
+    if args.quantized_compute:
+        cfg.model.quantized_compute = args.quantized_compute
     spec = get_spec(args.model)
 
     optimizer, _sched = make_optimizer(cfg.optimizer, cfg.scheduler, cfg.grad_clip)

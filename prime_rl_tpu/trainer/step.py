@@ -112,6 +112,12 @@ def model_logprobs(
         extra["collect_aux"] = True
     if mb.routed_experts is not None and spec.is_moe:
         extra["routed_experts"] = mb.routed_experts
+    if getattr(model_cfg, "quantized_compute", None):
+        if spec.family not in ("qwen3", "llama"):
+            raise ValueError(
+                f"quantized_compute={model_cfg.quantized_compute!r} is only "
+                f"wired for the qwen3/llama dense families, not {spec.family!r}")
+        extra["quantized_compute"] = model_cfg.quantized_compute
     if mb.mm_patches is not None:
         extra["mm"] = {
             "patches": mb.mm_patches,
