@@ -69,6 +69,9 @@ def main() -> None:
                    " (decode at RL-serving batch amortizes op dispatch over"
                    " decode_block on-device steps; throughput scales with slots)")
     p.add_argument("--gen-tokens", type=int, default=128, help="decode: tokens per request")
+    p.add_argument("--mixed-lengths", action="store_true",
+                   help="decode: RL-shaped length spread [gen/4, gen] per "
+                        "request (tail/refill behavior under continuous batching)")
     p.add_argument("--decode-block", type=int, default=8,
                    help="on-device decode steps per dispatched program")
     p.add_argument("--quantize", default=None,
@@ -338,6 +341,15 @@ def bench_decode(args) -> None:
     # 64 dispatch-bound prefills and benchmark the tunnel instead of decode
     sp = SamplingParams(max_tokens=args.gen_tokens, temperature=1.0,
                         ignore_eos=True)
+    sps = [sp] * args.batch_size
+    if args.mixed_lengths:
+        # RL-shaped tails: lengths spread uniformly in [gen/4, gen] so slots
+        # free at different times and continuous admission refills them
+        # (VERDICT r4 #1: tail effects at mixed request lengths)
+        lens = rng.integers(max(1, args.gen_tokens // 4), args.gen_tokens + 1,
+                            args.batch_size)
+        sps = [SamplingParams(max_tokens=int(n), temperature=1.0,
+                              ignore_eos=True) for n in lens]
     # CONTINUOUS stream, not pulsed waves: all cohorts are submitted up
     # front so admission overlaps the live decode pipeline (slots refill the
     # moment one frees — the orchestrator's in-flight pattern, and VERDICT
@@ -347,7 +359,7 @@ def bench_decode(args) -> None:
     futs = []
     t0 = time.perf_counter()
     for w in range(waves):
-        futs.append([engine.submit(p, sp) for p in prompts])
+        futs.append([engine.submit(p, s) for p, s in zip(prompts, sps)])
     total = 0
     done_waves = 0
     import threading
