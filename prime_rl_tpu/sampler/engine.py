@@ -939,12 +939,22 @@ class Engine:
             if not a.done and a.req.aborted:
                 self._finish(a, "aborted")
                 did = True
+        t0 = time.perf_counter()
         did |= self._admit_pending()
+        t1 = time.perf_counter()
         live = any(not a.done for a in self.active.values())
         if live and not self._pipe_full():
             self._dispatch_decode()
             did = True
+        t2 = time.perf_counter()
         self._drain(force=not did)
+        t3 = time.perf_counter()
+        # host-path split (VERDICT r4 #1: profile the drain path) — the
+        # decode e2e gap lives in whichever of these rivals the ~80 ms
+        # device block; exposed via /metrics as host_admit/dispatch/drain_s
+        self.stats["host_admit_s"] = self.stats.get("host_admit_s", 0.0) + (t1 - t0)
+        self.stats["host_dispatch_s"] = self.stats.get("host_dispatch_s", 0.0) + (t2 - t1)
+        self.stats["host_drain_s"] = self.stats.get("host_drain_s", 0.0) + (t3 - t2)
         return did or bool(self._inflight)
 
     def _reject(self, req: _Request, exc: Exception) -> None:
@@ -1218,6 +1228,20 @@ class Engine:
                 f"bucket {self.buckets[-1]} and this request cannot use chunked "
                 "prefill (needs state_cache_mb > 0, no prompt_logprobs, no mm)"))
             return True
+        if sp.constrained:
+            # compile/validate BEFORE reserving a slot: a bad schema/regex
+            # rejects the request (never crashes the engine loop), and a
+            # bank full of OTHER live constraints defers admission (False =
+            # stays pending, retried when a constrained request finishes)
+            try:
+                self._ensure_token_tables()
+                cc = self._cons_compile(sp)
+            except Exception as e:  # noqa: BLE001 — reject, don't kill serving
+                self._reject(req, e)
+                return True
+            if (cc.key not in self._cons_bank_keys
+                    and all(r > 0 for r in self._cons_bank_refs)):
+                return False
         hashes: list[int] = []
         # mm requests skip prefix reuse: identical image-pad token runs would
         # false-share pages across DIFFERENT images (the hash sees only ids)

@@ -182,3 +182,15 @@ def test_unconstrained_path_never_compiles_masked_decode(engine):
     engine._decode_fns.clear()
     _gen(engine, n=2, max_tokens=8)
     assert all(not constrained for (_, constrained) in engine._decode_fns)
+
+
+@pytest.mark.slow
+def test_bad_regex_rejects_without_killing_the_engine(engine):
+    from prime_rl_tpu.sampler.engine import SamplingParams
+
+    f_bad = engine.submit([5, 9], SamplingParams(max_tokens=8, regex="(unclosed"))
+    f_ok = engine.submit([7, 11], SamplingParams(max_tokens=4, temperature=0.0))
+    engine.run_until_idle()
+    with pytest.raises(ValueError):
+        f_bad.result(timeout=30)
+    assert len(f_ok.result(timeout=30).token_ids) >= 1  # engine kept serving
