@@ -93,6 +93,65 @@ def test_host_mask_semantics():
     assert m3[0]
 
 
+def test_regex_fuzz_against_python_re():
+    """Property check: on a random sample of strings, the byte DFA accepts
+    exactly the strings Python's `re.fullmatch` accepts, for a pile of
+    patterns covering the supported grammar."""
+    import re
+
+    rng = np.random.default_rng(7)
+    patterns = [
+        r"abc", r"a*b+c?", r"(?:ab|cd)+", r"[a-f0-9]{2,4}", r"[^ab]c*",
+        r"a.c", r"(?:x[yz]){1,3}w?", r"\d+\.\d{2}", r"\w+@\w+",
+        r"-?(?:0|[1-9][0-9]*)", r"[ \t]{0,2}ok[ \t]{0,2}",
+    ]
+    alphabet = "abcdefxyz0123456789.@-\t w"
+    for pat in patterns:
+        dfa = compile_regex(pat)
+        probes = {"", "a", "ab", "abc", "abcd"}
+        for _ in range(120):
+            n = int(rng.integers(0, 8))
+            probes.add("".join(rng.choice(list(alphabet), n)))
+        for s in probes:
+            want = re.fullmatch(pat, s) is not None
+            st = dfa.walk_bytes(0, s.encode())
+            got = st >= 0 and bool(dfa.accept[st])
+            assert got == want, (pat, s, got, want)
+
+
+def test_schema_samples_roundtrip_fuzz():
+    """Documents SAMPLED from the schema are accepted; simple type/enum
+    mutations are rejected."""
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string", "pattern": "[a-z]{1,6}"},
+            "n": {"type": "integer"},
+            "ok": {"type": "boolean"},
+            "mode": {"enum": ["fast", "slow", None]},
+        },
+        "required": ["name", "n", "ok", "mode"],
+    }
+    dfa = compile_regex(json_schema_to_regex(schema))
+    rng = np.random.default_rng(3)
+    for _ in range(40):
+        doc = {
+            "name": "".join(rng.choice(list("abcdef"), int(rng.integers(1, 6)))),
+            "n": int(rng.integers(-100, 100)),
+            "ok": bool(rng.integers(0, 2)),
+            "mode": ["fast", "slow", None][int(rng.integers(0, 3))],
+        }
+        s = json.dumps(doc)
+        st = dfa.walk_bytes(0, s.encode())
+        assert st >= 0 and dfa.accept[st], s
+        bad = json.dumps({**doc, "n": str(doc["n"])})  # wrong type
+        stb = dfa.walk_bytes(0, bad.encode())
+        assert stb < 0 or not dfa.accept[stb], bad
+        bad2 = json.dumps({**doc, "mode": "medium"})  # not in enum
+        stb2 = dfa.walk_bytes(0, bad2.encode())
+        assert stb2 < 0 or not dfa.accept[stb2], bad2
+
+
 # -- engine integration ------------------------------------------------------
 
 
