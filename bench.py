@@ -106,6 +106,25 @@ def main() -> None:
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     args = p.parse_args()
 
+    if not args.cpu:
+        # fast-fail when the TPU tunnel is dead (observed: a plain
+        # jax.devices() blocks indefinitely, which would silently eat the
+        # whole bench budget). Probe in a subprocess with its own timeout so
+        # THIS process never touches a wedged backend.
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, check=True, capture_output=True)
+        except subprocess.TimeoutExpired:
+            print("bench: TPU runtime unreachable (device probe timed out "
+                  "after 300 s) — no measurement possible", file=sys.stderr)
+            sys.exit(3)
+        except subprocess.CalledProcessError as e:
+            print(f"bench: device probe failed: {e.stderr[-500:]}", file=sys.stderr)
+            sys.exit(3)
+
     _install_deadline(args.deadline)
     try:
         if args.mode == "decode":
