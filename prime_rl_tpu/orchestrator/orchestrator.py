@@ -292,8 +292,6 @@ class Orchestrator:
             self._empty_batches = 0
         self._window_groups = 0
         self._window_kept = 0
-        self._window_groups = 0
-        self._window_kept = 0
 
     async def _dispatch_loop(self) -> None:
         """Dedicated scheduling task (reference: dispatcher.py:240 runs the

@@ -379,7 +379,16 @@ def json_schema_to_regex(schema: dict) -> str:
             json_schema_to_regex({**schema, "type": ti}) for ti in t) + ")"
     if t == "string":
         if "pattern" in schema:
-            return '"' + schema["pattern"] + '"'
+            # JSON-schema patterns are conventionally anchored (^...$); the
+            # byte parser treats ^/$ as literal bytes, so strip one leading ^
+            # and one unescaped trailing $ — the whole-string match is
+            # implicit in DFA acceptance anyway
+            pat = schema["pattern"]
+            if pat.startswith("^"):
+                pat = pat[1:]
+            if pat.endswith("$") and not pat.endswith("\\$"):
+                pat = pat[:-1]
+            return '"' + pat + '"'
         return _STRING
     if t == "integer":
         return _INTEGER
@@ -408,17 +417,31 @@ def json_schema_to_regex(schema: dict) -> str:
     if t == "object" or "properties" in schema:
         props = schema.get("properties", {})
         required = set(schema.get("required", list(props)))
-        parts, first = [], True
-        for k, sub in props.items():
-            kv = (_esc_literal(json.dumps(k)) + _WS + ":" + _WS
-                  + json_schema_to_regex(sub))
-            if first:
-                parts.append(kv if k in required else f"(?:{kv})?")
-                first = False
-            else:
-                item = _WS + "," + _WS + kv
-                parts.append(f"(?:{item})" if k in required else f"(?:{item})?")
-        return r"\{" + _WS + "".join(parts) + _WS + r"\}"
+        # emit required properties FIRST (JSON objects are unordered, so
+        # reordering keys is spec-legal) — that way every optional property
+        # is a trailing "(?:,kv)?" group and no comma can dangle
+        ordered = ([k for k in props if k in required]
+                   + [k for k in props if k not in required])
+        kvs = {k: (_esc_literal(json.dumps(k)) + _WS + ":" + _WS
+                   + json_schema_to_regex(props[k])) for k in ordered}
+        sep = _WS + "," + _WS
+        req = [k for k in ordered if k in required]
+        opt = [k for k in ordered if k not in required]
+        if req:
+            body = sep.join(kvs[k] for k in req)
+            body += "".join(f"(?:{sep}{kvs[k]})?" for k in opt)
+        elif opt:
+            # all-optional: alternation over which property appears FIRST,
+            # each followed by optional later ones — commas only ever sit
+            # between two present properties
+            branches = []
+            for i, k in enumerate(opt):
+                tail = "".join(f"(?:{sep}{kvs[j]})?" for j in opt[i + 1:])
+                branches.append(kvs[k] + tail)
+            body = "(?:" + "|".join(branches) + ")?"
+        else:
+            body = ""
+        return r"\{" + _WS + body + _WS + r"\}"
     # permissive default: any scalar JSON value
     return f"(?:{_STRING}|{_NUMBER}|true|false|null)"
 

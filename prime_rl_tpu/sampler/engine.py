@@ -463,6 +463,16 @@ class Engine:
         if cc is None:
             cc = constrain.CompiledConstraint.from_params(sp.json_schema, sp.regex)
             self._cons_cache[key] = cc
+            # LRU-bound: per-request dynamic schemas (agent frameworks embed
+            # ids) would otherwise grow ~0.5 MB transition tables forever
+            while len(self._cons_cache) > 64:
+                old = next(iter(self._cons_cache))
+                if old in self._cons_bank_keys:  # live in the bank: keep
+                    self._cons_cache[old] = self._cons_cache.pop(old)
+                    continue
+                del self._cons_cache[old]
+        else:
+            self._cons_cache[key] = self._cons_cache.pop(key)  # refresh LRU
         return cc
 
     def _cons_assign(self, cc) -> int:
@@ -512,8 +522,13 @@ class Engine:
         if cidx >= 0:
             self._cons_bank_refs[cidx] = max(0, self._cons_bank_refs[cidx] - 1)
             self._cons_active = max(0, self._cons_active - 1)
-            self._h_cons_idx[slot] = -1
-            # device cons_idx cleared lazily at the slot's next admit
+            # KEEP the host mirror >= 0: the DEVICE cons_idx still holds the
+            # row, and the next admit's _set_cons(slot, -1) must actually
+            # dispatch the clear — zeroing the mirror here made that call
+            # early-return, so an unconstrained request reusing this slot
+            # (while another constrained slot kept the masked program live)
+            # inherited the dead DFA's mask. The inactive window in between
+            # is safe: the in-jit mask gates on `cons_idx >= 0 AND active`.
 
     def _cons_prefill_bias(self, cc) -> jax.Array:
         """[V] f32 logits bias for the FIRST token (prefill samples it outside
@@ -736,10 +751,11 @@ class Engine:
                mm: dict | None = None, inject: dict | None = None) -> Future:
         req = _Request(list(prompt), params or SamplingParams(), Future(), on_token,
                        request_id=request_id, mm=mm, inject=inject)
-        if req.params.constrained and (self.is_hybrid or inject is not None):
+        if req.params.constrained and (self.is_hybrid or inject is not None
+                                       or req.params.extract_kv):
             req.future.set_exception(ValueError(
                 "constrained decoding is not supported for hybrid-recurrent "
-                "models or P/D-injected requests"))
+                "models or P/D (extract_kv / injected) requests"))
             return req.future
         with self._lock:
             self.pending.append(req)

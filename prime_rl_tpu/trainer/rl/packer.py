@@ -146,10 +146,13 @@ def wire_to_arrays(mbs: list[MicroBatch], rows_per_micro_batch: int = 1,
     mm: dict[str, np.ndarray] = {}
     if vlm_spec is not None:
         if max_mm_patches <= 0:
-            raise ValueError(
-                "multi-host VLM training requires batch.max_mm_patches > 0: "
-                "per-rank auto-sizing of the patch buffer would compile "
-                "different step programs across ranks")
+            # auto-size uniformly: the packer ships a GLOBAL patch bound with
+            # the feed's counts (mm_pad — see Packer.global_counts) and the
+            # trainer folds it in before calling here; with no images in the
+            # step the minimum pad is a constant, so every rank still lands
+            # on the same compiled shape. Pinning batch.max_mm_patches in
+            # config remains the way to keep shapes constant ACROSS steps.
+            max_mm_patches = 256
         from prime_rl_tpu.trainer.batch import _assemble_mm
 
         per_mb = []
@@ -219,7 +222,9 @@ class Packer:
         with each rank's feed so no cross-process reduction is needed for
         the loss Scales (reference: rl/train.py:312-334 all-reduce)."""
         rl = ce = rk = 0
+        mm_pad = 0
         for mbs in per_rank:
+            rank_patches = 0
             for mb in mbs:
                 mask = np.asarray(mb.loss_mask, bool)
                 if mb.rl_weights is None:
@@ -230,7 +235,17 @@ class Packer:
                     ce += int((np.asarray(mb.ce_weights) != 0).sum())
                 if mb.ref_kl_weights is not None:
                     rk += int((np.asarray(mb.ref_kl_weights) != 0).sum())
-        return {"rl": rl, "ce": ce, "ref_kl": rk}
+                for mk in (mb.mm_kwargs_list or []):
+                    if mk and "pixel_values" in mk:
+                        rank_patches += int(np.asarray(mk["pixel_values"]).shape[0])
+            mm_pad = max(mm_pad, rank_patches)
+        counts = {"rl": rl, "ce": ce, "ref_kl": rk}
+        if mm_pad:
+            # GLOBAL patch-buffer bound (computed once, shipped to every
+            # rank): lets VLM runs auto-size uniformly even when re-binning
+            # lands all the images on one rank
+            counts["mm_pad"] = max(256, -(-mm_pad // 256) * 256)
+        return counts
 
     def pack(self, batch: TrainingBatch) -> list[list[MicroBatch]]:
         rows = pack_rows(batch.examples, self.seq_len)

@@ -248,7 +248,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
             batch = wire_to_arrays(mbs, config.batch.micro_batch_size,
                                    num_micro_batches=config.batch.num_micro_batches,
                                    vlm_spec=spec if spec.vision is not None else None,
-                                   max_mm_patches=config.batch.max_mm_patches)
+                                   max_mm_patches=max(config.batch.max_mm_patches,
+                                                      counts.get("mm_pad", 0)))
             if run_mgr is not None:
                 rid = next((mb.run_id for mb in mbs if mb.run_id), "run_0")
                 run = run_mgr.get_or_create(rid)

@@ -119,6 +119,34 @@ def test_regex_fuzz_against_python_re():
             assert got == want, (pat, s, got, want)
 
 
+def test_string_pattern_anchors_stripped():
+    """JSON-schema convention anchors (^...$) must not become literal bytes."""
+    dfa = compile_regex(json_schema_to_regex(
+        {"type": "string", "pattern": "^[a-z]{1,4}$"}))
+    assert _accepts(dfa, '"abc"')
+    assert not _accepts(dfa, '"^abc$"')
+
+
+def test_optional_first_required_later_never_dangles_commas():
+    """required properties are emitted first (objects are unordered), so an
+    optional-first schema can't produce '{,\"b\":1}'."""
+    schema = {"type": "object",
+              "properties": {"a": {"type": "integer"}, "b": {"type": "integer"}},
+              "required": ["b"]}
+    dfa = compile_regex(json_schema_to_regex(schema))
+    assert _accepts(dfa, '{"b": 1}')
+    assert _accepts(dfa, '{"b": 1, "a": 2}')
+    assert not _accepts(dfa, '{,"b": 1}')
+    assert not _accepts(dfa, '{"a": 2}')  # required b missing
+    # all-optional object: any single property works, no dangling commas
+    schema2 = {"type": "object", "required": [],
+               "properties": {"x": {"type": "integer"}, "y": {"type": "boolean"}}}
+    d2 = compile_regex(json_schema_to_regex(schema2))
+    assert _accepts(d2, "{}") and _accepts(d2, '{"x": 1}')
+    assert _accepts(d2, '{"y": true}') and _accepts(d2, '{"x": 1, "y": false}')
+    assert not _accepts(d2, '{, "y": true}')
+
+
 def test_schema_samples_roundtrip_fuzz():
     """Documents SAMPLED from the schema are accepted; simple type/enum
     mutations are rejected."""
@@ -241,6 +269,40 @@ def test_unconstrained_path_never_compiles_masked_decode(engine):
     engine._decode_fns.clear()
     _gen(engine, n=2, max_tokens=8)
     assert all(not constrained for (_, constrained) in engine._decode_fns)
+
+
+@pytest.mark.slow
+def test_slot_reuse_clears_stale_constraint(engine):
+    """Code-review regression: a constrained request finishing must not
+    leave its DFA masking the NEXT (unconstrained) request in that slot
+    while another constrained slot keeps the masked program live."""
+    from prime_rl_tpu.sampler.engine import SamplingParams
+
+    # long-running constrained request keeps use_cons True...
+    f_long = engine.submit([5, 9, 23], SamplingParams(
+        max_tokens=40, temperature=1.0, json_schema={
+            "type": "array", "items": {"type": "integer"}, "minItems": 5}))
+    # ...short constrained request finishes fast, freeing its slot
+    f_short = engine.submit([7, 11], SamplingParams(
+        max_tokens=24, temperature=1.0, json_schema={"type": "boolean"}))
+    # give the short one time to finish, then admit an UNCONSTRAINED request
+    # (likely reusing the freed slot)
+    import time as _t
+
+    deadline = _t.time() + 120
+    while not f_short.done() and _t.time() < deadline:
+        engine.step()
+    free = [engine.submit([13 + i, 17], SamplingParams(
+        max_tokens=12, temperature=0.0, ignore_eos=True)) for i in range(3)]
+    engine.run_until_idle()
+    f_long.result(timeout=60)
+    _text(engine, f_short.result(timeout=60))
+    for f in free:
+        r = f.result(timeout=60)
+        # unconstrained + ignore_eos must generate its full budget — a stale
+        # mask would force EOS/boolean tokens instead
+        assert len(r.token_ids) == 12, r.token_ids
+    assert engine._cons_active == 0
 
 
 @pytest.mark.slow
