@@ -29,7 +29,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-MAX_STATES = 512  # DFA size cap — fits [C, 512, 256] int32 banks in ~2 MB
+MAX_STATES = 2048  # DFA size cap — [C=4, 2048, 256] int32 bank = ~8 MB HBM
+# (the in-jit mask cost is independent of NS: gathers are per [slots, V])
 MAX_TOKEN_BYTES = 16  # tokens longer than this are disallowed when constrained
 
 
@@ -449,6 +450,23 @@ def json_schema_to_regex(schema: dict) -> str:
 # ---------------------------------------------------------------------------
 # token tables + host-side masks
 # ---------------------------------------------------------------------------
+
+
+def json_object_regex(max_depth: int = 2) -> str:
+    """Generic JSON OBJECT with nesting bounded at ``max_depth`` (regular
+    languages can't express unbounded nesting; depth 2 compiles to ~1.7k DFA
+    states). The OpenAI ``response_format: json_object`` surface maps here —
+    the model can emit any keys/values but cannot open a level deeper than
+    the bound."""
+    scalar = f"(?:{_STRING}|{_NUMBER}|true|false|null)"
+    v = scalar
+    for _ in range(max_depth):
+        obj = (r"\{" + _WS + f"(?:{_STRING}{_WS}:{_WS}{v}"
+               + f"(?:{_WS},{_WS}{_STRING}{_WS}:{_WS}{v})*)?" + _WS + r"\}")
+        arr = r"\[" + _WS + f"(?:{v}(?:{_WS},{_WS}{v})*)?" + _WS + r"\]"
+        v = f"(?:{scalar}|{obj}|{arr})"
+    return (r"\{" + _WS + f"(?:{_STRING}{_WS}:{_WS}{v}"
+            + f"(?:{_WS},{_WS}{_STRING}{_WS}:{_WS}{v})*)?" + _WS + r"\}")
 
 
 def build_token_tables(token_bytes: list[bytes],

@@ -285,16 +285,18 @@ class InferenceServer:
         # OpenAI response_format: {"type": "json_schema", "json_schema":
         # {"schema": {...}}} -> DFA-constrained sampling (constrain.py)
         schema = None
+        regex = body.get("guided_regex")
         rf = body.get("response_format") or {}
         if rf.get("type") == "json_schema":
             schema = (rf.get("json_schema") or {}).get("schema") or rf.get("schema")
             if schema is None:
                 raise web.HTTPBadRequest(text="response_format.json_schema.schema missing")
         elif rf.get("type") == "json_object":
-            raise web.HTTPBadRequest(
-                text="response_format json_object is unsupported (regex "
-                     "constraints cannot express arbitrary nesting) — "
-                     "provide an explicit json_schema")
+            # generic JSON object, nesting bounded at depth 2 (regular
+            # languages can't express unbounded nesting)
+            from prime_rl_tpu.sampler.constrain import json_object_regex
+
+            regex = json_object_regex()
         sp = SamplingParams(
             max_tokens=int(body.get("max_tokens") or body.get("max_completion_tokens") or 512),
             temperature=float(body.get("temperature", 1.0)),
@@ -302,7 +304,7 @@ class InferenceServer:
             seed=body.get("seed"),
             adapter=model if model in self.engine.adapters else None,
             json_schema=schema,
-            regex=body.get("guided_regex"),
+            regex=regex,
         )
         if body.get("stream"):
             return await self._stream_chat(request, body, prompt, sp)

@@ -147,6 +147,18 @@ def test_optional_first_required_later_never_dangles_commas():
     assert not _accepts(d2, '{, "y": true}')
 
 
+def test_json_object_regex_depth_bound():
+    from prime_rl_tpu.sampler.constrain import json_object_regex
+
+    dfa = compile_regex(json_object_regex())
+    assert dfa.num_states < 2048
+    for ok in ('{}', '{"a": 1}', '{"a": {"b": [1, "x", true]}}',
+               '{ "k" : [1, 2.5, null], "m": {"n": "s"} }'):
+        assert _accepts(dfa, ok), ok
+    for bad in ('[1]', '{"a": }', '{"a": {"b": {"c": {"d": 1}}}}'):
+        assert not _accepts(dfa, bad), bad
+
+
 def test_schema_samples_roundtrip_fuzz():
     """Documents SAMPLED from the schema are accepted; simple type/enum
     mutations are rejected."""
