@@ -353,6 +353,19 @@ def bench_decode(args) -> None:
     t0 = time.perf_counter()
     engine.generate(prompts, SamplingParams(
         max_tokens=args.decode_block + 1, temperature=1.0, ignore_eos=True))
+    # ... and the continuous-admission path (submit + run_until_idle admits
+    # into a LIVE pipeline, which compiles partial-batch prefill/refill
+    # variants the pulsed generate() warmup never hits — round-5 measured
+    # wave 0 paying ~30s of compile without this)
+    wfuts = [engine.submit(p, SamplingParams(
+        max_tokens=args.decode_block + 1, temperature=1.0, ignore_eos=True))
+        for p in prompts for _ in (0, 1)]
+    import threading
+    wrun = threading.Thread(target=engine.run_until_idle, daemon=True)
+    wrun.start()
+    for f in wfuts:
+        f.result(timeout=1200)
+    wrun.join(timeout=60)
     print(f"warmup/compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # NOTE: no per-request seed — an explicit seed routes prefill to the
@@ -380,8 +393,7 @@ def bench_decode(args) -> None:
     for w in range(waves):
         futs.append([engine.submit(p, s) for p, s in zip(prompts, sps)])
     total = 0
-    done_waves = 0
-    import threading
+    wave_marks = []  # (tokens_so_far, elapsed) at each cohort completion
 
     runner = threading.Thread(target=engine.run_until_idle, daemon=True)
     runner.start()
@@ -389,11 +401,19 @@ def bench_decode(args) -> None:
         results = [f.result(timeout=1200) for f in futs[w]]
         total += sum(len(r.token_ids) for r in results)
         total_dt = time.perf_counter() - t0
-        done_waves += 1
+        wave_marks.append((total, total_dt))
         print(f"wave {w}: {total} tokens in {total_dt:.2f}s", file=sys.stderr)
+        extra = {"slots": args.batch_size, "decode_block": args.decode_block}
+        if w >= 1:
+            # steady-state rate over waves >= 1: the pipeline is saturated
+            # from t0 (all cohorts pre-submitted), so any residual one-off
+            # cost in wave 0 (stray compile, page-table ramp) is excluded
+            d_tok = total - wave_marks[0][0]
+            d_t = total_dt - wave_marks[0][1]
+            if d_t > 0:
+                extra["steady_tok_per_sec"] = round(d_tok / d_t, 1)
         _emit("decode_tokens_per_sec", total / total_dt, "tok/s", None,
-              partial=(w + 1 < waves), steps=w + 1,
-              extra={"slots": args.batch_size, "decode_block": args.decode_block})
+              partial=(w + 1 < waves), steps=w + 1, extra=extra)
     runner.join(timeout=60)
 
 
