@@ -139,6 +139,13 @@ class DebugModelConfig(BaseConfig):
     """Tiny-model debug knobs (reference: model.py:656-663 layer truncation)."""
 
     num_layers: int | None = None
+    # Truncate the vocab (and LM head) for offline byte-tokenizer runs: a
+    # random-init 151k-vocab model sampled through the 260-id ByteTokenizer
+    # decodes to garbage with probability ~1 (every token id > 255), so
+    # reward-based smoke envs see identically-zero reward and learn nothing.
+    # Must be >= 260 (byte vocab + specials); eos/pad remap to the byte ids
+    # when the family's own ids fall outside the truncated range.
+    vocab_size: int | None = None
     random_init: bool = False
 
 

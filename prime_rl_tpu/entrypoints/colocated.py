@@ -38,7 +38,8 @@ def run_colocated(config: RLConfig) -> None:
                  logs_dir(config.output_dir) / "colocated.log")
     logger = get_logger()
 
-    spec = get_spec(tcfg.model.name, num_layers=tcfg.model.debug.num_layers)
+    spec = get_spec(tcfg.model.name, num_layers=tcfg.model.debug.num_layers,
+                    vocab_size=tcfg.model.debug.vocab_size)
     family = get_family(spec)
     # placeholder weights; the trainer's startup broadcast replaces them
     # before the orchestrator starts dispatching (it waits for version >= 0)

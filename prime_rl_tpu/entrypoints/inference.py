@@ -21,7 +21,8 @@ def build_server(config: InferenceConfig):
     setup_logger(config.log.level, config.log.json_logs,
                  logs_dir(config.output_dir) / "inference.log")
     logger = get_logger()
-    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
+    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers,
+                    vocab_size=config.model.debug.vocab_size)
 
     if config.model.debug.random_init:
         from prime_rl_tpu.models import get_family

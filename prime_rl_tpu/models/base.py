@@ -560,10 +560,13 @@ def debug_spec(
     )
 
 
-def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
+def get_spec(name: str, num_layers: int | None = None,
+             vocab_size: int | None = None) -> ModelSpec:
     """Resolve a model name to a spec: built-in registry, or a local HF
     checkpoint dir with config.json. ``num_layers`` truncates for debug
-    (reference: trainer/model.py:656-663)."""
+    (reference: trainer/model.py:656-663); ``vocab_size`` truncates the
+    vocab for byte-tokenizer smoke runs (eos/pad remap to the ChatML byte
+    ids when the family's own ids fall outside the truncated range)."""
     import json
     from pathlib import Path
 
@@ -612,6 +615,17 @@ def get_spec(name: str, num_layers: int | None = None) -> ModelSpec:
         raise ValueError(f"unknown model {name!r}: not in BUILTIN_SPECS and no local config.json")
     if num_layers is not None:
         spec = replace(spec, num_layers=num_layers)
+    if vocab_size is not None:
+        if vocab_size < 260:
+            raise ValueError(
+                f"debug vocab_size {vocab_size} < 260: must cover the byte "
+                f"vocab (256 bytes + ChatML specials)")
+        updates: dict = {"vocab_size": vocab_size}
+        if spec.eos_token_id is not None and spec.eos_token_id >= vocab_size:
+            updates["eos_token_id"] = 258  # ByteTokenizer <|im_end|>
+        if spec.pad_token_id is not None and spec.pad_token_id >= vocab_size:
+            updates["pad_token_id"] = 256
+        spec = replace(spec, **updates)
     return spec
 
 

@@ -44,7 +44,8 @@ def train(config: TrainerConfig, weight_sink=None) -> None:
                      "trainer.log" if world == 1 else f"trainer_rank{rank}.log"))
     logger = get_logger()
     mesh_info = build_mesh(config.mesh)
-    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
+    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers,
+                    vocab_size=config.model.debug.vocab_size)
     if config.model.gdn_mxu_precision != "highest":
         from prime_rl_tpu.ops import gated_delta
 

@@ -32,7 +32,8 @@ def train(config: SFTConfig) -> None:
     )
     logger = get_logger()
     mesh_info = build_mesh(config.mesh)
-    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers)
+    spec = get_spec(config.model.name, num_layers=config.model.debug.num_layers,
+                    vocab_size=config.model.debug.vocab_size)
     logger.info(f"SFT: model={config.model.name} mesh={mesh_info.sizes} params≈{spec.num_params()/1e6:.0f}M")
 
     # the default trainer.loss config is unused by SFT (CE-only batches), but
